@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator exposed through the driver contract.
+  *
+  * `run` builds the lazy DataFrame for a scale-factor directory;
+  * `oracle` is the equivalent DuckDB SQL over the same parquet tables
+  * (None => the driver records a weaker rows-only check).
+  */
+final case class Op(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Included in the Bench headline set. */
+    bench: Boolean = false,
+)
+
+/** Parquet readers for the driver-provided test tables (TESTDATA.md). */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS): with
+    * spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType epoch
+    * nanos; truncate to micros (exactly what DuckDB/pyarrow do) and
+    * restore TimestampType. Integer `div` keeps full precision — a
+    * double division would corrupt 1.7e18-scale nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession construction so Verify/Bench/tests share the
+  * same engine configuration.
+  */
+object Sessions {
+  def build(appName: String, cpus: String): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 only
+      // reads it via this conf (as LongType nanos — normalized back to
+      // TimestampType in Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The VM's root disk shows multi-second uninterruptible-IO stalls
+      // under Spark's shuffle/temp writes; keep ephemeral state in tmpfs.
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

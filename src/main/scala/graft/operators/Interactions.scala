@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.CrossHash
+
+/** Co-location "interactions" pipeline.
+  *
+  * Reference semantics: pings self-joined on (H3 res-15 cell, 10-minute
+  * time bucket) with `a.caid != b.caid`, then distinct device pairs,
+  * then contact counts per (home_a, home_b)
+  * (/root/reference/src/queries/interaction_queries.py:7-56,
+  * /root/reference/src/transforms/matrix_transforms.py:65-90,
+  * /root/reference/scripts/NetworkBuilder.py:155-211).
+  *
+  * Test-table mapping (TESTDATA.md): events.user_id = caid,
+  * events.event_type = spatial cell, 600-second origin-anchored buckets.
+  *
+  * Scale notes (100 TB): the (cell, bucket) key is high-cardinality and
+  * bounded-skew by construction; the distinct-before-join collapses each
+  * (user, cell, bucket) group to one row *before* the shuffle-heavy
+  * self-join (the reference's own dedup-before-join pattern,
+  * SURVEY §4.2). The pair-level distinct and the group-by share the
+  * (a_caid, b_caid) shuffle key, so Catalyst reuses one exchange.
+  */
+object Interactions {
+
+  /** Deduplicated (caid, cell, bucket) presence table. */
+  private[operators] def presence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        col("user_id").as("caid"),
+        col("event_type").as("cell"),
+        CrossHash.timeBucketId(col("ts"), 600L).as("tw"),
+      )
+      .distinct()
+  }
+
+  private val presenceSql =
+    s"""SELECT DISTINCT user_id AS caid, event_type AS cell,
+       |  ${CrossHash.timeBucketIdSql("ts", 600L)} AS tw
+       |FROM events""".stripMargin
+
+  /** J1: distinct co-located (a_caid, b_caid) pairs (both directions,
+    * matching the reference's `a.caid != b.caid` with no canonical
+    * ordering — interaction_queries.py:21-28).
+    */
+  def interactionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = presence(spark, dir)
+    val a = p.alias("a")
+    val b = p.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.tw") === col("b.tw")
+        && col("a.caid") =!= col("b.caid"))
+      .select(col("a.caid").as("a_caid"), col("b.caid").as("b_caid"))
+      .distinct()
+  }
+
+  private val interactionPairsSql =
+    s"""WITH p AS ($presenceSql)
+       |SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
+       |FROM p a JOIN p b
+       |  ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid""".stripMargin
+
+  /** Per-device home cell: the cell with the most events per user,
+    * deterministic tie-break on cell name (NTL-winner shape, W1 —
+    * /root/reference/src/queries/ntl_queries.py:41-48).
+    */
+  private[operators] def homeCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val counts = ev.groupBy(col("user_id").as("caid"), col("event_type").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("caid"))
+      .orderBy(col("n").desc, col("cell").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("caid"), col("cell").as("home_cell"))
+  }
+
+  private val homeCellsSql =
+    """SELECT caid, cell AS home_cell FROM (
+      |  SELECT user_id AS caid, event_type AS cell, count(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY count(*) DESC, event_type ASC) AS rnk
+      |  FROM events GROUP BY user_id, event_type
+      |) WHERE rnk = 1""".stripMargin
+
+  /** Observed contacts per (a_home, b_home): distinct interacting pairs
+    * enriched with each side's home cell, then counted
+    * (matrix_transforms.py:65-90). Home catalog is tiny => broadcast.
+    */
+  def observedContacts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = interactionPairs(spark, dir)
+    val homes = homeCells(spark, dir)
+    pairs
+      .join(broadcast(homes.withColumnRenamed("caid", "a_caid")
+        .withColumnRenamed("home_cell", "a_home")), Seq("a_caid"))
+      .join(broadcast(homes.withColumnRenamed("caid", "b_caid")
+        .withColumnRenamed("home_cell", "b_home")), Seq("b_caid"))
+      .groupBy(col("a_home"), col("b_home"))
+      .agg(count(lit(1)).as("observed_contacts"))
+  }
+
+  private val observedContactsSql =
+    s"""WITH pairs AS ($interactionPairsSql),
+       |homes AS ($homeCellsSql)
+       |SELECT ha.home_cell AS a_home, hb.home_cell AS b_home,
+       |  count(*) AS observed_contacts
+       |FROM pairs
+       |JOIN homes ha ON pairs.a_caid = ha.caid
+       |JOIN homes hb ON pairs.b_caid = hb.caid
+       |GROUP BY 1, 2""".stripMargin
+
+  /** A2 sizes: exact COUNT(DISTINCT caid) per home cell
+    * (/root/reference/src/queries/matrix_queries.py:17,32).
+    */
+  def sizes(spark: SparkSession, dir: String): DataFrame =
+    homeCells(spark, dir)
+      .groupBy(col("home_cell"))
+      .agg(countDistinct(col("caid")).as("size"))
+
+  private val sizesSql =
+    s"""WITH homes AS ($homeCellsSql)
+       |SELECT home_cell, count(DISTINCT caid) AS size FROM homes GROUP BY 1""".stripMargin
+
+  /** J4+J3+A10: cross-join total possible contacts (size_a*size_b), left
+    * join observed, zero-fill, probability column
+    * (/root/reference/scripts/NetworkBuilder.py:129-246,
+    * matrix_transforms.py:42-122,161). The sizes side is |cells|² — tiny
+    * — so both joins broadcast; probs computed on the long form.
+    */
+  def totalVsObserved(spark: SparkSession, dir: String): DataFrame = {
+    val sz = sizes(spark, dir)
+    val a = sz.select(col("home_cell").as("a_home"), col("size").as("a_size"))
+    val b = sz.select(col("home_cell").as("b_home"), col("size").as("b_size"))
+    val total = a.crossJoin(b)
+      .select(col("a_home"), col("b_home"),
+        (col("a_size") * col("b_size")).as("total_contacts"))
+    val obs = observedContacts(spark, dir)
+    total.join(broadcast(obs), Seq("a_home", "b_home"), "left")
+      .select(col("a_home"), col("b_home"), col("total_contacts"),
+        coalesce(col("observed_contacts"), lit(0L)).as("observed_contacts"),
+        (coalesce(col("observed_contacts"), lit(0L)).cast("double")
+          / col("total_contacts")).as("prob"))
+      .orderBy(col("a_home").asc, col("b_home").asc)
+  }
+
+  private val totalVsObservedSql =
+    s"""WITH homes AS ($homeCellsSql),
+       |sizes AS (SELECT home_cell, count(DISTINCT caid) AS size FROM homes GROUP BY 1),
+       |total AS (
+       |  SELECT a.home_cell AS a_home, b.home_cell AS b_home,
+       |    a.size * b.size AS total_contacts
+       |  FROM sizes a CROSS JOIN sizes b),
+       |pairs AS ($interactionPairsSql),
+       |obs AS (
+       |  SELECT ha.home_cell AS a_home, hb.home_cell AS b_home,
+       |    count(*) AS observed_contacts
+       |  FROM pairs
+       |  JOIN homes ha ON pairs.a_caid = ha.caid
+       |  JOIN homes hb ON pairs.b_caid = hb.caid
+       |  GROUP BY 1, 2)
+       |SELECT t.a_home, t.b_home, t.total_contacts,
+       |  COALESCE(o.observed_contacts, 0) AS observed_contacts,
+       |  CAST(COALESCE(o.observed_contacts, 0) AS DOUBLE) / t.total_contacts AS prob
+       |FROM total t LEFT JOIN obs o
+       |  ON t.a_home = o.a_home AND t.b_home = o.b_home
+       |ORDER BY t.a_home ASC, t.b_home ASC""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("interaction_pairs", interactionPairs, Some(interactionPairsSql), bench = true),
+    Op("home_cells", homeCells, Some(homeCellsSql)),
+    Op("observed_contacts", observedContacts, Some(observedContactsSql), bench = true),
+    Op("contact_sizes", sizes, Some(sizesSql)),
+    Op("total_vs_observed", totalVsObserved, Some(totalVsObservedSql), bench = true),
+  )
+}
