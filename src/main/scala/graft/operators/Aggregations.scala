@@ -106,8 +106,49 @@ object Aggregations {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin
 
+  /** A9: pivot long→wide (dense-matrix build,
+    * /root/reference/src/transforms/matrix_transforms.py:146-159).
+    * Explicit value list keeps the plan single-pass (no distinct-values
+    * pre-query) and the output schema deterministic.
+    */
+  def pivotMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val pivotMatrixSql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** F10 as an aggregation shape: CASE WHEN binning + counts
+    * (/root/reference/src/imputers/home_ageb_imputers.py:186-190).
+    */
+  def caseBins(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        when(col("value") < 50, lit("low"))
+          .when(col("value") < 150, lit("mid"))
+          .otherwise(lit("high")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  private val caseBinsSql =
+    """SELECT CASE WHEN value < 50 THEN 'low'
+      |            WHEN value < 150 THEN 'mid'
+      |            ELSE 'high' END AS bin, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q1_agg", q1Agg, Some(q1AggSql), bench = true),
+    Op("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),
+    Op("case_bins", caseBins, Some(caseBinsSql)),
     Op("global_scalars", globalScalars, Some(globalScalarsSql)),
     Op("count_distinct_per_group", countDistinctPerGroup, Some(countDistinctPerGroupSql)),
     Op("distinct_pairs", distinctPairs, Some(distinctPairsSql)),

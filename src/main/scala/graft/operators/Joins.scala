@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Op, Tables}
+
+/** Join family (SURVEY §2.3). Small dimension sides are explicitly
+  * broadcast — at 100 TB the fact side never shuffles for these.
+  */
+object Joins {
+
+  private val dec = DecimalType(18, 2)
+
+  /** J2: left outer join + sentinel fill. The right side is filtered so
+    * some keys genuinely miss (reference fills unknown homes with a
+    * zero sentinel — /root/reference/src/queries/ntl_queries.py:50-65).
+    */
+  def leftJoinSentinel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val rich = Tables.customer(spark, dir)
+      .where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_mktsegment"), lit("0000000000000")).as("segment"))
+  }
+
+  private val leftJoinSentinelSql =
+    """SELECT o_orderkey, o_custkey,
+      |  COALESCE(c.c_mktsegment, '0000000000000') AS segment
+      |FROM orders o LEFT JOIN
+      |  (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+      |  ON o.o_custkey = c.c_custkey""".stripMargin
+
+  /** J5: left-semi join (restrict-to-set; cleaner than the reference's
+    * inner+project — /root/reference/src/transforms/ntl_transforms.py:54-62).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir).where(col("o_totalprice") > 200000)
+    c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin
+
+  /** Anti pattern: left join + IS NULL in the reference
+    * (/root/reference/scripts/MakeEmpiricNetworks.py:64-77) → left_anti.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** J6: array-membership (non-equi) join — region-level membership
+    * arrays joined by ARRAY_CONTAINS
+    * (/root/reference/src/imputers/home_ageb_imputers.py:156-165).
+    * The array side is tiny => BroadcastNestedLoopJoin is the right
+    * physical plan; the scalable alternative (explode → equi-join) is
+    * exercised by `array_explode_join`.
+    */
+  def arrayMembershipJoin(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_nationkey"))).as("component"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(comp), array_contains(col("component"), col("c_nationkey")))
+      .select(col("c_custkey"), col("n_regionkey"))
+  }
+
+  private val arrayMembershipJoinSql =
+    """WITH comp AS (
+      |  SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS component
+      |  FROM nation GROUP BY n_regionkey)
+      |SELECT c_custkey, n_regionkey
+      |FROM customer JOIN comp ON list_contains(component, c_nationkey)""".stripMargin
+
+  /** J6-scalable: same semantics via explode → equi-join (the shape
+    * that survives 100 TB; SURVEY J6 note).
+    */
+  def arrayExplodeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_nationkey"))).as("component"))
+      .select(col("n_regionkey"), explode(col("component")).as("member"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(comp), col("c_nationkey") === col("member"))
+      .select(col("c_custkey"), col("n_regionkey"))
+  }
+
+  /** J8: dedup-before-expensive-compute + join-back on the natural key
+    * (/root/reference/scripts/FactPingsBaseGenerator.py:161-211). The
+    * "expensive" stage (sqrt/pow here; point-in-polygon there) runs
+    * once per distinct key, not once per fact row.
+    */
+  def dedupJoinback(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val coords = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val enriched = coords.withColumn("dist",
+      round(sqrt(col("l_partkey").cast("double") * col("l_suppkey").cast("double")), 4))
+    li.join(enriched, Seq("l_partkey", "l_suppkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("dist"))
+  }
+
+  private val dedupJoinbackSql =
+    """WITH coords AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |enriched AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    round(sqrt(CAST(l_partkey AS DOUBLE) * CAST(l_suppkey AS DOUBLE)), 4) AS dist
+      |  FROM coords)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, e.dist
+      |FROM lineitem l LEFT JOIN enriched e
+      |  ON l.l_partkey = e.l_partkey AND l.l_suppkey = e.l_suppkey""".stripMargin
+
+  /** J9+J10+A5: broadcast dim join + AVG/STDDEV aggregation per
+    * municipality-analog (/root/reference/scripts/RGAggregatorByMun.py:83-102).
+    * STDDEV is spelled as an explicit scalar formula over exact decimal
+    * sums so both engines do identical IEEE double arithmetic
+    * (stddev_samp: sqrt((s2 - s1²/n)/(n-1))).
+    */
+  def dimJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val q = col("l_quantity").cast(dec)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("s1"),
+        sum(q * q).cast("double").as("s2"))
+      .select(
+        col("s_nationkey"),
+        col("n"),
+        (col("s1") / col("n")).as("avg_qty"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"))
+  }
+
+  private val dimJoinAggSql =
+    """WITH g AS (
+      |  SELECT s.s_nationkey, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY s.s_nationkey)
+      |SELECT s_nationkey, n, s1 / n AS avg_qty,
+      |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
+      |FROM g""".stripMargin
+
+  /** J12: small-catalog enrichment left join
+    * (/root/reference/scripts/IndexingHomeAgebs.py:134-140).
+    */
+  def regionEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+  }
+
+  private val regionEnrichSql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),
+    Op("semi_join", semiJoin, Some(semiJoinSql)),
+    Op("anti_join", antiJoin, Some(antiJoinSql)),
+    Op("array_membership_join", arrayMembershipJoin, Some(arrayMembershipJoinSql)),
+    Op("array_explode_join", arrayExplodeJoin, Some(arrayMembershipJoinSql)),
+    Op("dedup_joinback", dedupJoinback, Some(dedupJoinbackSql), bench = true),
+    Op("dim_join_agg", dimJoinAgg, Some(dimJoinAggSql), bench = true),
+    Op("region_enrich", regionEnrich, Some(regionEnrichSql)),
+  )
+}
