@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full operator registry (SURVEY §2 inventory + LLM-pipeline ops). */
   lazy val allOps: Seq[Op] =
     Aggregations.ops ++ Interactions.ops ++ Extraction.ops ++
-      Ntl.ops ++ Joins.ops
+      Ntl.ops ++ Joins.ops ++ Dedup.ops ++ TextAnalysis.ops ++
+      Similarity.ops ++ Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

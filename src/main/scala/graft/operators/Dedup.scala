@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.CrossHash
+
+/** Document deduplication for LLM training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All engine-portable (oracle-
+  * checked) via the md5-based [[CrossHash.hash60]].
+  *
+  * Scale shapes (100 TB):
+  *  - exact: one hash-groupBy, no join.
+  *  - jaccard: (doc, shingle) explode → equi-join on (block, shingle) →
+  *    pair-count agg. Blocking bounds the candidate set; the join never
+  *    materializes the full doc×doc cross product.
+  *  - minhash: one pass of grouped MIN aggregations (map-side partial),
+  *    then a band-bucket equi-join — the standard shingle→minhash→band
+  *    →bucket-join cascade.
+  *  - simhash: (doc, token, bit) explode → grouped sign votes →
+  *    bit-packed signature; exact-bucket grouping on the signature.
+  */
+object Dedup {
+
+  // ---- shared shingle/token relations --------------------------------
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, source,
+      |  unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |    i -> array_to_string((string_split(text, ' '))[i + 1:i + 3], ' '))) AS shingle
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: md5 content hash → group → representative (min id) +
+    * duplicate count. Output one row per distinct content.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** N-gram Jaccard near-dup: source-blocked shingle join, pair
+    * intersection counts, |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ 0.5.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source")
+          && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "sz_a"), Seq("doc_a"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  private val dedupNgramJaccardSql =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b
+       |    ON a.source = b.source AND a.shingle = b.shingle
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5""".stripMargin
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  private val NumHashes = 8
+  private val BandSize = 4 // => 2 bands
+
+  /** Per-doc MinHash signature: k independent 60-bit hash mins in one
+    * grouped pass (k agg columns → map-side partial aggregation).
+    */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val aggs = (0 until NumHashes).map(i =>
+      min(CrossHash.hash60Seeded(col("shingle"), i)).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSigSql: String = {
+    val cols = (0 until NumHashes)
+      .map(i => s"min(${CrossHash.hash60SeededSql("shingle", i)}) AS mh$i")
+      .mkString(",\n  ")
+    s"WITH sh AS ($shinglesSql)\nSELECT doc_id,\n  $cols\nFROM sh GROUP BY doc_id"
+  }
+
+  /** MinHash signatures as a query (oracle-checked exactly). */
+  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir)
+
+  /** LSH candidate pairs: equal band (4 consecutive minhashes) in any
+    * of the 2 bands, plus the minhash Jaccard estimate (fraction of
+    * equal signature components).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val bandCols = (0 until NumHashes / BandSize).map { bi =>
+      struct(lit(bi).as("band_id"),
+        concat_ws("_", (0 until BandSize)
+          .map(j => col(s"mh${bi * BandSize + j}")): _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_key").as("band_key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.alias("sa")
+    val sb = sig.alias("sb")
+    val estimate = (0 until NumHashes)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+      .cast("double") / NumHashes
+    cand
+      .join(sa, col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), estimate.as("est_jaccard"))
+  }
+
+  private val dedupMinhashLshSql: String = {
+    val bands = (0 until NumHashes / BandSize).map { bi =>
+      val key = (0 until BandSize).map(j => s"mh${bi * BandSize + j}")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $bi AS band_id, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until NumHashes).map(i => s"min(${CrossHash.hash60SeededSql("shingle", i)}) AS mh$i").mkString(",\n  ")}
+       |  FROM sh GROUP BY doc_id),
+       |banded AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($est AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON cand.doc_a = sa.doc_id
+       |JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  private val SimBits = 16
+
+  /** 16-bit SimHash per document: per-(doc, bit) frequency-weighted
+    * sign votes over token md5 bits, packed into an integer signature.
+    * Identical docs share signatures; grouping on the signature gives
+    * exact-bucket near-dup classes.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // bit j of the first 4 hex digits of md5(tok):
+    //   digit = j div 4 (1-based substr), bit-in-digit = 3 - j%4
+    val bits = toks
+      .select(col("doc_id"), col("tok"), explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .select(col("doc_id"), col("j"),
+        (floor(
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("tok")), (col("j") / 4).cast("int") + 1, lit(1))) - 1)
+            / pow(lit(2.0), lit(3) - pmod(col("j"), lit(4)))).cast("long") % 2)
+          .as("bit"))
+    val votes = bits.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  private val dedupSimhashSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CAST(floor((strpos('0123456789abcdef',
+       |        substring(md5(tok), CAST(floor(j / 4) AS INTEGER) + 1, 1)) - 1)
+       |      / pow(2.0, 3 - (j % 4))) AS BIGINT) % 2 AS bit
+       |  FROM (SELECT doc_id, tok, unnest(range(0, $SimBits)) AS j FROM toks)),
+       |votes AS (
+       |  SELECT doc_id, j, SUM(bit * 2 - 1) AS vote
+       |  FROM bits GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
+    Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),
+    Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql), bench = true),
+    Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+  )
+}

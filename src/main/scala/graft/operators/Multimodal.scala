@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic fake (byte-level arithmetic standing in
+  * for pixel decode). Everything around it — binary schema, metadata
+  * struct, per-frame explode shape, typed mapPartitions batch path —
+  * is the real plumbing a codec would slot into.
+  */
+object Multimodal {
+
+  /** Media table: binary payload + typed metadata derived from
+    * documents (UTF-8 bytes standing in for an encoded image).
+    */
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source").as("container"),
+        col("n_chars").as("declared_len"),
+      )
+
+  private val mediaSql =
+    """SELECT doc_id AS media_id, encode(text) AS payload,
+      |  source AS container, n_chars AS declared_len
+      |FROM documents""".stripMargin
+
+  /** Metadata extraction over binary payloads: real byte length, a
+    * header probe (first byte), and a validity flag — the schema-level
+    * half of a decode stage.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(
+        col("media_id"),
+        col("container"),
+        octet_length(col("payload")).as("n_bytes"),
+        (octet_length(col("payload")) === col("declared_len")).as("len_ok"),
+        ascii(decode(substr(col("payload"), lit(1), lit(1)), "UTF-8")).as("header_byte"),
+      )
+
+  private val multimodalMetaSql =
+    """SELECT media_id, container,
+      |  octet_length(payload) AS n_bytes,
+      |  octet_length(payload) = declared_len AS len_ok,
+      |  ascii(substring(text, 1, 1)) AS header_byte
+      |FROM (SELECT doc_id AS media_id, encode(text) AS payload,
+      |        source AS container, n_chars AS declared_len, text
+      |      FROM documents)""".stripMargin
+
+  /** Frame sampling: one row per sampled frame (every ~64 bytes), with
+    * the frame's byte slice — the explode shape a video pipeline uses.
+    * FAKE-DECODE: `frame_feature` is deterministic byte arithmetic in
+    * place of a codec; swap the expression for a real kernel on a
+    * cluster with codecs installed.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("media_id"), col("payload"),
+        // sequence(0, -1) would generate a DESCENDING [0, -1] — guard
+        // the zero-frame case explicitly.
+        explode(expr("CASE WHEN octet_length(payload) >= 64 THEN " +
+          "sequence(0, CAST(octet_length(payload) / 64 AS INT) - 1) " +
+          "ELSE CAST(array() AS array<int>) END"))
+          .as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        octet_length(substr(col("payload"), col("frame_idx") * 64 + 1, lit(64)))
+          .as("frame_bytes"),
+        ascii(decode(substr(col("payload"), col("frame_idx") * 64 + 1, lit(1)), "UTF-8"))
+          .as("frame_feature"),
+      )
+
+  private val multimodalFramesSql =
+    """SELECT media_id, frame_idx,
+      |  octet_length(encode(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))) AS frame_bytes,
+      |  ascii(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 1)) AS frame_feature
+      |FROM (
+      |  SELECT media_id, payload, text,
+      |    unnest(range(0, CAST(floor(octet_length(payload) / 64.0) AS BIGINT))) AS frame_idx
+      |  FROM (SELECT doc_id AS media_id, encode(text) AS payload, text
+      |        FROM documents))""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.CrossHash
+
+/** Text-analysis operators for LLM data pipelines: token counting,
+  * quality scoring, language-ID (marker-word profiles), winnowing
+  * document fingerprints. All single-pass column expressions over the
+  * documents table — fully pushdown/codegen friendly; only the
+  * fingerprint op shuffles (per-doc window over shingle positions).
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Whitespace token count + BPE-ish size estimate + token-length
+    * extremes (`aggregate` over the split array — no explode).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_estimate"),
+        expr("aggregate(split(text, ' '), 0, (acc, t) -> greatest(acc, length(t)))")
+          .as("max_tok_len"),
+        expr("aggregate(split(text, ' '), 1000000, (acc, t) -> least(acc, length(t)))")
+          .as("min_tok_len"),
+      )
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_estimate,
+      |  list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t -> length(t))),
+      |    (acc, x) -> greatest(acc, x)) AS max_tok_len,
+      |  list_reduce(list_prepend(1000000, list_transform(string_split(text, ' '), t -> length(t))),
+      |    (acc, x) -> least(acc, x)) AS min_tok_len
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword ratio, average token length, composite
+    * score. All ratios are exact-int divisions evaluated identically in
+    * both engines.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))").cast("double")
+    val avgLen = (col("n_chars") - (size(toks) - 1)).cast("double") / size(toks)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        nTok.as("n_tokens"),
+        (nStop / nTok).as("stopword_ratio"),
+        avgLen.as("avg_token_len"),
+        (least(nTok / 100.0, lit(1.0)) * 0.3
+          + (lit(1.0) - nStop / nTok) * 0.4
+          + least(avgLen / 8.0, lit(1.0)) * 0.3).as("quality_score"),
+      )
+  }
+
+  private val textQualitySql = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS avg_token_len,
+       |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE)
+       |        / len(string_split(text, ' '))) * 0.4
+       |    + least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |        / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3 AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Language-ID via marker-word profile counts (n-gram-heuristic
+    * family): per-profile token hits, argmax with deterministic
+    * alphabetic tie-break.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "l_struct" -> Seq("the", "a", "of"),
+    "l_query" -> Seq("join", "filter", "window", "query"),
+    "l_data" -> Seq("data", "row", "column", "table"),
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, markers)) =>
+        val list = markers.map(w => s"'$w'").mkString(", ")
+        df.withColumn(lang,
+          expr(s"size(filter(split(text, ' '), t -> t IN ($list)))"))
+    }
+    // argmax CASE chain in alphabetical order: branch i fires iff its
+    // count is >= every other profile's and > 0 — first branch to fire
+    // wins, so ties break to the alphabetically-first profile.
+    val langs = LangMarkers.map(_._1).sorted
+    val pred = langs.reverse.foldLeft(lit("unknown")) { (acc, l) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(l) >= col(o))
+        .foldLeft(col(l) > 0)(_ && _)
+      when(geAll, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      (col("doc_id") +: LangMarkers.map(m => col(m._1))) :+ pred.as("pred_lang"): _*)
+  }
+
+  private val langIdSql = {
+    def cnt(markers: Seq[String]) = {
+      val list = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
+    }
+    val cols = LangMarkers.map { case (l, m) => s"${cnt(m)} AS $l" }.mkString(",\n  ")
+    // same argmax chain, alphabetic-first tie-break
+    val sortedLangs = LangMarkers.map(_._1).sorted
+    val pred = sortedLangs.reverse.foldLeft("'unknown'") { (acc, l) =>
+      val cond = (sortedLangs.filter(_ != l).map(o => s"$l >= $o") :+ s"$l > 0")
+        .mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, ${LangMarkers.map(_._1).mkString(", ")}, $pred AS pred_lang
+       |FROM (SELECT doc_id, text,
+       |  $cols
+       |FROM documents)""".stripMargin
+  }
+
+  /** Winnowing fingerprint (rolling-hash family): word-4-gram hashes,
+    * per-window (w=4) minimum over the position-ordered hash sequence,
+    * distinct window-minima per doc. The per-doc window is tiny and
+    * partitioned by doc_id — parallelism-safe at any corpus size.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        when(size(split(col("text"), " ")) >= 4,
+          expr("transform(sequence(0, size(split(text, ' ')) - 4), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos"),
+        CrossHash.hash60(col("col")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 3)
+    grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
+      .distinct()
+  }
+
+  private val docFingerprintSql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, pos, ${CrossHash.hash60Sql("gram")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+       |        i -> array_to_string((string_split(text, ' '))[i + 1:i + 4], ' '))) AS gram,
+       |      unnest(range(0, greatest(len(string_split(text, ' ')) - 3, 0))) AS pos
+       |    FROM documents))
+       |SELECT DISTINCT doc_id,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |FROM grams""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("text_quality", textQuality, Some(textQualitySql), bench = true),
+    Op("lang_id", langId, Some(langIdSql)),
+    Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+  )
+}
