@@ -10,7 +10,8 @@ object SparkEntry {
   lazy val allOps: Seq[Op] =
     Aggregations.ops ++ Interactions.ops ++ Extraction.ops ++
       Ntl.ops ++ Joins.ops ++ Dedup.ops ++ TextAnalysis.ops ++
-      Similarity.ops ++ Multimodal.ops
+      Similarity.ops ++ Multimodal.ops ++ Mobility.ops ++
+      Imputation.ops ++ Scaling.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Mobility metrics: radius of gyration per device + per-region
+  * aggregation (/root/reference/scripts/RadiusOfGyrationHandler.py:69-327,
+  * /root/reference/scripts/RGAggregatorByMun.py:52-131).
+  *
+  * Test-table mapping: cells (event_type) get integer grid positions;
+  * grid distance |cell - home| stands in for the H3 grid distance the
+  * production pipeline uses (H3 expressions live in graft.functions.h3).
+  *
+  * Scale notes: the reference's dedup-before-join pattern is kept — rg
+  * is computed over DISTINCT (caid, cell, day) visits, deduped *before*
+  * the per-device math (RadiusOfGyrationHandler.py:105-121); all
+  * aggregations key on caid.
+  */
+object Mobility {
+
+  private def cellPos(c: Column): Column =
+    when(c === "click", 0).when(c === "error", 1).when(c === "purchase", 2)
+      .when(c === "signup", 3).otherwise(4)
+
+  private val cellPosSql =
+    """CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin
+      .replace("\n", " ")
+
+  private def cellPosHomeSql(col: String) =
+    s"""CASE $col WHEN 'click' THEN 0 WHEN 'error' THEN 1
+       |  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin
+      .replace("\n", " ")
+
+  /** rg per device: sqrt(sum(r_i^2) / n) over distinct daily visits,
+    * r_i = grid distance from the device's home cell
+    * (RadiusOfGyrationHandler.py:242-279). Exact integer sums; the
+    * final sqrt/divide is identical IEEE double math in both engines.
+    */
+  def radiusOfGyration(spark: SparkSession, dir: String): DataFrame = {
+    val visits = Tables.events(spark, dir)
+      .select(col("user_id").as("caid"), col("event_type"),
+        to_date(col("ts")).as("d"))
+      .distinct()
+    val homes = Interactions.homeCells(spark, dir)
+    visits
+      .join(broadcast(homes), Seq("caid"))
+      .select(col("caid"),
+        (cellPos(col("event_type")) - cellPos(col("home_cell"))).as("r_i"))
+      .groupBy(col("caid"))
+      .agg(count(lit(1)).as("n_visits"),
+        sum(col("r_i") * col("r_i")).as("sum_r2"))
+      .select(col("caid"), col("n_visits"),
+        sqrt(col("sum_r2").cast("double") / col("n_visits")).as("rg"))
+  }
+
+  private val radiusOfGyrationSql =
+    s"""WITH homes AS (
+       |  SELECT caid, cell AS home_cell FROM (
+       |    SELECT user_id AS caid, event_type AS cell, count(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id
+       |                         ORDER BY count(*) DESC, event_type ASC) AS rnk
+       |    FROM events GROUP BY user_id, event_type
+       |  ) WHERE rnk = 1),
+       |visits AS (
+       |  SELECT DISTINCT user_id AS caid, event_type, CAST(ts AS DATE) AS d
+       |  FROM events),
+       |ris AS (
+       |  SELECT v.caid,
+       |    ($cellPosSql) - (${cellPosHomeSql("home_cell")}) AS r_i
+       |  FROM visits v JOIN homes h ON v.caid = h.caid)
+       |SELECT caid, count(*) AS n_visits,
+       |  sqrt(CAST(SUM(r_i * r_i) AS DOUBLE) / count(*)) AS rg
+       |FROM ris GROUP BY caid""".stripMargin
+
+  /** AVG/STDDEV of rg per home region (RGAggregatorByMun.py:85-96) —
+    * stddev spelled as the explicit sample formula over exact sums is
+    * not possible here (rg is already a double), so both engines get
+    * the same literal arithmetic: sums of rg as decimal-rounded doubles
+    * would lose information — instead aggregate n/s1/s2 with
+    * order-insensitive exact accumulation via rounding rg to 9 dp
+    * before summation (identical doubles in, identical rounding, then
+    * decimal-exact sums).
+    */
+  def rgByRegion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(12, 9)
+    val rg = radiusOfGyration(spark, dir)
+    val homes = Interactions.homeCells(spark, dir)
+    val r = col("rg").cast(dec)
+    rg.join(broadcast(homes), Seq("caid"))
+      .groupBy(col("home_cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(r).cast("double").as("s1"),
+        sum(r * r).cast("double").as("s2"))
+      .select(col("home_cell"), col("n"),
+        (col("s1") / col("n")).as("avg_rg"),
+        // the (s2 - s1²/n) cancellation amplifies decimal-cast ulps —
+        // round to 9 dp so both engines land on the same double
+        when(col("n") > 1,
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 9))
+          .as("stddev_rg"))
+  }
+
+  private val rgByRegionSql =
+    s"""WITH rg_t AS ($radiusOfGyrationSql),
+       |homes AS (
+       |  SELECT caid, cell AS home_cell FROM (
+       |    SELECT user_id AS caid, event_type AS cell, count(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id
+       |                         ORDER BY count(*) DESC, event_type ASC) AS rnk
+       |    FROM events GROUP BY user_id, event_type
+       |  ) WHERE rnk = 1),
+       |g AS (
+       |  SELECT h.home_cell, count(*) AS n,
+       |    CAST(SUM(CAST(rg AS DECIMAL(12,9))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(rg AS DECIMAL(12,9)) * CAST(rg AS DECIMAL(12,9))) AS DOUBLE) AS s2
+       |  FROM rg_t JOIN homes h ON rg_t.caid = h.caid
+       |  GROUP BY h.home_cell)
+       |SELECT home_cell, n, s1 / n AS avg_rg,
+       |  CASE WHEN n > 1 THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) END AS stddev_rg
+       |FROM g""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("radius_of_gyration", radiusOfGyration, Some(radiusOfGyrationSql), bench = true),
+    Op("rg_by_region", rgByRegion, Some(rgByRegionSql)),
+  )
+}
