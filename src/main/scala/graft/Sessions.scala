@@ -9,6 +9,7 @@ object Sessions {
   def build(appName: String, cpus: String): SparkSession =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of the engine's custom Catalyst expressions through the
+  * public SparkSessionExtensions API (injected in graft.Sessions), plus
+  * Column-level wrappers (via call_function, so no private Spark API is
+  * touched).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(e)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hex_index", "hex_index(lat, lon, res) - hierarchical hex cell id",
+      es => HexIndexExpr(es(0), es(1), es(2))),
+    ("hex_center_lat", "hex_center_lat(cell) - cell centroid latitude",
+      es => HexCenterExpr(es.head, isLat = true)),
+    ("hex_center_lon", "hex_center_lon(cell) - cell centroid longitude",
+      es => HexCenterExpr(es.head, isLat = false)),
+    ("hex_grid_distance", "hex_grid_distance(a, b) - hex steps between cells",
+      es => HexGridDistanceExpr(es(0), es(1))),
+    ("hex_kring", "hex_kring(cell, k) - cells within grid distance k",
+      es => HexKRingExpr(es(0), es(1))),
+    ("hex_parent", "hex_parent(cell, res) - containing cell at coarser res",
+      es => HexParentExpr(es(0), es(1))),
+    ("st_contains", "st_contains(rings, lon, lat) - point-in-polygon",
+      es => StContainsExpr(es(0), es(1), es(2))),
+  )
+
+  def inject(e: SparkSessionExtensions): Unit =
+    registry.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+
+  // Column-level API
+  def hex_index(lat: Column, lon: Column, res: Column): Column =
+    call_function("hex_index", lat, lon, res)
+  def hex_center_lat(cell: Column): Column = call_function("hex_center_lat", cell)
+  def hex_center_lon(cell: Column): Column = call_function("hex_center_lon", cell)
+  def hex_grid_distance(a: Column, b: Column): Column =
+    call_function("hex_grid_distance", a, b)
+  def hex_kring(cell: Column, k: Column): Column = call_function("hex_kring", cell, k)
+  def hex_parent(cell: Column, res: Column): Column =
+    call_function("hex_parent", cell, res)
+  def st_contains(rings: Column, lon: Column, lat: Column): Column =
+    call_function("st_contains", rings, lon, lat)
+}
