@@ -231,8 +231,26 @@ object Extraction {
       |    + (epoch_us(ts) - epoch_us(origin)) // 600000000 * 600000000) AS tw
       |FROM events CROSS JOIN (SELECT MIN(ts) AS origin FROM events)""".stripMargin
 
+  /** S6: JSON column harvest — the reference builds catalogs from
+    * JSON documents (notebooks/GeneratesMunicipioDB.ipynb cells 1-5);
+    * here the events.props JSON column is parsed and aggregated.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  private val jsonPropsSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("extract_project_filter", extractProjectFilter, Some(extractProjectFilterSql), bench = true),
+    Op("json_props", jsonProps, Some(jsonPropsSql)),
     Op("night_hours", nightHours, Some(nightHoursSql)),
     Op("prefix_filter", prefixFilter, Some(prefixFilterSql)),
     Op("drop_columns", dropColumns, Some(dropColumnsSql)),
