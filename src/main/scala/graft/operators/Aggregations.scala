@@ -145,8 +145,20 @@ object Aggregations {
       |            ELSE 'high' END AS bin, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A2-at-scale: approx_count_distinct variant of the sizes
+    * aggregation (SURVEY §2.9 note — the opt-in sketch path for 100 TB
+    * distincts; exact remains the oracle-checked default). HLL values
+    * are engine-specific → rows-only check.
+    */
+  def countDistinctApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+
   val ops: Seq[Op] = Seq(
     Op("q1_agg", q1Agg, Some(q1AggSql), bench = true),
+    Op("count_distinct_approx", countDistinctApprox, None),
     Op("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),
     Op("case_bins", caseBins, Some(caseBinsSql)),
     Op("global_scalars", globalScalars, Some(globalScalarsSql)),

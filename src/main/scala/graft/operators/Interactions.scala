@@ -45,14 +45,24 @@ object Interactions {
   /** J1: distinct co-located (a_caid, b_caid) pairs (both directions,
     * matching the reference's `a.caid != b.caid` with no canonical
     * ordering — interaction_queries.py:21-28).
+    *
+    * Implemented as ONE shuffle on (cell, tw): group to a caid set per
+    * co-location key, pair within the group via double explode. The
+    * naive self-join needs either a broadcast of the whole presence
+    * table (impossible at 100 TB) or two more shuffles; this shape
+    * scales because group sizes are physically bounded (devices
+    * co-present in one ~0.5 m cell within 10 minutes), so the n² pair
+    * explode per group is O(1) per key and skew-free by construction.
     */
   def interactionPairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = presence(spark, dir)
-    val a = p.alias("a")
-    val b = p.alias("b")
-    a.join(b, col("a.cell") === col("b.cell") && col("a.tw") === col("b.tw")
-        && col("a.caid") =!= col("b.caid"))
-      .select(col("a.caid").as("a_caid"), col("b.caid").as("b_caid"))
+    val grouped = presence(spark, dir)
+      .groupBy(col("cell"), col("tw"))
+      .agg(collect_set(col("caid")).as("caids"))
+      .where(size(col("caids")) >= 2)
+    grouped
+      .select(explode(col("caids")).as("a_caid"), col("caids"))
+      .select(col("a_caid"), explode(col("caids")).as("b_caid"))
+      .where(col("a_caid") =!= col("b_caid"))
       .distinct()
   }
 
