@@ -89,8 +89,47 @@ object Multimodal {
       |  FROM (SELECT doc_id AS media_id, encode(text) AS payload, text
       |        FROM documents))""".stripMargin
 
+  /** Typed batch-decode path: the mapPartitions shape a real codec
+    * plugs into — one partition = one batch, per-batch codec init
+    * amortized, Encoder-backed rows in/out (the JVM analog of a
+    * pandas-batch UDF).
+    */
+  final case class MediaIn(media_id: Long, payload: Array[Byte], container: String)
+  final case class MediaFeature(media_id: Long, n_bytes: Int, checksum: Long,
+      feature: Array[Float])
+
+  /** FAKE-DECODE kernel: deterministic byte statistics standing in for
+    * pixel/audio decode (container ships no codecs). The per-partition
+    * `init` marks where a codec context would be constructed once per
+    * batch.
+    */
+  def decodeBatch(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFeature] = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("media_id"), col("payload"), col("container"))
+      .as[MediaIn]
+      .mapPartitions { batch =>
+        // codec context would initialize here, once per partition
+        batch.map { m =>
+          var sum = 0L
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < m.payload.length) {
+            val b = m.payload(i) & 0xff
+            sum = sum * 31 + b
+            hist(b % 8) += 1f
+            i += 1
+          }
+          MediaFeature(m.media_id, m.payload.length, sum, hist)
+        }
+      }
+  }
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    // typed mapPartitions batch path; checksum/histogram are
+    // deterministic, but not SQL-expressible without loops → rows-only
+    Op("multimodal_decode_batch", (s, d) => decodeBatch(s, d).toDF(), None),
   )
 }

@@ -79,6 +79,17 @@ class EngineSpec extends AnyFunSuite {
     assert(k == 19)
   }
 
+  test("multimodal typed decode batch: histogram mass equals byte count") {
+    val feats = Multimodal.decodeBatch(spark, sf).cache()
+    assert(feats.count() > 0)
+    val bad = feats.filter(f => f.feature.sum.toInt != f.n_bytes).count()
+    assert(bad == 0, "per-byte histogram mass must equal payload length")
+    // deterministic: same input -> same checksum
+    val a = feats.filter(_.media_id == 0L).head().checksum
+    val b = Multimodal.decodeBatch(spark, sf).filter(_.media_id == 0L).head().checksum
+    assert(a == b)
+  }
+
   test("st_contains ray casting handles a concave polygon") {
     // L-shaped polygon: (0,0)-(4,0)-(4,2)-(2,2)-(2,4)-(0,4)
     val geo = """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,2],[2,2],[2,4],[0,4],[0,0]]]}"""
