@@ -131,28 +131,29 @@ object Dedup {
         concat_ws("_", (0 until BandSize)
           .map(j => col(s"mh${bi * BandSize + j}")): _*).as("band_key"))
     }
+    // signatures ride along through the band join: the two join inputs
+    // are the identical subtree (one exchange, reused), and no
+    // signature join-back is needed afterwards — a pair matching both
+    // bands dedups in the same aggregation that emits the estimate.
     val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_key").as("band_key"))
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val cand = a.join(b,
+    val estimate = (0 until NumHashes)
+      .map(i => when(element_at(col("a.sig"), i + 1) ===
+        element_at(col("b.sig"), i + 1), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+      .cast("double") / NumHashes
+    a.join(b,
         col("a.band_id") === col("b.band_id")
           && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sig.alias("sa")
-    val sb = sig.alias("sb")
-    val estimate = (0 until NumHashes)
-      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce((x, y) => x + y)
-      .cast("double") / NumHashes
-    cand
-      .join(sa, col("doc_a") === col("sa.doc_id"))
-      .join(sb, col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), estimate.as("est_jaccard"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(estimate).as("est_jaccard"))
   }
 
   private val dedupMinhashLshSql: String = {

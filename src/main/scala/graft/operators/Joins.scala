@@ -172,7 +172,41 @@ object Joins {
     """SELECT n_nationkey, n_name, r_name
       |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
 
+  /** Classic 3-table join + agg + top-k (shipping-priority shape):
+    * exercises Catalyst join ordering, pushed filters on all three
+    * scans, and TakeOrderedAndProject.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast(dec)
+        * (lit(BigDecimal("1.00")) - col("l_discount").cast(dec))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(20)
+  }
+
+  private val q3ShippingSql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),
     Op("semi_join", semiJoin, Some(semiJoinSql)),
     Op("anti_join", antiJoin, Some(antiJoinSql)),

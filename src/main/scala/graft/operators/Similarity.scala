@@ -154,9 +154,76 @@ object Similarity {
        |WHERE a_id < b_id AND $dotAB / (an * bn) >= 0.8""".stripMargin
   }
 
+  /** IVF-style ANN (the other classic scale path): a deterministic
+    * coarse codebook (every 50th vector), each corpus vector assigned
+    * to its nearest centroid (the "inverted list" key), probes search
+    * only their centroid's list. At 100 TB the assignment is one
+    * broadcast-join pass and each probe touches |corpus|/nlist rows.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vec.as("v"),
+        sqrt(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
+          "transform(embedding, x -> CAST(x AS DOUBLE))")).as("nrm"))
+    val centroids = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val csim = (dot("v", "cv") / (col("nrm") * col("cn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(csim.desc, col("c_id").asc)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("rnk", row_number().over(wAssign))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
+    val probes = assigned.where(col("vec_id") < 10)
+      .select(col("list_id"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sim = (dot("qv", "cv2") / (col("qn") * col("cn2"))).as("cosine")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    assigned
+      .select(col("list_id"), col("vec_id").as("cand_id"),
+        col("v").as("cv2"), col("nrm").as("cn2"))
+      .join(broadcast(probes), Seq("list_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), sim)
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 3)
+  }
+
+  private val annIvfSql = {
+    val csim = s"${dotSql("v", "cv")} / (nrm * cn)"
+    val sim = s"${dotSql("qv", "cv2")} / (qn * cn2)"
+    s"""WITH emb AS (
+       |  SELECT vec_id, $vecSql AS v,
+       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
+       |  FROM embeddings),
+       |centroids AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM emb WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS list_id FROM (
+       |    SELECT emb.vec_id, emb.v, emb.nrm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY emb.vec_id
+       |        ORDER BY $csim DESC, c.c_id ASC) AS rnk
+       |    FROM emb CROSS JOIN centroids c)
+       |  WHERE rnk = 1),
+       |probes AS (
+       |  SELECT list_id, vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM assigned WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT list_id, vec_id AS cand_id, v AS cv2, nrm AS cn2 FROM assigned)
+       |SELECT query_id, cand_id, cosine, rnk FROM (
+       |  SELECT query_id, cand_id, $sim AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY $sim DESC, cand_id ASC) AS rnk
+       |  FROM cands JOIN probes USING (list_id)
+       |  WHERE query_id != cand_id)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
+    Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("embedding_near_dup", embeddingNearDup, Some(embeddingNearDupSql)),
   )
 }

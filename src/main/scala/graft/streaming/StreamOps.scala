@@ -56,7 +56,33 @@ object StreamOps {
     windowedCounts(normalized.withWatermark("ts", "10 minutes"))
   }
 
+  /** Sliding windows (10-minute window, 5-minute slide): each event
+    * lands in exactly two windows — stretch beyond the reference's
+    * tumbling TIME_BUCKETs (§2.10 note). Oracle: union of the two
+    * bucket alignments.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  // each ts belongs to exactly the two 600s windows starting at
+  // floor(t/300)*300 and that minus 300 (slide 300 < window 600)
+  private val slidingWindowSql =
+    """SELECT make_timestamp(w_start_us) AS w_start, event_type, count(*) AS n
+      |FROM (
+      |  SELECT unnest([
+      |      (epoch_us(ts) // 300000000) * 300000000,
+      |      (epoch_us(ts) // 300000000) * 300000000 - 300000000
+      |    ]) AS w_start_us,
+      |    event_type
+      |  FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    Op("sliding_window", slidingWindow, Some(slidingWindowSql)),
   )
 }
