@@ -81,8 +81,46 @@ object StreamOps {
       |  FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Sessionization: per-user sessions split on >30-minute gaps.
+    * Batch form: lag + cumulative-sum-of-boundaries window (single
+    * shuffle on user_id); the streaming form keeps the same semantics
+    * with flatMapGroupsWithState (StatefulSessionizer).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  private val sessionizeSql =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |                > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Op("sliding_window", slidingWindow, Some(slidingWindowSql)),
+    Op("sessionize", sessionize, Some(sessionizeSql)),
   )
 }

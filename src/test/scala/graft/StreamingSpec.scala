@@ -18,6 +18,36 @@ class StreamingSpec extends AnyFunSuite {
   }
   private val sf = "/root/testdata/sf0.001"
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch sessions") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessionizer
+    // two files so the watermark advances between micro-batches and
+    // event-time timeouts can close the first file's sessions
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString + "/ev"
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts")).cache()
+    val cut = lit("2024-01-15").cast("timestamp")
+    ev.where(col("ts") < cut).coalesce(1).write.parquet(dir)
+    ev.where(col("ts") >= cut).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .as[StatefulSessionizer.Event]
+    val q = StatefulSessionizer.sessions(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("sess_out")
+    assert(streamed.count() > 0, "no sessions emitted")
+    // every emitted session must exist identically in the batch result
+    val batch = graft.streaming.StreamOps.sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    val joined = streamed.join(batch,
+      Seq("user_id", "session_start", "session_end", "n_events"))
+    assert(joined.count() == streamed.count(),
+      "streamed sessions must match batch sessions exactly")
+  }
+
   test("streaming windowed counts equal the batch computation") {
     // materialize an events directory for the file source to monitor
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
