@@ -125,9 +125,34 @@ object Multimodal {
       }
   }
 
+  /** Resize/downsample stage: stride-4 byte sampling (the structural
+    * analog of image downscaling — pick every k-th sample), keeping
+    * original + resized metadata. ASCII corpus ⇒ char ops == byte ops
+    * in both engines.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(
+        col("media_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        expr("concat_ws('', transform(sequence(1, octet_length(payload), 4), " +
+          "i -> substring(decode(payload, 'UTF-8'), i, 1)))").as("resized"),
+      )
+      .withColumn("resized_bytes", octet_length(col("resized")))
+
+  private val multimodalResizeSql =
+    """SELECT media_id, octet_length(payload) AS n_bytes,
+      |  array_to_string(list_transform(range(1, octet_length(payload) + 1, 4),
+      |    i -> substring(text, CAST(i AS INTEGER), 1)), '') AS resized,
+      |  octet_length(encode(array_to_string(list_transform(range(1, octet_length(payload) + 1, 4),
+      |    i -> substring(text, CAST(i AS INTEGER), 1)), ''))) AS resized_bytes
+      |FROM (SELECT doc_id AS media_id, encode(text) AS payload, text
+      |      FROM documents)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    Op("multimodal_resize", multimodalResize, Some(multimodalResizeSql)),
     // typed mapPartitions batch path; checksum/histogram are
     // deterministic, but not SQL-expressible without loops → rows-only
     Op("multimodal_decode_batch", (s, d) => decodeBatch(s, d).toDF(), None),

@@ -29,6 +29,10 @@ object TextAnalysis {
           .as("max_tok_len"),
         expr("aggregate(split(text, ' '), 1000000, (acc, t) -> least(acc, length(t)))")
           .as("min_tok_len"),
+        // BPE-ish regex tokenization: letter runs, digit runs, and
+        // single non-alnum marks each count as one token
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
       )
 
   private val tokenCountSql =
@@ -38,7 +42,8 @@ object TextAnalysis {
       |  list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t -> length(t))),
       |    (acc, x) -> greatest(acc, x)) AS max_tok_len,
       |  list_reduce(list_prepend(1000000, list_transform(string_split(text, ' '), t -> length(t))),
-      |    (acc, x) -> least(acc, x)) AS min_tok_len
+      |    (acc, x) -> least(acc, x)) AS min_tok_len,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
       |FROM documents""".stripMargin
 
   /** Quality scoring: stopword ratio, average token length, composite
