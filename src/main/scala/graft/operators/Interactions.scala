@@ -178,8 +178,43 @@ object Interactions {
        |  ON t.a_home = o.a_home AND t.b_home = o.b_home
        |ORDER BY t.a_home ASC, t.b_home ASC""".stripMargin
 
+  /** Empiric network edges
+    * (/root/reference/scripts/MakeEmpiricNetworks.py:47-126): canonical
+    * undirected edges via LEAST/GREATEST + distinct over the
+    * co-location pairs.
+    */
+  def empiricEdges(spark: SparkSession, dir: String): DataFrame =
+    interactionPairs(spark, dir)
+      .select(least(col("a_caid"), col("b_caid")).as("src"),
+        greatest(col("a_caid"), col("b_caid")).as("dst"))
+      .distinct()
+
+  private val empiricEdgesSql =
+    s"""WITH pairs AS ($interactionPairsSql)
+       |SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |  greatest(a_caid, b_caid) AS dst
+       |FROM pairs""".stripMargin
+
+  /** Isolated nodes — devices never co-located (the reference's
+    * left-join + `WHERE b_caid IS NULL` anti pattern,
+    * MakeEmpiricNetworks.py:64-77 → left_anti).
+    */
+  def empiricIsolated(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = interactionPairs(spark, dir)
+    Tables.events(spark, dir)
+      .select(col("user_id").as("caid")).distinct()
+      .join(pairs, col("caid") === col("a_caid"), "left_anti")
+  }
+
+  private val empiricIsolatedSql =
+    s"""WITH pairs AS ($interactionPairsSql)
+       |SELECT DISTINCT user_id AS caid FROM events
+       |WHERE user_id NOT IN (SELECT a_caid FROM pairs)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("interaction_pairs", interactionPairs, Some(interactionPairsSql), bench = true),
+    Op("empiric_edges", empiricEdges, Some(empiricEdgesSql)),
+    Op("empiric_isolated", empiricIsolated, Some(empiricIsolatedSql)),
     Op("home_cells", homeCells, Some(homeCellsSql)),
     Op("observed_contacts", observedContacts, Some(observedContactsSql), bench = true),
     Op("contact_sizes", sizes, Some(sizesSql)),

@@ -115,7 +115,61 @@ object Ntl {
     """SELECT user_id, count(*) AS n FROM events
       |GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin
 
+  /** The reference's second home-detection flavor
+    * (/root/reference/scripts/HomeAgebGenerator.py:71-189): score =
+    * night time-clusters in the cell / total night time-clusters of
+    * the device (ratio, not ping count), winner by ratio, confidence
+    * class from the ratio, constant type tag — yielding the
+    * `caid, home_ageb, score, type, confidence` catalog
+    * (FIXTURES A5). Time clusters = distinct 600s buckets.
+    */
+  def homeCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val night = Tables.events(spark, dir)
+      .where(hour(col("ts")) >= 22 || hour(col("ts")) < 6)
+      .select(col("user_id").as("caid"), col("event_type").as("cell"),
+        CrossHash.timeBucketId(col("ts"), 600L).as("tw"))
+    val perCell = night.groupBy(col("caid"), col("cell"))
+      .agg(countDistinct(col("tw")).as("cell_clusters"))
+    val w = Window.partitionBy(col("caid"))
+    val scored = perCell
+      .withColumn("total_clusters", sum(col("cell_clusters")).over(w))
+      .withColumn("score",
+        col("cell_clusters").cast("double") / col("total_clusters"))
+    val rank = Window.partitionBy(col("caid"))
+      .orderBy(col("score").desc, col("cell").asc)
+    scored.withColumn("rnk", row_number().over(rank))
+      .where(col("rnk") === 1)
+      .select(col("caid"), col("cell").as("home_cell"), col("score"),
+        lit("computed").as("type"),
+        when(col("score") >= 0.6, lit("high")).otherwise(lit("low"))
+          .as("confidence"))
+  }
+
+  private val homeCatalogSql =
+    s"""WITH night AS (
+       |  SELECT user_id AS caid, event_type AS cell,
+       |    CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT) AS tw
+       |  FROM events WHERE hour(ts) >= 22 OR hour(ts) < 6),
+       |per_cell AS (
+       |  SELECT caid, cell, count(DISTINCT tw) AS cell_clusters
+       |  FROM night GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT caid, cell, cell_clusters,
+       |    SUM(cell_clusters) OVER (PARTITION BY caid) AS total_clusters,
+       |    CAST(cell_clusters AS DOUBLE)
+       |      / SUM(cell_clusters) OVER (PARTITION BY caid) AS score
+       |  FROM per_cell)
+       |SELECT caid, cell AS home_cell, score, 'computed' AS type,
+       |  CASE WHEN score >= 0.6 THEN 'high' ELSE 'low' END AS confidence
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY caid
+       |    ORDER BY score DESC, cell ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk = 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("home_catalog", homeCatalog, Some(homeCatalogSql)),
     Op("ntl_pings_per_day", pingsPerDay, Some(pingsPerDaySql)),
     Op("ntl_winner", ntlWinner, Some(ntlWinnerSql), bench = true),
     Op("rank_nulls_last", rankNullsLast, Some(rankNullsLastSql)),
