@@ -12,10 +12,11 @@ object Bench {
     SparkEntry.benchQueries.foreach { op =>
       try op.run(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // min of 2 timed runs: the VM shows multi-second scheduler/IO
-    // stalls at random; the minimum is the faithful steady-state number
+    // min of 3 timed runs: the VM shows multi-second scheduler/IO
+    // stalls at random (whole windows of 10-30 s); the minimum is the
+    // faithful steady-state number
     val results = SparkEntry.benchQueries.map { op =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { op.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
