@@ -16,6 +16,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // prefer fewer, fuller post-shuffle partitions over max
+      // parallelism: at the local latency floor each extra task is pure
+      // scheduling overhead, and at cluster scale the advisory size
+      // still governs
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 only
       // reads it via this conf (as LongType nanos — normalized back to
       // TimestampType in Tables.events).
