@@ -67,7 +67,8 @@ object Imputation {
        |  WHERE rnk = 1),
        |pairs AS (
        |  WITH p AS (SELECT DISTINCT user_id AS caid, event_type AS cell,
-       |      CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT) AS tw FROM events)
+       |      (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
+       |    FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events))
        |  SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
        |  FROM p a JOIN p b
        |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid),

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
-import graft.functions.CrossHash
 
 /** Co-location "interactions" pipeline.
   *
@@ -26,21 +25,28 @@ import graft.functions.CrossHash
   */
 object Interactions {
 
-  /** Deduplicated (caid, cell, bucket) presence table. */
+  /** Deduplicated (caid, cell, bucket) presence table. Buckets are
+    * anchored at the GLOBAL MIN timestamp exactly like the reference's
+    * `TIME_BUCKET(INTERVAL '600 seconds', ts, min_datetime)`
+    * (interaction_queries.py:11-17) — the origin is a scalar aggregate
+    * broadcast, never a single-partition window (SURVEY W5).
+    */
   private[operators] def presence(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    ev.select(
+    val origin = ev.agg(min(col("ts")).as("origin_ts"))
+    ev.crossJoin(broadcast(origin))
+      .select(
         col("user_id").as("caid"),
         col("event_type").as("cell"),
-        CrossHash.timeBucketId(col("ts"), 600L).as("tw"),
+        expr("(unix_micros(ts) - unix_micros(origin_ts)) div 600000000").as("tw"),
       )
       .distinct()
   }
 
   private val presenceSql =
-    s"""SELECT DISTINCT user_id AS caid, event_type AS cell,
-       |  ${CrossHash.timeBucketIdSql("ts", 600L)} AS tw
-       |FROM events""".stripMargin
+    """SELECT DISTINCT user_id AS caid, event_type AS cell,
+      |  (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
+      |FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events)""".stripMargin
 
   /** J1: distinct co-located (a_caid, b_caid) pairs (both directions,
     * matching the reference's `a.caid != b.caid` with no canonical
