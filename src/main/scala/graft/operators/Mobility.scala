@@ -13,7 +13,7 @@ import graft.{Op, Tables}
   * production pipeline uses (H3 expressions live in graft.functions.h3).
   *
   * Scale notes: the reference's dedup-before-join pattern is kept — rg
-  * is computed over DISTINCT (caid, cell, day) visits, deduped *before*
+  * is computed over DISTINCT (caid, cell) traversals, deduped *before*
   * the per-device math (RadiusOfGyrationHandler.py:105-121); all
   * aggregations key on caid.
   */
@@ -33,26 +33,30 @@ object Mobility {
        |  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin
       .replace("\n", " ")
 
-  /** rg per device: sqrt(sum(r_i^2) / n) over distinct daily visits,
-    * r_i = grid distance from the device's home cell
-    * (RadiusOfGyrationHandler.py:242-279). Exact integer sums; the
-    * final sqrt/divide is identical IEEE double math in both engines.
+  /** rg per device, faithful to the reference's mass-center form
+    * (RadiusOfGyrationHandler.py:96-280): over DISTINCT (caid, cell)
+    * traversals, r_i = grid distance home→cell, m = mean(r_i),
+    * rg = sqrt(Σ(r_i − m)² / n). Computed via the exact-integer
+    * expansion Σ(r_i−m)² = Σr_i² − (Σr_i)²/n so both engines do one
+    * identical double expression over order-insensitive integer sums.
     */
   def radiusOfGyration(spark: SparkSession, dir: String): DataFrame = {
-    val visits = Tables.events(spark, dir)
-      .select(col("user_id").as("caid"), col("event_type"),
-        to_date(col("ts")).as("d"))
+    val traversals = Tables.events(spark, dir)
+      .select(col("user_id").as("caid"), col("event_type"))
       .distinct()
     val homes = Interactions.homeCells(spark, dir)
-    visits
+    traversals
       .join(broadcast(homes), Seq("caid"))
       .select(col("caid"),
-        (cellPos(col("event_type")) - cellPos(col("home_cell"))).as("r_i"))
+        abs(cellPos(col("event_type")) - cellPos(col("home_cell"))).as("r_i"))
       .groupBy(col("caid"))
-      .agg(count(lit(1)).as("n_visits"),
-        sum(col("r_i") * col("r_i")).as("sum_r2"))
-      .select(col("caid"), col("n_visits"),
-        sqrt(col("sum_r2").cast("double") / col("n_visits")).as("rg"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("r_i")).as("s1"),
+        sum(col("r_i") * col("r_i")).as("s2"))
+      .select(col("caid"), col("n_cells"),
+        sqrt(greatest(lit(0.0), col("s2").cast("double")
+          - col("s1").cast("double") * col("s1") / col("n_cells"))
+          / col("n_cells")).as("rg"))
   }
 
   private val radiusOfGyrationSql =
@@ -63,16 +67,19 @@ object Mobility {
        |                         ORDER BY count(*) DESC, event_type ASC) AS rnk
        |    FROM events GROUP BY user_id, event_type
        |  ) WHERE rnk = 1),
-       |visits AS (
-       |  SELECT DISTINCT user_id AS caid, event_type, CAST(ts AS DATE) AS d
-       |  FROM events),
+       |traversals AS (
+       |  SELECT DISTINCT user_id AS caid, event_type FROM events),
        |ris AS (
        |  SELECT v.caid,
-       |    ($cellPosSql) - (${cellPosHomeSql("home_cell")}) AS r_i
-       |  FROM visits v JOIN homes h ON v.caid = h.caid)
-       |SELECT caid, count(*) AS n_visits,
-       |  sqrt(CAST(SUM(r_i * r_i) AS DOUBLE) / count(*)) AS rg
-       |FROM ris GROUP BY caid""".stripMargin
+       |    abs(($cellPosSql) - (${cellPosHomeSql("home_cell")})) AS r_i
+       |  FROM traversals v JOIN homes h ON v.caid = h.caid),
+       |g AS (
+       |  SELECT caid, count(*) AS n_cells,
+       |    CAST(SUM(r_i) AS BIGINT) AS s1, CAST(SUM(r_i * r_i) AS BIGINT) AS s2
+       |  FROM ris GROUP BY caid)
+       |SELECT caid, n_cells,
+       |  sqrt(greatest(0.0, CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_cells) / n_cells) AS rg
+       |FROM g""".stripMargin
 
   /** AVG/STDDEV of rg per home region (RGAggregatorByMun.py:85-96) —
     * stddev spelled as the explicit sample formula over exact sums is
@@ -96,10 +103,12 @@ object Mobility {
         sum(r * r).cast("double").as("s2"))
       .select(col("home_cell"), col("n"),
         (col("s1") / col("n")).as("avg_rg"),
-        // the (s2 - s1²/n) cancellation amplifies decimal-cast ulps —
-        // round to 9 dp so both engines land on the same double
+        // the (s2 - s1²/n) cancellation amplifies double ulps (absolute
+        // noise ~1e-14 in the variance, i.e. ~1e-7 in a near-zero
+        // stddev) — round to 6 dp so both engines land on the same value
         when(col("n") > 1,
-          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 9))
+          round(sqrt(greatest(lit(0.0), col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)), 6))
           .as("stddev_rg"))
   }
 
@@ -119,7 +128,7 @@ object Mobility {
        |  FROM rg_t JOIN homes h ON rg_t.caid = h.caid
        |  GROUP BY h.home_cell)
        |SELECT home_cell, n, s1 / n AS avg_rg,
-       |  CASE WHEN n > 1 THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) END AS stddev_rg
+       |  CASE WHEN n > 1 THEN round(sqrt(greatest(0.0, s2 - s1 * s1 / n) / (n - 1)), 6) END AS stddev_rg
        |FROM g""".stripMargin
 
   val ops: Seq[Op] = Seq(

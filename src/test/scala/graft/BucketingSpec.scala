@@ -32,6 +32,10 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed join plans without any shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    // getOrCreate may reuse an existing session whose (static) warehouse
+    // conf differs — drop leftovers so overwrite can't hit a stale path
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
     Tables.lineitem(spark, sf)
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
