@@ -138,8 +138,64 @@ object Spatial {
         sqrt(col("sum_r2").cast("double") / col("n")).as("rg"))
   }
 
+  /** Spatial fixpoint imputer (NullLocationImputer,
+    * /root/reference/src/imputers/home_ageb_imputers.py:20-96): devices
+    * whose point landed in no polygon get an expanding k-ring search —
+    * ring k's cell centroids are point-in-polygon tested against the
+    * broadcast catalog, the winner picked by ROW_NUMBER ... ORDER BY
+    * cve NULLS LAST, and only still-unmatched devices proceed to ring
+    * k+1 (early-exit when none remain). Driver-side loop of lazy Spark
+    * stages, exactly the reference's `for i in range(5)` + break.
+    */
+  def imputeByKRing(spark: SparkSession, dir: String, maxK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("pt_id"),
+        (abs(col("c_acctbal")) % 20.0).as("x"),
+        ((col("c_custkey") % 2000).cast("double") / 100.0).as("y"))
+    val polys = polygonCatalog(spark)
+      .select(col("poly_id"),
+        from_json(get_json_object(col("geometry"), "$.coordinates"), ringsType)
+          .as("rings"))
+    val located = pts
+      .join(broadcast(polys), st_contains(col("rings"), col("x"), col("y")), "left")
+      .select(col("pt_id"), col("x"), col("y"), col("poly_id"))
+    var imputed = located.where(col("poly_id").isNotNull)
+      .select(col("pt_id"), col("poly_id"), lit(0).as("k"))
+    var remains = located.where(col("poly_id").isNull)
+      .select(col("pt_id"),
+        hex_index(col("y"), col("x"), lit(6)).as("cell"))
+      .cache()
+    var k = 1
+    while (k <= maxK && !remains.isEmpty) {
+      val candidates = remains
+        .select(col("pt_id"), explode(hex_kring(col("cell"), lit(k))).as("nb"))
+        .select(col("pt_id"), col("nb"),
+          hex_center_lat(col("nb")).as("ny"), hex_center_lon(col("nb")).as("nx"))
+        .join(broadcast(polys), st_contains(col("rings"), col("nx"), col("ny")), "left")
+      val w = Window.partitionBy(col("pt_id"))
+        .orderBy(col("poly_id").asc_nulls_last, col("nb").asc)
+      val ranked = candidates
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .cache()
+      imputed = imputed.unionByName(
+        ranked.where(col("poly_id").isNotNull)
+          .select(col("pt_id"), col("poly_id"), lit(k).as("k")))
+      val next = remains.join(
+        ranked.where(col("poly_id").isNotNull).select(col("pt_id")),
+        Seq("pt_id"), "left_anti").cache()
+      next.count()
+      remains.unpersist()
+      remains = next
+      k += 1
+    }
+    imputed
+  }
+
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
+    Op("impute_by_kring", (s, d) => imputeByKRing(s, d), None),
     Op("hex_cells", hexCells, None),
     Op("hex_kring_neighbors", hexKringNeighbors, None),
     Op("hex_rg", hexRg, None),

@@ -33,9 +33,22 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed join plans without any shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
     // getOrCreate may reuse an existing session whose (static) warehouse
-    // conf differs — drop leftovers so overwrite can't hit a stale path
+    // conf differs, and a fresh JVM's in-memory catalog has no memory of
+    // a previous run's tables while their directories persist — drop
+    // from the catalog AND delete the physical locations
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     Tables.lineitem(spark, sf)
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")

@@ -79,6 +79,18 @@ class EngineSpec extends AnyFunSuite {
     assert(k == 19)
   }
 
+  test("k-ring spatial imputer covers points the direct containment missed") {
+    val direct = Spatial.pointInPolygon(spark, sf).cache()
+    val missed = direct.where(col("cve_geo") === "0000000000000").count()
+    val imputed = Spatial.imputeByKRing(spark, sf).cache()
+    // every point ends up with a polygon: direct hits at k=0, misses
+    // recovered by ring expansion (tiles cover the space densely)
+    assert(imputed.count() == direct.count())
+    assert(imputed.where(col("poly_id").isNull).count() == 0)
+    if (missed > 0)
+      assert(imputed.where(col("k") > 0).count() == missed)
+  }
+
   test("multimodal typed decode batch: histogram mass equals byte count") {
     val feats = Multimodal.decodeBatch(spark, sf).cache()
     assert(feats.count() > 0)
