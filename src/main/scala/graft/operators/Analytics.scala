@@ -74,9 +74,85 @@ object Analytics {
       |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** INTERSECT / EXCEPT set semantics (absent in the reference —
+    * SURVEY §2.7 — but part of a complete relational surface).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 150000).select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+    val both = buyers.intersect(urgent).withColumn("relation", lit("both"))
+    val onlyBig = buyers.except(urgent).withColumn("relation", lit("only_big"))
+    both.unionByName(onlyBig)
+  }
+
+  private val setOpsSql =
+    """WITH buyers AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+      |urgent AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT custkey, 'both' AS relation FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM urgent)
+      |UNION ALL
+      |SELECT custkey, 'only_big' AS relation FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM urgent)""".stripMargin
+
+  /** Exact median/quantiles via sort-based percentile (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`: same linear interpolation
+    * over the sorted values).
+    */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+
+  private val percentileAggSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Extended string/date scalar breadth: trim/pad/translate/replace
+    * case ops + date arithmetic (datediff-style, interval add, trunc).
+    */
+  def scalarExtended(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_up"),
+        lower(col("o_orderpriority")).as("prio_lo"),
+        trim(lit("  pad  ")).as("trimmed"),
+        rpad(col("o_orderstatus"), 3, "_").as("status_pad"),
+        translate(col("o_orderpriority"), "-", "_").as("prio_tr"),
+        regexp_replace(col("o_orderpriority"), "[0-9]+", "#").as("prio_num"),
+        datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_y2k"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_ts"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+      )
+
+  private val scalarExtendedSql =
+    """SELECT o_orderkey,
+      |  upper(o_orderstatus) AS status_up,
+      |  lower(o_orderpriority) AS prio_lo,
+      |  trim('  pad  ') AS trimmed,
+      |  rpad(o_orderstatus, 3, '_') AS status_pad,
+      |  replace(o_orderpriority, '-', '_') AS prio_tr,
+      |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_num,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+      |  o_orderdate + INTERVAL 90 DAY AS due_ts,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      |FROM orders""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("window_offsets", windowOffsets, Some(windowOffsetsSql)),
     Op("rollup_agg", rollupAgg, Some(rollupAggSql)),
     Op("cube_agg", cubeAgg, Some(cubeAggSql)),
+    Op("set_ops", setOps, Some(setOpsSql)),
+    Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
+    Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
   )
 }
