@@ -1,24 +1,34 @@
 package graft
 
-/** Dev tool: print formatted plans + repeat timings for bench ops. */
+/** Dev tool: print formatted plans + repeat timings for bench ops.
+  * GRAFT_EXPLAIN=1 adds the pre-execution plan AND the final adaptive
+  * plan (post-AQE — shows ReusedExchange/BHJ conversions the static
+  * plan hides). GRAFT_RUNS=N overrides the repeat count.
+  */
 object DevExplain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
+    val runs = sys.env.getOrElse("GRAFT_RUNS", "3").toInt
     val names = args.drop(1).toSet
-    val spark = Sessions.build("graft-explain", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = Sessions.build("graft-explain",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors.toString))
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.allOps
-      .filter(o => names.isEmpty || names(o.name))
-      .filter(_.bench)
+      .filter(o => if (names.isEmpty) o.bench else names(o.name))
       .foreach { op =>
         println(s"===== ${op.name}")
         val df = op.run(spark, sfDir)
-        if (explain) df.explain("formatted")
-        (1 to 3).foreach { i =>
+        (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
           val n = df.count()
           println(f"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        if (explain) {
+          df.explain("formatted")
+          println("----- final adaptive plan")
+          println(df.queryExecution.executedPlan.toString)
         }
       }
     spark.stop()

@@ -35,6 +35,12 @@ object GraftFunctions {
       es => HexParentExpr(es(0), es(1))),
     ("st_contains", "st_contains(rings, lon, lat) - point-in-polygon",
       es => StContainsExpr(es(0), es(1), es(2))),
+    ("vec_dot", "vec_dot(a, b) - sequential-order dot product of numeric arrays",
+      es => DotExpr(es(0), es(1))),
+    ("shingle_hash_set", "shingle_hash_set(text) - distinct word-3-gram hashes",
+      es => ShingleHashSetExpr(es.head)),
+    ("minhash_sig", "minhash_sig(text, k) - k-value md5 minhash signature",
+      es => MinHashSigExpr(es(0), es(1))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -54,4 +60,9 @@ object GraftFunctions {
     call_function("hex_parent", cell, res)
   def st_contains(rings: Column, lon: Column, lat: Column): Column =
     call_function("st_contains", rings, lon, lat)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def shingle_hash_set(text: Column): Column =
+    call_function("shingle_hash_set", text)
+  def minhash_sig(text: Column, k: Column): Column =
+    call_function("minhash_sig", text, k)
 }

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,6 +17,34 @@ object HexExprHelpers {
     HexGrid.gridDistance(a.toString, b.toString)
   def parent(cell: UTF8String, res: Int): UTF8String =
     UTF8String.fromString(HexGrid.parent(cell.toString, res))
+  def kRing(cell: UTF8String, k: Int): ArrayData = {
+    val cells = HexGrid.kRing(cell.toString, k)
+    new GenericArrayData(cells.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** Even-odd ray casting over GeoJSON Polygon rings (outer + holes). */
+  def rayCast(rings: ArrayData, x: Double, y: Double): Boolean = {
+    var inside = false
+    var ri = 0
+    while (ri < rings.numElements()) {
+      val ring = rings.getArray(ri)
+      val n = ring.numElements()
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val pi = ring.getArray(i)
+        val pj = ring.getArray(j)
+        val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+        val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+        if ((yi > y) != (yj > y) &&
+          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+        j = i
+        i += 1
+      }
+      ri += 1
+    }
+    inside
+  }
 }
 
 /** hex_index(lat, lon, res) → 15-char hex cell id. Codegen'd — this is
@@ -79,17 +106,17 @@ case class HexGridDistanceExpr(left: Expression, right: Expression)
 }
 
 /** hex_kring(cell, k) → array of the 3k(k+1)+1 cells within distance k
-  * (k_ring analog, home_ageb_imputers.py:36-39). Generator-adjacent —
-  * used under explode; interpreted eval is fine here.
+  * (k_ring analog, home_ageb_imputers.py:36-39). Codegen'd (r2): it sits
+  * under explode in the k-ring imputer's per-round hot path, and a
+  * CodegenFallback child breaks the whole-stage span around it.
   */
 case class HexKRingExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(cell: Any, k: Any): Any = {
-    val cells = HexGrid.kRing(cell.asInstanceOf[UTF8String].toString,
-      k.asInstanceOf[Int])
-    new GenericArrayData(cells.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    HexExprHelpers.kRing(cell.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HexExprHelpers.kRing($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
@@ -117,33 +144,16 @@ case class HexParentExpr(left: Expression, right: Expression)
   * the tiny polygon catalog.
   */
 case class StContainsExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(ringsV: Any, lonV: Any, latV: Any): Any = {
-    val rings = ringsV.asInstanceOf[ArrayData]
-    val x = lonV.asInstanceOf[Double]
-    val y = latV.asInstanceOf[Double]
-    var inside = false
-    var ri = 0
-    while (ri < rings.numElements()) {
-      val ring = rings.getArray(ri)
-      val n = ring.numElements()
-      var i = 0
-      var j = n - 1
-      while (i < n) {
-        val pi = ring.getArray(i)
-        val pj = ring.getArray(j)
-        val xi = pi.getDouble(0); val yi = pi.getDouble(1)
-        val xj = pj.getDouble(0); val yj = pj.getDouble(1)
-        if ((yi > y) != (yj > y) &&
-          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
-        j = i
-        i += 1
-      }
-      ri += 1
-    }
-    inside
-  }
+  override def nullSafeEval(ringsV: Any, lonV: Any, latV: Any): Any =
+    HexExprHelpers.rayCast(ringsV.asInstanceOf[ArrayData],
+      lonV.asInstanceOf[Double], latV.asInstanceOf[Double])
+  // codegen'd (r2): this predicate runs per-ping inside the broadcast
+  // NLJ — CodegenFallback here forced the whole join stage interpreted.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x, y) =>
+      s"graft.functions.HexExprHelpers.rayCast($r, $x, $y)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }

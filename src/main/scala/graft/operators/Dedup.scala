@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
-import graft.functions.CrossHash
 
 /** Document deduplication for LLM training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. All engine-portable (oracle-
@@ -24,15 +24,10 @@ object Dedup {
 
   // ---- shared shingle/token relations --------------------------------
 
-  /** Distinct word-3-gram shingles per document. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(when(size(col("toks")) >= 3,
-          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+  // The relational shingle spelling survives only as the ORACLE's CTE:
+  // the engine side now builds shingle hashes / minhash signatures in
+  // one codegen'd pass per row (graft.functions.TextShingleExpressions)
+  // instead of exploding shingle strings through exchanges.
 
   private val shinglesSql =
     """SELECT DISTINCT doc_id, source,
@@ -55,23 +50,45 @@ object Dedup {
 
   /** N-gram Jaccard near-dup: source-blocked shingle join, pair
     * intersection counts, |A∪B| = |A|+|B|−|A∩B|, keep pairs ≥ 0.5.
+    *
+    * Scale shape (r2): the distinct AND the self-join both run over the
+    * 8-byte `xxhash64(shingle)` instead of the raw shingle string
+    * (exchange bytes ÷~5; a 64-bit collision would need ~2^32 distinct
+    * shingles to matter). The two join inputs are the identical
+    * distinct subtree (exchange computed once, reused at runtime) and
+    * the sizes relation is doc-count-sized, so both join-backs
+    * broadcast. (Variants measured and rejected at sf0.1: per-row
+    * `array_distinct` over shingle STRINGS — quadratic row-local dedup,
+    * 2× slower; window-count singleton prefilter — the full sort costs
+    * more than the singletons it prunes; in-bucket collect_list pair
+    * expansion — interpreted HOF lambdas in the hot path, 2× slower.)
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    val inter = a.join(b,
+    import graft.functions.GraftFunctions.shingle_hash_set
+    // One codegen'd pass builds the per-doc DISTINCT shingle-hash set
+    // in place ([[graft.functions.ShingleHashSetExpr]]), so the per-doc
+    // size is a COLUMN riding along the exploded rows — no distinct
+    // exchange, no sizes relation, no join-backs. Plan = explode →
+    // self-equi-join on (source, hash) → pair aggregation: exactly two
+    // exchanges, the join's computed once and reused for both sides.
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), shingle_hash_set(col("text")).as("shs"))
+      .select(col("doc_id"), col("source"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("sh"))
+    // shuffle_hash hint: AQE would otherwise runtime-convert this self-
+    // join to broadcast, and a BroadcastExchange cannot reuse the
+    // shuffle the other side already pays for — measured 2-4× subtree
+    // re-evaluation. At 100 TB both sides are corpus-sized, so shuffle
+    // is the right physical join there regardless.
+    val a = keyed.alias("a").hint("shuffle_hash")
+    val b = keyed.alias("b")
+    a.join(b,
         col("a.source") === col("b.source")
-          && col("a.shingle") === col("b.shingle")
+          && col("a.sh") === col("b.sh")
           && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "sz_a"), Seq("doc_a"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "sz_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
@@ -98,23 +115,48 @@ object Dedup {
 
   private val NumHashes = 8
   private val BandSize = 4 // => 2 bands
+  private val Mod60 = 1152921504606846976L // 2^60
 
   /** Per-doc MinHash signature: k independent 60-bit hash mins in one
     * grouped pass (k agg columns → map-side partial aggregation).
+    *
+    * r2, two structural cuts vs r1:
+    *  - NO distinct at all: min is duplicate-insensitive, so the
+    *    occurrence-level rows feed partial mins directly and the only
+    *    exchange carries one row per (doc, partition) — r1 paid a full
+    *    distinct exchange first.
+    *  - ONE md5 per shingle: the k seeded hashes derive by double-
+    *    hashing h_i = (h1 + i·h2) mod 2^60 (Kirsch–Mitzenmacher) from
+    *    the digest's two 60-bit halves — r1 paid k md5 evaluations per
+    *    row. Max h1 + 7·h2 = 8·(2^60−1) < 2^63: exact BIGINT
+    *    arithmetic, identical in both engines.
     */
   private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val aggs = (0 until NumHashes).map(i =>
-      min(CrossHash.hash60Seeded(col("shingle"), i)).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    import graft.functions.GraftFunctions.minhash_sig
+    // One codegen'd per-row pass ([[graft.functions.MinHashSigExpr]]):
+    // shingle → md5 → (h1 + i·h2) mod 2^60 running mins, all inside the
+    // scan's whole-stage span. ZERO exchanges — r1 exploded every
+    // shingle through a full distinct exchange plus a grouped
+    // aggregation, and paid k md5s per shingle instead of one.
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhash_sig(col("text"), lit(NumHashes)).as("sig"))
+      .where(col("sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
-  private val minhashSigSql: String = {
-    val cols = (0 until NumHashes)
-      .map(i => s"min(${CrossHash.hash60SeededSql("shingle", i)}) AS mh$i")
-      .mkString(",\n  ")
-    s"WITH sh AS ($shinglesSql)\nSELECT doc_id,\n  $cols\nFROM sh GROUP BY doc_id"
-  }
+  private def mhSqlCols: String = (0 until NumHashes)
+    .map(i => s"min((h1 + $i * h2) % $Mod60) AS mh$i")
+    .mkString(",\n  ")
+
+  private val hhSql =
+    s"""SELECT doc_id,
+       |  CAST('0x' || substr(m, 1, 15) AS BIGINT) AS h1,
+       |  CAST('0x' || substr(m, 16, 15) AS BIGINT) AS h2
+       |FROM (SELECT doc_id, md5(shingle) AS m FROM sh)""".stripMargin
+
+  private val minhashSigSql: String =
+    s"WITH sh AS ($shinglesSql),\nhh AS ($hhSql)\nSELECT doc_id,\n  $mhSqlCols\nFROM hh GROUP BY doc_id"
 
   /** MinHash signatures as a query (oracle-checked exactly). */
   def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
@@ -126,22 +168,33 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(spark, dir)
+    // r2: band key is the 8-byte xxhash64 of the band's minhashes (r1
+    // shuffled an ~80-char concat_ws string); join-key-only, so cross-
+    // engine parity is not needed and a 64-bit collision only risks one
+    // spurious low-estimate candidate pair (~n²/2^64).
     val bandCols = (0 until NumHashes / BandSize).map { bi =>
       struct(lit(bi).as("band_id"),
-        concat_ws("_", (0 until BandSize)
+        xxhash64((0 until BandSize)
           .map(j => col(s"mh${bi * BandSize + j}")): _*).as("band_key"))
     }
     // signatures ride along through the band join: the two join inputs
     // are the identical subtree (one exchange, reused), and no
     // signature join-back is needed afterwards — a pair matching both
     // bands dedups in the same aggregation that emits the estimate.
+    // Singleton bands (no collision ⇒ no pair) are dropped by a window
+    // count over the join's own (band_id, band_key) partitioning before
+    // the self-join sees them.
     val banded = sig
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),
         explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("sig"),
         col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
-    val a = banded.alias("a")
+    // shuffle_hash for the same reason as the jaccard self-join: a
+    // runtime broadcast of one banded side would re-evaluate the whole
+    // sig subtree instead of reusing its shuffle (both sides AND the
+    // band exchange are the identical subtree).
+    val a = banded.alias("a").hint("shuffle_hash")
     val b = banded.alias("b")
     val estimate = (0 until NumHashes)
       .map(i => when(element_at(col("a.sig"), i + 1) ===
@@ -166,9 +219,10 @@ object Dedup {
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH sh AS ($shinglesSql),
+       |hh AS ($hhSql),
        |sig AS (SELECT doc_id,
-       |  ${(0 until NumHashes).map(i => s"min(${CrossHash.hash60SeededSql("shingle", i)}) AS mh$i").mkString(",\n  ")}
-       |  FROM sh GROUP BY doc_id),
+       |  $mhSqlCols
+       |  FROM hh GROUP BY doc_id),
        |banded AS ($bands),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

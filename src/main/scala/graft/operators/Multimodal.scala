@@ -154,7 +154,14 @@ object Multimodal {
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Op("multimodal_resize", multimodalResize, Some(multimodalResizeSql)),
     // typed mapPartitions batch path; checksum/histogram are
-    // deterministic, but not SQL-expressible without loops → rows-only
-    Op("multimodal_decode_batch", (s, d) => decodeBatch(s, d).toDF(), None),
+    // deterministic, but not SQL-expressible without loops → rows-only.
+    // The registered form flattens the feature array into scalar
+    // hist_0..hist_7 columns: the driver canonizer sorts column values
+    // and can't hash array cells (r1 harness crash).
+    Op("multimodal_decode_batch", (s, d) => {
+      val df = decodeBatch(s, d).toDF()
+      val hist = (0 until 8).map(i => col("feature").getItem(i).as(s"hist_$i"))
+      df.select(col("media_id") +: col("n_bytes") +: col("checksum") +: hist: _*)
+    }, None),
   )
 }

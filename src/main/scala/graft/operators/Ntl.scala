@@ -36,7 +36,7 @@ object Ntl {
 
   private val pingsPerDaySql =
     """SELECT caid, cell, d, pings_per_day,
-      |  SUM(pings_per_day) OVER (PARTITION BY caid) AS total_pings
+      |  CAST(SUM(pings_per_day) OVER (PARTITION BY caid) AS BIGINT) AS total_pings
       |FROM (
       |  SELECT user_id AS caid, event_type AS cell, CAST(ts AS DATE) AS d,
       |    count(*) AS pings_per_day
@@ -68,7 +68,7 @@ object Ntl {
        |  SELECT * FROM ($pingsPerDaySql)
        |  WHERE total_pings >= 10 AND pings_per_day >= 2),
        |scores AS (
-       |  SELECT caid, cell, SUM(pings_per_day) AS score
+       |  SELECT caid, cell, CAST(SUM(pings_per_day) AS BIGINT) AS score
        |  FROM per_day GROUP BY 1, 2)
        |SELECT caid, cell AS home_cell, score FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY caid

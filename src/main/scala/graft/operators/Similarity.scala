@@ -4,32 +4,54 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
+import graft.functions.GraftFunctions.vec_dot
 
 /** Similarity search over the embeddings table (Array[Float], dim 64).
   *
   * Baseline: brute-force cosine top-k (query set × corpus). Scale path:
   * sign-LSH bucketing — hyperplane sign bits bound each probe to one
   * bucket, so the join is equi on the bucket key instead of a full
-  * cross product.
+  * cross product — and IVF inverted lists.
   *
-  * Float-parity policy: elements are cast float→double (exact) before
-  * any arithmetic; the dot product folds sequentially in index order
-  * (functions.aggregate ≡ DuckDB list_reduce fold), so both engines do
-  * the identical IEEE double operation sequence — results compare
-  * bit-for-bit, no rounding needed.
+  * Float-parity policy: [[graft.functions.DotExpr]] casts each element
+  * float→double (exact) and folds sequentially in index order — the
+  * identical IEEE double operation sequence as DuckDB's
+  * `list_reduce(list_transform(...))`, so results compare bit-for-bit.
+  * r2: the dot product is a codegen'd Catalyst expression (r1's
+  * `aggregate(zip_with(...))` HOF never entered whole-stage codegen),
+  * and the raw float array — not a double copy — is what rides through
+  * broadcasts and shuffles (half the bytes).
   */
 object Similarity {
 
-  /** embedding as Array[Double] column. */
-  private val vec: Column = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-  private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  /** vec_id, v (raw array<float>), nrm — the shared scan projection. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
 
-  /** Sequential-order dot product of two equal-length double arrays. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  private val embSql =
+    s"""SELECT vec_id, $vecSql AS v,
+       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
+       |  FROM embeddings""".stripMargin
+
+  /** Sign-LSH bucket key: sign bits of 4 fixed coordinate hyperplanes.
+    * Float >= 0 and double >= 0 agree, so computing it on the raw float
+    * array matches the oracle's double-cast spelling.
+    */
+  private val bucket: Column = (0 until 4)
+    .map(i => when(element_at(col("v"), i * 16 + 1) >= 0, lit(1)).otherwise(lit(0))
+      * lit(1 << i))
+    .reduce((a: Column, b: Column) => a + b)
+
+  private val bucketSql = (0 until 4)
+    .map(i => s"(CASE WHEN v[${i * 16 + 1}] >= 0 THEN 1 ELSE 0 END) * ${1 << i}")
+    .mkString(" + ")
 
   /** Brute-force cosine top-k: query set = vec_id < 10, corpus =
     * everything else; rank by cosine desc with vec_id tie-break.
@@ -37,14 +59,11 @@ object Similarity {
     * the per-query top-k (window keyed on query_id).
     */
   def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vec.as("v"),
-        sqrt(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
-          "transform(embedding, x -> CAST(x AS DOUBLE))")).as("nrm"))
-    val q = emb.where(col("vec_id") < 10)
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val sim = (dot("qv", "cv") / (col("qn") * col("cn"))).as("cosine")
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sim = (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     c.crossJoin(broadcast(q))
@@ -56,10 +75,7 @@ object Similarity {
 
   private val annCosineTopkSql = {
     val dotQC = dotSql("qv", "cv")
-    s"""WITH emb AS (
-       |  SELECT vec_id, $vecSql AS v,
-       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
-       |  FROM embeddings),
+    s"""WITH emb AS ($embSql),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb WHERE vec_id < 10),
        |c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn FROM emb),
        |scored AS (
@@ -72,28 +88,19 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin
   }
 
-  /** Sign-LSH bucketed ANN (the 100 TB path): bucket key = sign bits of
-    * 4 fixed coordinate hyperplanes; candidates are joined only within
-    * the probe's bucket, then ranked. Recall < 1 by construction —
-    * that's the LSH trade — but the bucket join replaces the cross
-    * product with an equi-join.
+  /** Sign-LSH bucketed ANN (the 100 TB path): candidates are joined
+    * only within the probe's bucket, then ranked. Recall < 1 by
+    * construction — that's the LSH trade — but the bucket join replaces
+    * the cross product with an equi-join.
     */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until 4)
-      .map(i => when(element_at(col("v"), i * 16 + 1) >= 0, lit(1)).otherwise(lit(0))
-        * lit(1 << i))
-      .reduce((a: Column, b: Column) => a + b)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vec.as("v"),
-        sqrt(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
-          "transform(embedding, x -> CAST(x AS DOUBLE))")).as("nrm"))
-      .withColumn("bucket", bucket)
-    val q = emb.where(col("vec_id") < 10)
+    val e = emb(spark, dir).withColumn("bucket", bucket)
+    val q = e.where(col("vec_id") < 10)
       .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val sim = (dot("qv", "cv") / (col("qn") * col("cn"))).as("cosine")
+    val sim = (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    emb.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    e.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
       .join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), sim)
@@ -102,14 +109,8 @@ object Similarity {
   }
 
   private val annLshBucketedSql = {
-    val bucketSql = (0 until 4)
-      .map(i => s"(CASE WHEN v[${i * 16 + 1}] >= 0 THEN 1 ELSE 0 END) * ${1 << i}")
-      .mkString(" + ")
     val dotQC = dotSql("qv", "cv")
-    s"""WITH emb AS (
-       |  SELECT vec_id, $vecSql AS v,
-       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
-       |  FROM embeddings),
+    s"""WITH emb AS ($embSql),
        |bucketed AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM emb),
        |q AS (SELECT bucket, vec_id AS query_id, v AS qv, nrm AS qn
        |      FROM bucketed WHERE vec_id < 10),
@@ -124,34 +125,50 @@ object Similarity {
        |WHERE rnk <= 3""".stripMargin
   }
 
-  /** Embedding-cosine near-duplicate pairs (dedup by vector proximity):
-    * all pairs with cosine >= 0.8, canonical a<b ordering.
+  /** Embedding-cosine near-duplicate pairs, sign-LSH blocked (the 100 TB
+    * shape, VERDICT r1 #3/#6): candidate pairs come from an equi-join on
+    * the sign bucket — candidates ∝ bucket collisions, never the full
+    * n² cross product. Recall trade: a near-dup pair straddling a
+    * hyperplane (one coordinate sign flip) is missed; for cosine ≥ 0.8
+    * near-dups the sign bits almost always agree. The unblocked exact
+    * variant remains as [[embeddingNearDupExact]] for small sets.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vec.as("v"),
-        sqrt(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
-          "transform(embedding, x -> CAST(x AS DOUBLE))")).as("nrm"))
-    val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.crossJoin(b)
+    val e = emb(spark, dir).withColumn("bucket", bucket)
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (dot("av", "bv") / (col("an") * col("bn"))).as("cosine"))
+        (vec_dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cosine"))
       .where(col("cosine") >= 0.8)
   }
 
   private val embeddingNearDupSql = {
     val dotAB = dotSql("av", "bv")
-    s"""WITH emb AS (
-       |  SELECT vec_id, $vecSql AS v,
-       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
-       |  FROM embeddings),
-       |a AS (SELECT vec_id AS a_id, v AS av, nrm AS an FROM emb),
-       |b AS (SELECT vec_id AS b_id, v AS bv, nrm AS bn FROM emb)
+    s"""WITH emb AS ($embSql),
+       |bucketed AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM emb),
+       |a AS (SELECT bucket, vec_id AS a_id, v AS av, nrm AS an FROM bucketed),
+       |b AS (SELECT bucket, vec_id AS b_id, v AS bv, nrm AS bn FROM bucketed)
        |SELECT a_id, b_id, $dotAB / (an * bn) AS cosine
-       |FROM a CROSS JOIN b
+       |FROM a JOIN b USING (bucket)
        |WHERE a_id < b_id AND $dotAB / (an * bn) >= 0.8""".stripMargin
+  }
+
+  /** Exact all-pairs near-dup — O(n²) by definition; small-set escape
+    * hatch only (spec-verified superset of the blocked variant). NOT the
+    * scale path: at 100 TB use [[embeddingNearDup]] (sign-LSH blocked)
+    * or MinHash/SimHash on the text side.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (vec_dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cosine"))
+      .where(col("cosine") >= 0.8)
   }
 
   /** IVF-style ANN (the other classic scale path): a deterministic
@@ -161,23 +178,20 @@ object Similarity {
     * broadcast-join pass and each probe touches |corpus|/nlist rows.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vec.as("v"),
-        sqrt(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
-          "transform(embedding, x -> CAST(x AS DOUBLE))")).as("nrm"))
-    val centroids = emb.where(col("vec_id") % 50 === 0)
+    val e = emb(spark, dir)
+    val centroids = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val csim = (dot("v", "cv") / (col("nrm") * col("cn")))
+    val csim = (vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(csim.desc, col("c_id").asc)
-    val assigned = emb.crossJoin(broadcast(centroids))
+    val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("rnk", row_number().over(wAssign))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
     val probes = assigned.where(col("vec_id") < 10)
       .select(col("list_id"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val sim = (dot("qv", "cv2") / (col("qn") * col("cn2"))).as("cosine")
+    val sim = (vec_dot(col("qv"), col("cv2")) / (col("qn") * col("cn2"))).as("cosine")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     assigned
@@ -193,10 +207,7 @@ object Similarity {
   private val annIvfSql = {
     val csim = s"${dotSql("v", "cv")} / (nrm * cn)"
     val sim = s"${dotSql("qv", "cv2")} / (qn * cn2)"
-    s"""WITH emb AS (
-       |  SELECT vec_id, $vecSql AS v,
-       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
-       |  FROM embeddings),
+    s"""WITH emb AS ($embSql),
        |centroids AS (
        |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM emb WHERE vec_id % 50 = 0),
        |assigned AS (

