@@ -25,24 +25,14 @@ import graft.{Op, Tables}
   */
 object Interactions {
 
-  /** Deduplicated (caid, cell, bucket) presence table. Buckets are
-    * anchored at the GLOBAL MIN timestamp exactly like the reference's
-    * `TIME_BUCKET(INTERVAL '600 seconds', ts, min_datetime)`
-    * (interaction_queries.py:11-17) — the origin is a scalar aggregate
-    * broadcast, never a single-partition window (SURVEY W5).
+  /** Oracle spelling of the deduplicated (caid, cell, bucket) presence
+    * table. Buckets are anchored at the GLOBAL MIN timestamp exactly
+    * like the reference's `TIME_BUCKET(INTERVAL '600 seconds', ts,
+    * min_datetime)` (interaction_queries.py:11-17) — engine-side the
+    * origin is a scalar aggregate broadcast, never a single-partition
+    * window (SURVEY W5), and the dedup rides inside collect_set (see
+    * [[interactionPairs]]).
     */
-  private[operators] def presence(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val origin = ev.agg(min(col("ts")).as("origin_ts"))
-    ev.crossJoin(broadcast(origin))
-      .select(
-        col("user_id").as("caid"),
-        col("event_type").as("cell"),
-        expr("(unix_micros(ts) - unix_micros(origin_ts)) div 600000000").as("tw"),
-      )
-      .distinct()
-  }
-
   private val presenceSql =
     """SELECT DISTINCT user_id AS caid, event_type AS cell,
       |  (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
@@ -61,7 +51,18 @@ object Interactions {
     * explode per group is O(1) per key and skew-free by construction.
     */
   def interactionPairs(spark: SparkSession, dir: String): DataFrame = {
-    val grouped = presence(spark, dir)
+    // No pre-distinct: collect_SET dedups caids per (cell, tw) during
+    // partial aggregation, so the presence distinct's exchange would be
+    // pure overhead — map-side set-merge ships the same bytes the
+    // distinct would, one stage earlier (r2: one exchange fewer than
+    // r1 at every scale).
+    val ev = Tables.events(spark, dir)
+    val origin = ev.agg(min(col("ts")).as("origin_ts"))
+    val grouped = ev.crossJoin(broadcast(origin))
+      .select(
+        col("user_id").as("caid"),
+        col("event_type").as("cell"),
+        expr("(unix_micros(ts) - unix_micros(origin_ts)) div 600000000").as("tw"))
       .groupBy(col("cell"), col("tw"))
       .agg(collect_set(col("caid")).as("caids"))
       .where(size(col("caids")) >= 2)
