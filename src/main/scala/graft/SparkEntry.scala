@@ -12,7 +12,8 @@ object SparkEntry {
       Ntl.ops ++ Joins.ops ++ Dedup.ops ++ TextAnalysis.ops ++
       Similarity.ops ++ Multimodal.ops ++ Mobility.ops ++
       Imputation.ops ++ Scaling.ops ++ Spatial.ops ++
-      Analytics.ops ++ graft.streaming.StreamOps.ops
+      Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
+      graft.streaming.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -209,7 +209,7 @@ object Dedup {
       .agg(first(estimate).as("est_jaccard"))
   }
 
-  private val dedupMinhashLshSql: String = {
+  private[operators] val dedupMinhashLshSql: String = {
     val bands = (0 until NumHashes / BandSize).map { bi =>
       val key = (0 until BandSize).map(j => s"mh${bi * BandSize + j}")
         .mkString("concat_ws('_', ", ", ", ")")

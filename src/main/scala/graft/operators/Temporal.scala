@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Temporal join family beyond plain equi-joins: as-of (latest match at
+  * or before each probe time) and bounded-interval range joins — the
+  * two shapes event/feature pipelines need constantly and Spark has no
+  * native operator for.
+  *
+  * Both are built scale-first:
+  *  - as-of = ONE shuffle on the join key: markers and probes union
+  *    into a single (key, time)-sorted stream and a running `last`
+  *    window carries the newest marker forward — the merge-join form of
+  *    as-of, never a per-probe inequality join (which plans as a
+  *    broadcast nested loop: quadratic and unshippable at 100 TB).
+  *  - range join = coarse time-bucket equi-join: the build side
+  *    replicates into the 3 buckets a match could live in, the
+  *    residual predicate trims false candidates. Candidates ∝ bucket
+  *    occupancy, never |probe|×|build|.
+  */
+object Temporal {
+
+  /** As-of join: each event picks the user's most recent 'purchase'
+    * event at-or-before its timestamp (ties at the same microsecond
+    * resolve to the marker — DuckDB ASOF `>=` semantics; markers are
+    * pre-deduplicated per (user, ts) so the pick is unique).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val markers = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("last_purchase_id"))
+    // kind 0 sorts before kind 1 at equal ts => an event co-timed with
+    // a marker sees it (>= semantics, matching DuckDB ASOF JOIN).
+    val tagged = markers
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("last_purchase_id"))
+      .unionByName(ev.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("last_purchase_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lp_id", last(col("last_purchase_id"), ignoreNulls = true).over(w))
+      .withColumn("lp_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("lp_ts").as("last_purchase_ts"),
+        col("lp_id").as("last_purchase_id"),
+        (unix_micros(col("ts")) - unix_micros(col("lp_ts"))).as("gap_us"))
+  }
+
+  private val asofJoinSql =
+    """WITH m AS (
+      |  SELECT user_id, ts AS m_ts, max(event_id) AS last_purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, m.m_ts AS last_purchase_ts,
+      |  m.last_purchase_id,
+      |  epoch_us(e.ts) - epoch_us(m.m_ts) AS gap_us
+      |FROM events e ASOF LEFT JOIN m
+      |  ON e.user_id = m.user_id AND e.ts >= m.m_ts""".stripMargin
+
+  /** Bounded-interval range join: for each event, how many OTHER events
+    * of the same type fall within ±60 s. The equi-join key is a 60 s
+    * time bucket with the build side replicated into the 3 candidate
+    * buckets; |Δts| ≤ 60 s ⇒ |Δbucket| ≤ 1, so replication is complete
+    * and each true pair is produced exactly once.
+    */
+  def rangeJoinBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        expr("unix_micros(ts) div 60000000").as("tb"))
+    val probe = ev.select(col("event_id").as("a_id"), col("event_type"),
+      col("ts").as("a_ts"), col("tb"))
+    val build = ev
+      .select(col("event_id").as("b_id"), col("event_type"),
+        col("ts").as("b_ts"), explode(array(col("tb") - 1, col("tb"), col("tb") + 1)).as("tb"))
+    probe.join(build, Seq("event_type", "tb"))
+      .where(col("a_id") =!= col("b_id")
+        && abs(unix_micros(col("a_ts")) - unix_micros(col("b_ts"))) <= 60000000L)
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(lit(1)).as("n_near"))
+  }
+
+  private val rangeJoinBucketsSql =
+    """SELECT a.event_id, count(*) AS n_near
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type
+      | AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND
+      |              AND a.ts + INTERVAL 60 SECOND
+      | AND a.event_id != b.event_id
+      |GROUP BY 1""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("asof_join", asofJoin, Some(asofJoinSql)),
+    Op("range_join_buckets", rangeJoinBuckets, Some(rangeJoinBucketsSql)),
+  )
+}
