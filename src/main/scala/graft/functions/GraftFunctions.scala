@@ -41,6 +41,14 @@ object GraftFunctions {
       es => ShingleHashSetExpr(es.head)),
     ("minhash_sig", "minhash_sig(text, k) - k-value md5 minhash signature",
       es => MinHashSigExpr(es(0), es(1))),
+    ("lcc_easting", "lcc_easting(lon, lat) - EPSG:6365 forward easting (m)",
+      es => LccEastingExpr(es(0), es(1))),
+    ("lcc_northing", "lcc_northing(lon, lat) - EPSG:6365 forward northing (m)",
+      es => LccNorthingExpr(es(0), es(1))),
+    ("lcc_lon", "lcc_lon(easting, northing) - EPSG:6365 inverse longitude (deg)",
+      es => LccLonExpr(es(0), es(1))),
+    ("lcc_lat", "lcc_lat(easting, northing) - EPSG:6365 inverse latitude (deg)",
+      es => LccLatExpr(es(0), es(1))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -65,4 +73,10 @@ object GraftFunctions {
     call_function("shingle_hash_set", text)
   def minhash_sig(text: Column, k: Column): Column =
     call_function("minhash_sig", text, k)
+  def lcc_easting(lon: Column, lat: Column): Column =
+    call_function("lcc_easting", lon, lat)
+  def lcc_northing(lon: Column, lat: Column): Column =
+    call_function("lcc_northing", lon, lat)
+  def lcc_lon(e: Column, n: Column): Column = call_function("lcc_lon", e, n)
+  def lcc_lat(e: Column, n: Column): Column = call_function("lcc_lat", e, n)
 }

@@ -204,8 +204,26 @@ object Spatial {
     imputed
   }
 
+  /** F20: CRS re-projection stage — the reference's
+    * `to_crs("EPSG:4326")` catalog step (RadiusOfGyrationHandler.py:
+    * 73-85) as a ONE-pass projected→geographic→hex-index pipeline over
+    * synthetic EPSG:6365 coordinates derived from customer. Runs on the
+    * catalog side before any broadcast join — never per ping. Rows-only
+    * (no geodesy in the oracle engine); round-trip and invariants are
+    * spec-verified (R2Spec).
+    */
+  def crsReproject(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (lit(2300000.0) + (col("c_custkey") % 4000).cast("double") * 100.0).as("easting"),
+        (lit(800000.0) + (abs(col("c_acctbal")) % 9000.0) * 100.0).as("northing"))
+      .withColumn("lon", lcc_lon(col("easting"), col("northing")))
+      .withColumn("lat", lcc_lat(col("easting"), col("northing")))
+      .withColumn("cell", hex_index(col("lat"), col("lon"), lit(9)))
+
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
+    Op("crs_reproject", crsReproject, None),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), None),
     Op("hex_cells", hexCells, None),
     Op("hex_kring_neighbors", hexKringNeighbors, None),
