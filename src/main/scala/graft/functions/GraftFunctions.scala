@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions.call_function
   * touched).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
+    e.injectOptimizerRule(_ => graft.plans.SelfJoinShuffleRule)
+  }
 }
 
 object GraftFunctions {

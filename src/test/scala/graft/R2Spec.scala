@@ -91,6 +91,26 @@ class R2Spec extends AnyFunSuite {
     assert(m(2).getDouble(1) > m(0).getDouble(1))
   }
 
+  test("SelfJoinShuffleRule: identical-subtree self-join never broadcasts") {
+    val agg = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val j = agg.select(col("event_type").as("ta"), col("n").as("na"))
+      .join(agg.select(col("event_type").as("tb"), col("n").as("nb")),
+        col("na") === col("nb"))
+    j.collect()
+    val physical = j.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastHashJoin"),
+      s"self-join of identical aggregate subtree must stay a shuffle join:\n$physical")
+    // a genuinely-different-subtree join is left alone (no hint applied)
+    val other = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val logical = agg.select(col("n").as("na"))
+      .join(other.select(col("n").as("nb")), col("na") === col("nb"))
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("NO_BROADCAST_HASH"),
+      s"rule must not touch non-self joins:\n$logical")
+  }
+
   test("iterative imputers leave no cached intermediates behind") {
     def live(): Int = spark.sparkContext.getPersistentRDDs.size
     // settle: evict anything other suites left behind
