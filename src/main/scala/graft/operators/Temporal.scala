@@ -95,8 +95,37 @@ object Temporal {
       | AND a.event_id != b.event_id
       |GROUP BY 1""".stripMargin
 
+  /** Attribution-style interval join: purchases within 30 minutes AFTER
+    * a click by the same user. Equi-join on user_id with the time-range
+    * residual — per-user event counts are bounded, so candidates stay
+    * linear; the identical logic runs as a watermarked stream-stream
+    * join in streaming.StreamOps (spec-verified equal).
+    */
+  def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .where(col("p_ts") >= col("c_ts")
+        && unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= 1800000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  private val clickToPurchaseSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("asof_join", asofJoin, Some(asofJoinSql)),
     Op("range_join_buckets", rangeJoinBuckets, Some(rangeJoinBucketsSql)),
+    Op("click_to_purchase", clickToPurchase, Some(clickToPurchaseSql)),
   )
 }

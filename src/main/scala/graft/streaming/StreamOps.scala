@@ -118,6 +118,52 @@ object StreamOps {
       |    FROM events))
       |GROUP BY 1, 2""".stripMargin
 
+  /** Streaming ingestion dedup — the training-corpus entry stage: drop
+    * every document whose content hash was already seen. Key-only
+    * `dropDuplicates` keeps state per distinct hash; at 100 TB you
+    * bound it with `dropDuplicatesWithinWatermark` over the ingest
+    * timestamp (same plan shape, state expires with the watermark).
+    * Spec: streamed output set == batch distinct set.
+    */
+  def streamingDedup(spark: SparkSession, docsDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
+    stream
+      .select(md5(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
+  }
+
+  /** Stream-stream interval join (watermarked both sides): purchases
+    * within 30 minutes after a click by the same user — identical
+    * semantics to Temporal.clickToPurchase (spec-verified). The
+    * time-range condition + watermarks bound the join state; inner
+    * joins emit on match, no watermark wait.
+    */
+  def streamingClickToPurchase(spark: SparkSession, eventsDir: String): DataFrame = {
+    def src(): DataFrame = {
+      val s = spark.readStream
+        .schema(spark.read.parquet(eventsDir).schema)
+        .parquet(eventsDir)
+      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s
+    }
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Op("sliding_window", slidingWindow, Some(slidingWindowSql)),

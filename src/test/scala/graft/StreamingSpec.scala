@@ -48,6 +48,39 @@ class StreamingSpec extends AnyFunSuite {
       "streamed sessions must match batch sessions exactly")
   }
 
+  test("streaming dedup emits exactly the batch-distinct content hashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString + "/docs"
+    val docs = Tables.documents(spark, sf)
+    // two appends => two micro-batches; cross-batch duplicates must drop
+    docs.where(col("doc_id") % 2 === 0).write.parquet(dir)
+    docs.write.mode("append").parquet(dir) // full set again: all dupes
+    val q = StreamOps.streamingDedup(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+    val batch = docs.select(md5(col("text")).as("content_hash")).distinct()
+    assert(streamed.count() == batch.count(),
+      "one output row per distinct content hash")
+    assert(streamed.distinct().count() == streamed.count(), "no dupes emitted")
+    assert(streamed.exceptAll(batch).count() == 0, "no invented hashes")
+  }
+
+  test("stream-stream interval join equals the batch click_to_purchase") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString + "/events"
+    Tables.events(spark, sf).write.parquet(dir)
+    val q = StreamOps.streamingClickToPurchase(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("c2p_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("c2p_out")
+    val batch = graft.operators.Temporal.clickToPurchase(spark, sf)
+    assert(streamed.count() == batch.count(),
+      s"stream ${streamed.count()} vs batch ${batch.count()} matches")
+    assert(streamed.exceptAll(batch).count() == 0,
+      "every streamed match exists in batch")
+  }
+
   test("streaming windowed counts equal the batch computation") {
     // materialize an events directory for the file source to monitor
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
