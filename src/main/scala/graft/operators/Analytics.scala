@@ -42,6 +42,31 @@ object Analytics {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
 
+  /** W-family completion: rank / dense_rank / percent_rank / cume_dist
+    * over per-type value ordering. All four are tie-stable (peers get
+    * identical outputs), so double-valued ties stay deterministic; the
+    * two ratio functions are single double divisions — bit-equal across
+    * engines.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  private val windowRanksSql =
+    """SELECT event_id, event_type, value,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)""".stripMargin
+
   /** ROLLUP over (returnflag, linestatus) with exact decimal sums;
     * grouping() columns disambiguate the null super-aggregate rows.
     */
@@ -149,6 +174,7 @@ object Analytics {
 
   val ops: Seq[Op] = Seq(
     Op("window_offsets", windowOffsets, Some(windowOffsetsSql)),
+    Op("window_ranks", windowRanks, Some(windowRanksSql)),
     Op("rollup_agg", rollupAgg, Some(rollupAggSql)),
     Op("cube_agg", cubeAgg, Some(cubeAggSql)),
     Op("set_ops", setOps, Some(setOpsSql)),

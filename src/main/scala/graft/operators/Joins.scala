@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{Op, Tables}
@@ -205,8 +205,34 @@ object Joins {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin
 
+  /** Skew-mitigated dimension join as a first-class query: the fact
+    * side salts its hot key into 8 sub-keys and the dimension
+    * replicates per salt ([[graft.functions.Skew.saltedJoin]]) — the
+    * deterministic layout for broadcast-ineligible dimension joins on
+    * skewed keys; result is provably identical to the plain join (the
+    * oracle IS the plain join). Sum goes through DECIMAL for
+    * cross-engine float parity.
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.functions.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  private val saltedJoinAggSql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
+    Op("salted_join_agg", saltedJoinAgg, Some(saltedJoinAggSql)),
     Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),
     Op("semi_join", semiJoin, Some(semiJoinSql)),
     Op("anti_join", antiJoin, Some(antiJoinSql)),
