@@ -82,17 +82,20 @@ object Interactions {
   /** Per-device home cell: the cell with the most events per user,
     * deterministic tie-break on cell name (NTL-winner shape, W1 —
     * /root/reference/src/queries/ntl_queries.py:41-48).
+    *
+    * r2: the argmax is `min_by(cell, (-n, cell))` — a hash aggregation
+    * with map-side partials — instead of row_number over a window:
+    * same winner (maximize n, then minimize cell), no per-partition
+    * sort, and the second exchange carries one combined row per
+    * (partition, caid) instead of every (caid, cell) count.
     */
   private[operators] def homeCells(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
-    val counts = ev.groupBy(col("user_id").as("caid"), col("event_type").as("cell"))
+    ev.groupBy(col("user_id").as("caid"), col("event_type").as("cell"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("caid"))
-      .orderBy(col("n").desc, col("cell").asc)
-    counts.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("caid"), col("cell").as("home_cell"))
+      .groupBy(col("caid"))
+      .agg(min_by(col("cell"), struct((-col("n")).as("negn"), col("cell")))
+        .as("home_cell"))
   }
 
   private val homeCellsSql =

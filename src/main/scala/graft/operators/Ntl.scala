@@ -56,11 +56,13 @@ object Ntl {
       .where(col("total_pings") >= 10 && col("pings_per_day") >= 2)
     val scores = perDay.groupBy(col("caid"), col("cell"))
       .agg(sum(col("pings_per_day")).as("score"))
-    val w = Window.partitionBy(col("caid"))
-      .orderBy(col("score").desc, col("cell").asc)
-    scores.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("caid"), col("cell").as("home_cell"), col("score"))
+    // argmax via min_by over (-score, cell): same winner as
+    // row_number ORDER BY score DESC, cell ASC — hash agg with
+    // partials instead of a window sort (see Interactions.homeCells).
+    scores.groupBy(col("caid"))
+      .agg(min_by(col("cell"), struct((-col("score")).as("negs"), col("cell")))
+        .as("home_cell"),
+        max(col("score")).as("score"))
   }
 
   private val ntlWinnerSql =
