@@ -29,6 +29,10 @@ object Sessions {
       // The VM's root disk shows multi-second uninterruptible-IO stalls
       // under Spark's shuffle/temp writes; keep ephemeral state in tmpfs.
       .config("spark.local.dir", "/dev/shm/spark-local")
+      // bucketed-table ops (bucketed_join_agg) write managed tables;
+      // keep the warehouse out of the repo and off the stalling root fs
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("GRAFT_WAREHOUSE", "/dev/shm/graft-warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

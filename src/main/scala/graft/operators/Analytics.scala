@@ -121,6 +121,23 @@ object Analytics {
       |UNION ALL
       |SELECT custkey, 'only_big' AS relation FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM urgent)""".stripMargin
 
+  /** Sketch-based quantiles — the 100 TB path (exact `percentile`
+    * sorts every group in memory; the approx sketch is a bounded-size
+    * mergeable summary with map-side partials). Scalar columns (not an
+    * array) so the driver canonizer can hash rows; rows-only — DuckDB's
+    * approx_quantile is a different sketch, so no value oracle is
+    * possible. Error bound vs the exact percentiles is spec-asserted
+    * (R2Spec).
+    */
+  def percentileApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
+        expr("approx_percentile(l_quantity, 0.99, 1000)").as("ap99"),
+        count(lit(1)).as("n"))
+
   /** Exact median/quantiles via sort-based percentile (Spark
     * `percentile` ≡ DuckDB `quantile_cont`: same linear interpolation
     * over the sorted values).
@@ -179,6 +196,7 @@ object Analytics {
     Op("cube_agg", cubeAgg, Some(cubeAggSql)),
     Op("set_ops", setOps, Some(setOpsSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
+    Op("percentile_approx_sketch", percentileApproxSketch, None),
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
   )
 }

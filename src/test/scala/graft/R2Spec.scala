@@ -111,6 +111,22 @@ class R2Spec extends AnyFunSuite {
       s"rule must not touch non-self joins:\n$logical")
   }
 
+  test("approx percentile sketch tracks the exact percentiles") {
+    import graft.operators.Analytics
+    val approx = Analytics.percentileApproxSketch(spark, sf)
+      .select(col("l_returnflag"), col("ap50"), col("ap90"))
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_quantity, 0.9)").as("e90"))
+    val bad = approx.join(exact, Seq("l_returnflag"))
+      // l_quantity spans 1..50; accuracy 1000 => rank error ~0.1% =>
+      // a couple of quantity units of slack is generous
+      .where(abs(col("ap50") - col("e50")) > 2 || abs(col("ap90") - col("e90")) > 2)
+      .count()
+    assert(bad == 0, "sketch quantiles must track exact within tolerance")
+  }
+
   test("iterative imputers leave no cached intermediates behind") {
     def live(): Int = spark.sparkContext.getPersistentRDDs.size
     // settle: evict anything other suites left behind
