@@ -10,56 +10,116 @@ import graft.Op
   * list for a training corpus — pairs alone over-count (A~B, B~C must
   * collapse to one cluster {A,B,C}).
   *
-  * Algorithm: iterative min-label propagation (each round every vertex
-  * takes the min label among itself and its neighbors; fixpoint =
-  * min doc_id of the component). Rounds ≤ graph diameter; near-dup
-  * components are clique-like, so 2-3 rounds in practice. Each round
-  * is one join + one grouped min — all shuffles on doc_id, no
-  * driver-side graph. (The large-star/small-star optimization that
-  * bounds rounds to O(log n) on pathological chains slots in here
-  * unchanged if a corpus ever needs it.)
+  * Engine path: alternating large-star / small-star rounds (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+  * public algorithm): each round is a grouped min + join-back, and the
+  * edge set converges to per-component stars in O(log²·) rounds even
+  * on pathological chain graphs — unlike plain min-label propagation,
+  * whose round count is the graph diameter. (Min-label is kept as
+  * [[minLabelPropagation]]: simpler, fine for clique-like dup classes,
+  * and the spec cross-checks the two on crafted graphs.)
   */
 object Clustering {
 
-  /** (doc_id, cluster_id) for every doc in ≥1 LSH candidate pair;
-    * cluster_id = min doc_id reachable through the pair graph.
+  /** Connected components over an undirected edge list (src, dst):
+    * returns (node, component) with component = min node id reachable.
+    * Only nodes appearing in edges are labeled.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 10): DataFrame = {
-    val pairs = Dedup.dedupMinhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    // symmetric edge list; cached for the duration of the loop
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id"))
+  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round: an iterative plan that
+    // references its previous round several times (union + join + the
+    // convergence signature) grows the LOGICAL tree exponentially —
+    // caching truncates execution but not analysis, and by ~round 8
+    // DeduplicateRelations alone takes minutes (measured). Physical
+    // truncation keeps every round's plan O(round size).
+    var edges = edges0
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
-      .withColumn("label", col("doc_id"))
-      .cache()
-    labels.count()
+      .localCheckpoint(true)
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // ---- large-star: for every node u, attach its LARGER neighbors
+      // to m(u) = min(Γ(u) ∪ {u})
+      val dir = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      val ls = dir
+        .join(mins, Seq("src"))
+        .withColumn("m", least(col("mn"), col("src")))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // ---- small-star: direct edges large→small, attach every smaller
+      // neighbor (and u itself) to the minimum
+      val hiLo = ls.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins2 = hiLo.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = hiLo.join(mins2, Seq("u"))
+      val ss = withM.select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(withM.select(col("u").as("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val sig = ss.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst"))))
+        .head()
+      val newSig = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      edges = ss
+      converged = newSig == prevSig
+      prevSig = newSig
+      round += 1
+    }
+    // fixpoint: edges are (child → root) stars; roots label themselves
+    edges.select(col("src").as("node"), col("dst").as("component"))
+      .unionByName(edges.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Reference implementation: per-round min-label propagation
+    * (rounds ≤ diameter). Spec-compared against the star variant.
+    */
+  private[graft] def minLabelPropagation(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
+        .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("label", "nb_label"), Seq("dst"))
-        .select(col("src").as("doc_id"), col("nb_label").as("label"))
+        .select(col("src").as("node"), col("nb_label").as("label"))
       val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("doc_id"))
+        .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .cache()
-      next.count()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old_label"),
-        Seq("doc_id"))
+        Seq("node"))
         .where(col("label") =!= col("old_label"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels
+  }
+
+  /** (doc_id, cluster_id) for every doc in ≥1 LSH candidate pair;
+    * cluster_id = min doc_id reachable through the pair graph.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponentsStar(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
   // DuckDB oracle: full transitive closure by recursive CTE over the

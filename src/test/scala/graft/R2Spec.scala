@@ -127,6 +127,24 @@ class R2Spec extends AnyFunSuite {
     assert(bad == 0, "sketch quantiles must track exact within tolerance")
   }
 
+  test("star connected components: chain + triangle + pair, vs min-label") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // chain 10-11-...-19 (diameter 9), triangle 30-31-32, pair 50-51
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((30L, 31L), (31L, 32L), (30L, 32L), (50L, 51L)))
+      .toDF("src", "dst")
+    val star = Clustering.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected =
+      (10L to 19L).map(_ -> 10L).toMap ++
+        (30L to 32L).map(_ -> 30L).toMap ++ Map(50L -> 50L, 51L -> 50L)
+    assert(star == expected, s"star CC wrong: $star")
+    val prop = Clustering.minLabelPropagation(edges, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == expected, s"min-label CC wrong: $prop")
+  }
+
   test("iterative imputers leave no cached intermediates behind") {
     def live(): Int = spark.sparkContext.getPersistentRDDs.size
     // settle: evict anything other suites left behind
