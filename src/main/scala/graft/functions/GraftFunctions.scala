@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
     e.injectOptimizerRule(_ => graft.plans.SelfJoinShuffleRule)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -51,6 +53,8 @@ object GraftFunctions {
       es => LccLonExpr(es(0), es(1))),
     ("lcc_lat", "lcc_lat(easting, northing) - EPSG:6365 inverse latitude (deg)",
       es => LccLatExpr(es(0), es(1))),
+    ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
+      es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -81,4 +85,13 @@ object GraftFunctions {
     call_function("lcc_northing", lon, lat)
   def lcc_lon(e: Column, n: Column): Column = call_function("lcc_lon", e, n)
   def lcc_lat(e: Column, n: Column): Column = call_function("lcc_lat", e, n)
+
+  /** Native as-of join ([[graft.plans.AsOfJoinExec]]): for each left
+    * row, the right row with equal key and greatest rTime ≤ lTime;
+    * left-outer semantics. Plans as one co-partitioned sorted merge.
+    */
+  def asof_join(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      lKey: Column, rKey: Column, lTime: Column, rTime: Column): org.apache.spark.sql.DataFrame =
+    left.join(right, call_function("asof_cond", lKey, rKey, lTime, rTime), "left")
 }

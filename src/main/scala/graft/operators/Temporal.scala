@@ -123,8 +123,29 @@ object Temporal {
       | AND p.ts >= c.ts
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000""".stripMargin
 
+  /** The SAME as-of semantics through the native whole-operator path
+    * ([[graft.plans.AsOfJoinExec]]: custom LogicalPlan + optimizer Rule
+    * + Strategy + physical merge — SURVEY §2.9 option (c)) instead of
+    * the composed union+window form above. One co-partitioned sorted
+    * merge, O(|L|+|R|) per partition, no window state. Shares the
+    * composed form's DuckDB oracle — both must be hash-identical.
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.asof_join
+    val ev = Tables.events(spark, dir)
+    val markers = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("m_user"), col("ts").as("m_ts"))
+      .agg(max(col("event_id")).as("last_purchase_id"))
+    asof_join(ev.select(col("event_id"), col("user_id"), col("ts")), markers,
+        col("user_id"), col("m_user"), col("ts"), col("m_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("m_ts").as("last_purchase_ts"), col("last_purchase_id"),
+        (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("asof_join", asofJoin, Some(asofJoinSql)),
+    Op("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Op("range_join_buckets", rangeJoinBuckets, Some(rangeJoinBucketsSql)),
     Op("click_to_purchase", clickToPurchase, Some(clickToPurchaseSql)),
   )

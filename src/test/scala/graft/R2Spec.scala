@@ -145,6 +145,19 @@ class R2Spec extends AnyFunSuite {
     assert(prop == expected, s"min-label CC wrong: $prop")
   }
 
+  test("native as-of join plans AsOfJoinExec and matches the composed form") {
+    import graft.operators.Temporal
+    val native = Temporal.asofJoinNative(spark, sf)
+    val physical = native.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node prints "AsOfJoin"
+    assert(physical.contains("AsOfJoin "),
+      s"marked join must plan through the custom operator:\n$physical")
+    val composed = Temporal.asofJoin(spark, sf)
+    assert(native.exceptAll(composed).count() == 0
+      && composed.exceptAll(native).count() == 0,
+      "native and composed as-of joins must agree row-for-row")
+  }
+
   test("iterative imputers leave no cached intermediates behind") {
     def live(): Int = spark.sparkContext.getPersistentRDDs.size
     // settle: evict anything other suites left behind
