@@ -169,10 +169,57 @@ object TextAnalysis {
        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
        |FROM grams""".stripMargin
 
+  /** Corpus vocabulary induction: top-500 whitespace tokens by corpus
+    * frequency with deterministic (count DESC, token ASC) ordering —
+    * the first step of any tokenizer-training pipeline. Scale shape:
+    * explode → one count exchange (map-side partials collapse the
+    * per-partition duplicates) → TakeOrderedAndProject (no global
+    * sort).
+    */
+  def vocabTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(500)
+
+  private val vocabTopTokensSql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token != ''
+      |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 500""".stripMargin
+
+  /** Dataset profiling: per-source corpus statistics (row count, null
+    * rate, distinct langs, length moments) — the health dashboard a
+    * 100 TB ingest runs before training. One grouped pass; exact
+    * distinct via count(DISTINCT) inside the same aggregation.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).cast("double").as("sum_chars"))
+
+  private val profileColumnsSql =
+    """SELECT source, count(*) AS n_rows, count(text) AS n_text,
+      |  count(DISTINCT lang) AS n_langs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) AS sum_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
+    Op("profile_columns", profileColumns, Some(profileColumnsSql)),
   )
 }
