@@ -81,6 +81,29 @@ class StreamingSpec extends AnyFunSuite {
       "every streamed match exists in batch")
   }
 
+  test("foreachBatch parquet sink lands the streamed dedup output exactly") {
+    // the production sink shape: each micro-batch written to parquet
+    // (append; batch-id column makes redelivery idempotent-by-audit)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-fb-src").toString + "/docs"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb-out").toString + "/dedup"
+    val docs = Tables.documents(spark, sf)
+    docs.where(col("doc_id") % 3 === 0).write.parquet(srcDir)
+    docs.write.mode("append").parquet(srcDir)
+    val q = StreamOps.streamingDedup(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    val batchDistinct = docs.select(md5(col("text")).as("content_hash")).distinct()
+    assert(landed.count() == batchDistinct.count(), "one landed row per distinct hash")
+    assert(landed.select("content_hash").exceptAll(batchDistinct).count() == 0)
+  }
+
   test("streaming windowed counts equal the batch computation") {
     // materialize an events directory for the file source to monitor
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
