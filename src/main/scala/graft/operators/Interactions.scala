@@ -50,12 +50,17 @@ object Interactions {
     * co-present in one ~0.5 m cell within 10 minutes), so the n² pair
     * explode per group is O(1) per key and skew-free by construction.
     */
-  def interactionPairs(spark: SparkSession, dir: String): DataFrame = {
-    // No pre-distinct: collect_SET dedups caids per (cell, tw) during
-    // partial aggregation, so the presence distinct's exchange would be
-    // pure overhead — map-side set-merge ships the same bytes the
-    // distinct would, one stage earlier (r2: one exchange fewer than
-    // r1 at every scale).
+  /** Co-located pair OCCURRENCES (one row per co-location event, NOT
+    * distinct): consumers that re-aggregate (observed contacts, edges,
+    * isolated nodes) fuse the pair dedup into their own aggregation
+    * instead of paying a separate distinct exchange here.
+    */
+  private[operators] def interactionPairsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // No pre-distinct on presence either: collect_SET dedups caids per
+    // (cell, tw) during partial aggregation, so a presence distinct
+    // exchange would be pure overhead — map-side set-merge ships the
+    // same bytes, one stage earlier (r2: one exchange fewer than r1 at
+    // every scale).
     val ev = Tables.events(spark, dir)
     val origin = ev.agg(min(col("ts")).as("origin_ts"))
     val grouped = ev.crossJoin(broadcast(origin))
@@ -70,8 +75,10 @@ object Interactions {
       .select(explode(col("caids")).as("a_caid"), col("caids"))
       .select(col("a_caid"), explode(col("caids")).as("b_caid"))
       .where(col("a_caid") =!= col("b_caid"))
-      .distinct()
   }
+
+  def interactionPairs(spark: SparkSession, dir: String): DataFrame =
+    interactionPairsRaw(spark, dir).distinct()
 
   private val interactionPairsSql =
     s"""WITH p AS ($presenceSql)
@@ -111,7 +118,12 @@ object Interactions {
     * (matrix_transforms.py:65-90). Home catalog is tiny => broadcast.
     */
   def observedContacts(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = interactionPairs(spark, dir)
+    // fused dedup (r2): count DISTINCT pairs inside the home-level
+    // aggregation instead of a separate pair-distinct exchange —
+    // Spark's two-phase distinct-agg dedups map-side on
+    // (homes, pair), so the shuffle ships ≈ the distinct volume with
+    // one whole stage fewer.
+    val pairs = interactionPairsRaw(spark, dir)
     val homes = homeCells(spark, dir)
     pairs
       .join(broadcast(homes.withColumnRenamed("caid", "a_caid")
@@ -119,7 +131,7 @@ object Interactions {
       .join(broadcast(homes.withColumnRenamed("caid", "b_caid")
         .withColumnRenamed("home_cell", "b_home")), Seq("b_caid"))
       .groupBy(col("a_home"), col("b_home"))
-      .agg(count(lit(1)).as("observed_contacts"))
+      .agg(countDistinct(col("a_caid"), col("b_caid")).as("observed_contacts"))
   }
 
   private val observedContactsSql =
@@ -194,7 +206,9 @@ object Interactions {
     * co-location pairs.
     */
   def empiricEdges(spark: SparkSession, dir: String): DataFrame =
-    interactionPairs(spark, dir)
+    // fused: canonicalize BEFORE the single distinct — the pair-level
+    // distinct would be thrown away by the edge-level one anyway
+    interactionPairsRaw(spark, dir)
       .select(least(col("a_caid"), col("b_caid")).as("src"),
         greatest(col("a_caid"), col("b_caid")).as("dst"))
       .distinct()
@@ -210,7 +224,8 @@ object Interactions {
     * MakeEmpiricNetworks.py:64-77 → left_anti).
     */
   def empiricIsolated(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = interactionPairs(spark, dir)
+    // anti-join doesn't care about pair multiplicity — no distinct
+    val pairs = interactionPairsRaw(spark, dir)
     Tables.events(spark, dir)
       .select(col("user_id").as("caid")).distinct()
       .join(pairs, col("caid") === col("a_caid"), "left_anti")
