@@ -118,10 +118,14 @@ object TextShingleHelpers {
       var h2 = d(7) & 0x0fL
       b = 8
       while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+      // h_j = (h1 + j·h2) mod 2^60, computed incrementally: v_{j+1} =
+      // (v_j + h2) mod 2^60 never exceeds 2^61, so the chain is exact
+      // for ANY k (the closed form h1 + j·h2 overflows Long once j ≥ 8).
+      var v = h1 % Mod60
       var j = 0
       while (j < k) {
-        val v = (h1 + j.toLong * h2) % Mod60
         if (v < mins(j)) mins(j) = v
+        v = (v + h2) % Mod60
         j += 1
       }
       i += 1

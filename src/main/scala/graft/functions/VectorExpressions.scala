@@ -15,11 +15,28 @@ object VectorExprHelpers {
     * tight primitive loop instead of per-element interpreted lambda
     * dispatch (VERDICT r1 #4: HOFs never enter whole-stage codegen).
     */
+  private def checkShape(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) throw new IllegalArgumentException(
+      s"vec_dot: array length mismatch ($na vs $nb); a truncated dot product " +
+        "would be a plausible but wrong similarity")
+    na
+  }
+
+  private def nullElement(i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"vec_dot: null element at index $i; embeddings must be dense " +
+        "(filter or impute null components upstream)")
+
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkShape(a, b)
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
 
@@ -29,10 +46,13 @@ object VectorExprHelpers {
     * through shuffles instead of materializing array<double>.
     */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkShape(a, b)
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
 }

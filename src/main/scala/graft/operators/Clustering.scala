@@ -73,6 +73,10 @@ object Clustering {
       prevSig = newSig
       round += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: signature fixpoint not reached within $maxRounds " +
+        "rounds — component labels would be silently split; raise maxRounds " +
+        "(star contraction converges in O(log^2 n) rounds)")
     // fixpoint: edges are (child → root) stars; roots label themselves
     edges.select(col("src").as("node"), col("dst").as("component"))
       .unionByName(edges.select(col("dst").as("node"), col("dst").as("component")))

@@ -181,9 +181,9 @@ object Dedup {
     // are the identical subtree (one exchange, reused), and no
     // signature join-back is needed afterwards — a pair matching both
     // bands dedups in the same aggregation that emits the estimate.
-    // Singleton bands (no collision ⇒ no pair) are dropped by a window
-    // count over the join's own (band_id, band_key) partitioning before
-    // the self-join sees them.
+    // (A window-count prefilter of singleton bands was measured and
+    // rejected — the full sort costs more than the pruning wins; see
+    // the jaccard docstring.)
     val banded = sig
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),

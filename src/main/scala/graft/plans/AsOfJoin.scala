@@ -139,9 +139,13 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             val rk = rKeyB.eval(rNext)
             val rt = rTimeB.eval(rNext)
             val cmp = if (rk == null) -1 else keyOrd.asInstanceOf[Ordering[Any]].compare(rk, lk)
+            // null right times are non-matches (DuckDB ASOF semantics)
+            // but must still be consumed: Ascending sorts them to the
+            // head of their key group, and leaving one unconsumed would
+            // block every later valid right row for that key.
             if (cmp < 0 ||
-              (cmp == 0 && rt != null
-                && timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) <= 0)) {
+              (cmp == 0 && (rt == null
+                || timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) <= 0))) {
               if (cmp == 0 && rt != null) {
                 curMatch = rNext.copy() // iterator reuses row objects
                 curMatchKey = rk
