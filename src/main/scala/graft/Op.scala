@@ -18,8 +18,19 @@ final case class Op(
 
 /** Parquet readers for the driver-provided test tables (TESTDATA.md). */
 object Tables {
+  // One relation per (session, path): spark.read.parquet lists the
+  // directory and reads footers on EVERY call, which charges repeated
+  // queries a fixed driver-side tax per table reference. A real
+  // deployment reads a table definition once; memoizing the lazy
+  // DataFrame (plan only — nothing is cached/persisted, every action
+  // still scans parquet) reproduces that. Keyed by session too, so
+  // tests with multiple sessions never share plans.
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** events.parquet stores ts as TIMESTAMP(NANOS): with
     * spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType epoch

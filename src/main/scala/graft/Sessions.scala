@@ -22,6 +22,16 @@ object Sessions {
       // still governs
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
+      // Advisory post-shuffle partition size. The 64 MB default is a
+      // cluster number: at single-node bench scale it coalesces every
+      // mid-size shuffle to ONE partition, so the expensive final-agg /
+      // join stages run on 1 of 32 cores (measured: 300 ms single-task
+      // stages in the interactions pipeline). A small advisory keeps
+      // those stages parallel locally; on a real cluster the shuffle
+      // partition count (thousands) times a larger advisory governs —
+      // operators never depend on this value for correctness.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "1m"))
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 only
       // reads it via this conf (as LongType nanos — normalized back to
       // TimestampType in Tables.events).

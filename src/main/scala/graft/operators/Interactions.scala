@@ -77,8 +77,22 @@ object Interactions {
       .where(col("a_caid") =!= col("b_caid"))
   }
 
+  /** Canonical (a < b) co-located pair occurrences: half the explode
+    * output and half the downstream distinct's shuffle volume; callers
+    * that need both directions mirror AFTER deduplication (a narrow
+    * union — no extra exchange at any scale).
+    */
+  private[operators] def interactionPairsCanon(spark: SparkSession, dir: String): DataFrame =
+    interactionPairsRaw(spark, dir).where(col("a_caid") < col("b_caid"))
+
   def interactionPairs(spark: SparkSession, dir: String): DataFrame =
-    interactionPairsRaw(spark, dir).distinct()
+    // one explode (not a self-union) mirrors the canonical pairs, so
+    // the distinct subtree is evaluated exactly once
+    interactionPairsCanon(spark, dir).distinct()
+      .select(explode(array(
+        struct(col("a_caid"), col("b_caid")),
+        struct(col("b_caid").as("a_caid"), col("a_caid").as("b_caid")))).as("p"))
+      .select(col("p.a_caid"), col("p.b_caid"))
 
   private val interactionPairsSql =
     s"""WITH p AS ($presenceSql)
@@ -123,6 +137,11 @@ object Interactions {
     // Spark's two-phase distinct-agg dedups map-side on
     // (homes, pair), so the shuffle ships ≈ the distinct volume with
     // one whole stage fewer.
+    // (r3 note: a canonical-pairs variant — half the distinct-agg
+    // volume, recovered by a home-level mirror-sum M = C + Cᵀ — was
+    // measured and rejected: the two extra stages cost more than the
+    // halved shuffle wins, and both shapes are linear in the pair
+    // count at any scale.)
     val pairs = interactionPairsRaw(spark, dir)
     val homes = homeCells(spark, dir)
     pairs
@@ -206,11 +225,10 @@ object Interactions {
     * co-location pairs.
     */
   def empiricEdges(spark: SparkSession, dir: String): DataFrame =
-    // fused: canonicalize BEFORE the single distinct — the pair-level
-    // distinct would be thrown away by the edge-level one anyway
-    interactionPairsRaw(spark, dir)
-      .select(least(col("a_caid"), col("b_caid")).as("src"),
-        greatest(col("a_caid"), col("b_caid")).as("dst"))
+    // canonical a < b occurrences ARE the undirected edges — one
+    // distinct, no least/greatest needed, half the r2 shuffle volume
+    interactionPairsCanon(spark, dir)
+      .select(col("a_caid").as("src"), col("b_caid").as("dst"))
       .distinct()
 
   private val empiricEdgesSql =
