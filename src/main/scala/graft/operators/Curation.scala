@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingest and tokenization: deterministic splitting,
+  * train/test decontamination, PII masking, repetition scoring.
+  *
+  * All four are oracle-checked (DuckDB SQL over the same parquet) and
+  * all scale linearly: splits and scrubbing are pure per-row maps,
+  * decontamination is a blocked equi-join on 8-byte shingle hashes,
+  * repetition is two partial-aggregated exchanges.
+  */
+object Curation {
+
+  /** Portable 60-bit content-independent hash of the doc id — the
+    * md5-halves trick from CrossHash: identical in Spark and DuckDB,
+    * so the SPLIT ASSIGNMENT itself is oracle-checkable (a split that
+    * can't be reproduced engine-to-engine is a provenance bug waiting
+    * to happen).
+    */
+  private def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 10
+
+  private val splitBucketSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10"
+
+  private def splitCol(b: Column): Column =
+    when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+
+  /** Deterministic 80/10/10 train/val/test split. Stateless and
+    * shuffle-free: any executor can recompute any doc's split, re-runs
+    * are reproducible, and late-arriving data lands in stable splits —
+    * the properties row-number sampling loses at scale.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        splitCol(splitBucket(col("doc_id"))).as("split"))
+
+  private val trainTestSplitSql =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN $splitBucketSql < 8 THEN 'train'
+       |       WHEN $splitBucketSql = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Test-set decontamination: for every test-split document, how many
+    * of its distinct word-3-grams also appear anywhere in the train
+    * split. The eval-leakage check every LLM data pipeline runs before
+    * shipping a benchmark split.
+    *
+    * Scale shape: per-doc shingle-hash sets come from the codegen'd
+    * single-pass kernel (no shingle strings materialize); the join is
+    * test-shingles × DISTINCT-train-shingles on an 8-byte key — both
+    * sides corpus-bounded, never doc×doc. Docs with < 3 tokens have no
+    * shingles and are excluded (same exclusion as the dedup family).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_hash_set
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        splitBucket(col("doc_id")).as("b"))
+    val trainSh = docs.where(col("b") < 8)
+      .select(explode(shingle_hash_set(col("text"))).as("sh"))
+      .distinct()
+      .select(col("sh"), lit(1).as("hit"))
+    val testSh = docs.where(col("b") === 9)
+      .select(col("doc_id"), shingle_hash_set(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+    testSh.join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("sz")).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+       |      i -> array_to_string((string_split(text, ' '))[i + 1:i + 3], ' '))) AS shingle
+       |  FROM documents),
+       |b AS (SELECT doc_id, $splitBucketSql AS b FROM documents),
+       |train AS (
+       |  SELECT DISTINCT shingle FROM sh JOIN b USING (doc_id) WHERE b.b < 8),
+       |test AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh JOIN b USING (doc_id) WHERE b.b = 9)
+       |SELECT test.doc_id, count(*) AS n_shingles,
+       |  count(train.shingle) AS n_contaminated,
+       |  CAST(count(train.shingle) AS DOUBLE) / count(*) AS contamination
+       |FROM test LEFT JOIN train USING (shingle)
+       |GROUP BY 1""".stripMargin
+
+  /** PII masking over the customer dimension: the digit identifier in
+    * the customer name keeps only its last 4 characters (the rest of
+    * the digits X'd — the phone-number masking pattern), digit runs
+    * collapse to '#' for the redaction variant, and a digits-found
+    * count supports a scrub audit. Pure per-row map — no shuffle at
+    * any scale. Regexes are single character classes, identical under
+    * Java regex and RE2.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat(
+          regexp_replace(expr("substring(c_name, 1, length(c_name) - 4)"),
+            "[0-9]", "X"),
+          expr("right(c_name, 4)")).as("name_masked"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_redacted"),
+        (length(col("c_name"))
+          - length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .as("n_digits"))
+
+  private val piiScrubSql =
+    """SELECT c_custkey,
+      |  regexp_replace(substring(c_name, 1, length(c_name) - 4),
+      |    '[0-9]', 'X', 'g') || right(c_name, 4) AS name_masked,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_redacted,
+      |  length(c_name)
+      |    - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_digits
+      |FROM customer""".stripMargin
+
+  /** Per-document repetition score (Gopher-style boilerplate filter):
+    * total tokens, distinct tokens, and the most-frequent token's share
+    * of the document. Two exchanges, both map-side combined.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (max(col("n")).cast("double") / sum(col("n"))).as("top_token_frac"))
+
+  private val repetitionScoreSql =
+    """SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_token_frac
+      |FROM (
+      |  SELECT doc_id, tok, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |GROUP BY 1""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
+    Op("decontaminate", decontaminate, Some(decontaminateSql)),
+    Op("pii_scrub", piiScrub, Some(piiScrubSql)),
+    Op("repetition_score", repetitionScore, Some(repetitionScoreSql)),
+  )
+}
