@@ -150,10 +150,89 @@ object Curation {
       |  GROUP BY 1, 2)
       |GROUP BY 1""".stripMargin
 
+  /** Deterministic per-source quota sampling (dataset mixing): at most
+    * N docs per source, chosen by the portable hash so the sample is
+    * reproducible and rank-stable across engines and re-runs. The
+    * rank-≤-N filter plans as WindowGroupLimit: partial top-N runs
+    * map-side BEFORE the exchange, so the shuffle carries at most
+    * N·sources·partitions rows no matter the corpus size.
+    */
+  def quotaSample(spark: SparkSession, dir: String, perSource: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .where(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  private val quotaSampleSql =
+    """SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+      |               doc_id ASC) AS rk
+      |  FROM documents)
+      |WHERE rk <= 40""".stripMargin
+
+  /** Per-document top-3 TF-IDF terms: corpus document frequency
+    * (distinct-doc count per token) joined back to term frequencies,
+    * idf = ln(N / df), deterministic tie-break on the token.
+    *
+    * Scale shape: both aggregations partial map-side; the DF relation
+    * is vocabulary-sized (≪ corpus) so the join-back broadcasts; the
+    * final top-3 is WindowGroupLimit, partial before the doc exchange.
+    * ln is bit-identical across engines (both delegate to libm-style
+    * log); the ratio feeding it is exact-int division in double.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok").asc)))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 9).as("tfidf"), col("rk"))
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, tok, tf, df, tfidf, rk FROM (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+      |               tf.tok ASC) AS rk
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |WHERE rk <= 3""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("decontaminate", decontaminate, Some(decontaminateSql)),
     Op("pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("repetition_score", repetitionScore, Some(repetitionScoreSql)),
+    Op("quota_sample", (s, d) => quotaSample(s, d), Some(quotaSampleSql)),
+    Op("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
   )
 }
