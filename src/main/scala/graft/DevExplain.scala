@@ -20,9 +20,13 @@ object DevExplain {
       .foreach { op =>
         println(s"===== ${op.name}")
         val df = op.run(spark, sfDir)
+        // GRAFT_COLLECT=1 executes the dataset's own plan (collect), so the
+        // adaptive plan printed below is the final one with reused stages;
+        // count() would execute a derived plan and leave it non-final.
+        val collect = sys.env.get("GRAFT_COLLECT").contains("1")
         (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
-          val n = df.count()
+          val n = if (collect) df.collect().length.toLong else df.count()
           println(f"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         if (explain) {

@@ -197,8 +197,13 @@ object Curation {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("tok"))
+    // df as a window count over the tf relation, not a groupBy+join-back:
+    // a separate df aggregate can't reuse tf's exchange (pruning rewrites
+    // the subtree), so the join-back spelling scans and explodes the
+    // corpus twice. The window costs one tok-shuffle of the (doc,tok)
+    // pairs — strictly cheaper than a second full corpus explode.
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
