@@ -232,6 +232,49 @@ object Curation {
       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
       |WHERE rk <= 3""".stripMargin
 
+  /** Token-budget shard packing: every document lands in a training
+    * shard of ≈1000 tokens, in a deterministic hash order, so shard
+    * contents are reproducible across runs and engines (the layout
+    * step right before tokenized examples are written out).
+    *
+    * Scale shape: a global running sum is a prefix-sum, not a global
+    * window. Docs are hashed into 64 ordered buckets; per-bucket totals
+    * (64 rows) cumsum driver-small and broadcast back, and the
+    * within-bucket running sum is an ordinary partitioned window. No
+    * single-partition stage ever sees the corpus — the classic
+    * distributed prefix-sum, same answer as the oracle's global
+    * window cumsum ordered by (bucket, hash, doc_id).
+    */
+  def shardPack(spark: SparkSession, dir: String, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("bucket", col("h") % 64)
+    val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    t.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(boff + cum - n_tokens) div $budget").as("shard"))
+  }
+
+  private val shardPackSql =
+    """SELECT doc_id, n_tokens,
+      |  COALESCE(SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC, doc_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard
+      |FROM (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("decontaminate", decontaminate, Some(decontaminateSql)),
@@ -239,5 +282,6 @@ object Curation {
     Op("repetition_score", repetitionScore, Some(repetitionScoreSql)),
     Op("quota_sample", (s, d) => quotaSample(s, d), Some(quotaSampleSql)),
     Op("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    Op("shard_pack", (s, d) => shardPack(s, d), Some(shardPackSql)),
   )
 }

@@ -85,8 +85,67 @@ object GraphMetrics {
        |JOIN edges e2 ON e1.dst = e2.src
        |JOIN edges e3 ON e1.src = e3.src AND e2.dst = e3.dst""".stripMargin
 
+  /** Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    * undirected empiric network — the importance ranking networkx
+    * reports on these graphs, as pure relational iteration: each round
+    * is contributions = ranks ⋈ edges on src, re-aggregated on dst.
+    *
+    * Scale notes: the directed-edge relation appears once per round,
+    * but the subtrees are identical so the shuffle materializes once
+    * and later rounds read ReusedExchange (the same mechanism the
+    * triangle wedge join leans on). Ranks and degrees shuffle on the
+    * same node key every round — co-partitioned by Catalyst, no
+    * driver-side state. Undirected edges mean no dangling-mass term:
+    * every node has out-degree ≥ 1. Results round to 9 decimals so
+    * cross-engine double-sum ordering cannot surface in the hash.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e0 = edges(spark, dir)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters)
+      r = e.join(r, col("src") === col("node"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("d")).as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          (lit(0.15) / col("n") + lit(0.85) * col("s")).as("r"))
+    r.select(col("node"), round(col("r"), 9).as("pagerank"))
+  }
+
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT s.node, CAST(0.15 AS DOUBLE) / n.n + CAST(0.85 AS DOUBLE) * s.s AS r
+       |  FROM (SELECT e.dst AS node, SUM($prev.r / deg.d) AS s
+       |        FROM e JOIN $prev ON e.src = $prev.node
+       |        JOIN deg ON e.src = deg.src
+       |        GROUP BY e.dst) s CROSS JOIN n)""".stripMargin
+
+  private val pagerankSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT deg.src AS node, CAST(1.0 AS DOUBLE) / n.n AS r
+       |       FROM deg CROSS JOIN n),
+       |${prIterSql("r0", "r1")},
+       |${prIterSql("r1", "r2")},
+       |${prIterSql("r2", "r3")}
+       |SELECT node, round(r, 9) AS pagerank FROM r3""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
   )
 }

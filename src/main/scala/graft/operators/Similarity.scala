@@ -231,10 +231,75 @@ object Similarity {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * layout step before shipping vectors to an ANN index: per-vector
+    * scale = max|v|/127, q_i = round(v_i/scale), plus the integer
+    * checksums and the reconstruction RMSE a pipeline asserts on.
+    *
+    * Pure per-row map — no shuffle at any scale. All lane math is
+    * float→double (exact) then identical IEEE double ops in array
+    * order, so the integer outputs are bit-equal across engines; the
+    * two double outputs round to 9 decimals. A zero vector yields NULL
+    * scale (nullif) rather than a division by zero, in both engines.
+    * Element ops ride Spark's array HOFs (interpreted) — acceptable
+    * off the bench path; the codegen'd escape hatch is the DotExpr
+    * pattern if quantization ever becomes the bottleneck.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    // the raw rmse/sums are staged in withColumns BEFORE the select
+    // that aliases `round(qscale, 9)` back to the name "qscale":
+    // inside one projection, a lambda's col("qscale") resolves
+    // laterally to the sibling alias (the rounded value), silently
+    // changing the error term — staging keeps every reference bound
+    // to the unrounded child column.
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("qscale",
+        nullif(array_max(transform(col("v"), x => abs(x))) / lit(127.0), lit(0.0)))
+      .withColumn("q",
+        transform(col("v"), x => round(x / col("qscale")).cast("long")))
+      .withColumn("q_sum", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+      .withColumn("q_l1", aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)))
+      .withColumn("rmse_raw", sqrt(
+        aggregate(zip_with(col("v"), col("q"),
+            (v, q) => (v - q * col("qscale")) * (v - q * col("qscale"))),
+          lit(0.0), (acc, x) => acc + x) / size(col("v"))))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        round(col("qscale"), 9).as("qscale"),
+        col("q_sum"), col("q_l1"),
+        round(col("rmse_raw"), 9).as("rmse"))
+
+  private val embeddingQuantizeSql =
+    s"""WITH base AS (
+       |  SELECT vec_id, $vecSql AS v,
+       |    nullif(CAST(list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+       |      / CAST(127 AS DOUBLE), CAST(0 AS DOUBLE)) AS qscale
+       |  FROM embeddings),
+       |qd AS (
+       |  SELECT vec_id, v, qscale,
+       |    list_transform(v, x -> CAST(round(x / qscale) AS BIGINT)) AS q
+       |  FROM base)
+       |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+       |  round(qscale, 9) AS qscale,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+       |    (acc, x) -> acc + x) AS q_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(q, x -> abs(x))), (acc, x) -> acc + x) AS q_l1,
+       |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len(v) + 1),
+       |      i -> (v[i] - q[i] * qscale) * (v[i] - q[i] * qscale))),
+       |    (acc, x) -> acc + x) / len(v)), 9) AS rmse
+       |FROM qd""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("embedding_near_dup", embeddingNearDup, Some(embeddingNearDupSql)),
+    Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
   )
 }

@@ -72,6 +72,22 @@ object Sources {
     ()
   }
 
+  /** JSONL shard sink: one JSON object per line — the standard
+    * training-data handoff format. Rows are routed to a fixed number
+    * of shard files by hash of `shardKey`, so shard membership is
+    * deterministic across re-runs and cluster sizes (a row's shard
+    * depends only on its key, never on input partitioning). Reads back
+    * with `spark.read.json` / any JSONL consumer.
+    */
+  def writeJsonl(df: DataFrame, path: String, shards: Int,
+      shardKey: String): Unit =
+    df.repartition(shards, col(shardKey))
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSONL source (schema inferred; one object per line). */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** S14: bench-log append table (same three-column schema as the
     * reference's Benchmark DuckDB table —
     * /root/reference/src/utils/stopwatch.py:63-79).
