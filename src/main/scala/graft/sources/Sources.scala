@@ -72,6 +72,42 @@ object Sources {
     ()
   }
 
+  /** ORC source/sink — the other columnar format Spark ships natively;
+    * same pushdown/pruning contract as parquet (PushedFilters +
+    * ReadSchema reach the ORC reader).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Line-oriented text source (one string column `value`). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Incremental partition overwrite: rewrites ONLY the partitions
+    * present in `df`, leaving sibling partitions untouched — the
+    * daily re-run semantics of the reference's per-day regeneration
+    * (a full-overwrite sink would drop every other day). Uses dynamic
+    * partitionOverwriteMode scoped to this write.
+    */
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * `targetFiles` files. At 100 TB the small-file problem is a
+    * first-order operational cost (footer reads + task scheduling per
+    * file); compaction is the standing maintenance op. Coalesce avoids
+    * a shuffle when reducing file count.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(inPath).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** JSONL shard sink: one JSON object per line — the standard
     * training-data handoff format. Rows are routed to a fixed number
     * of shard files by hash of `shardKey`, so shard membership is

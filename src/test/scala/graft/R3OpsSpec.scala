@@ -77,6 +77,44 @@ class R3OpsSpec extends AnyFunSuite {
     assert(v.map(x => math.round(x / scale)).map(math.abs).max == 127L)
   }
 
+  test("ORC sink/source round-trips with schema intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val docs = Tables.documents(spark, sf)
+    Sources.writeOrc(docs, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+  }
+
+  test("overwritePartitions rewrites only the partitions present in the frame") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dyn").toString + "/t"
+    val day1 = Seq((1L, "a", "d1"), (2L, "b", "d1")).toDF("id", "v", "day")
+    val day2 = Seq((3L, "c", "d2")).toDF("id", "v", "day")
+    Sources.writePartitioned(day1.unionByName(day2), root, Seq("day"))
+    // re-run day2 with corrected data: day1 must survive
+    val day2Fixed = Seq((3L, "c2", "d2"), (4L, "d", "d2")).toDF("id", "v", "day")
+    Sources.overwritePartitions(day2Fixed, root, Seq("day"))
+    val got = spark.read.parquet(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "d1"), (2L, "b", "d1"),
+      (3L, "c2", "d2"), (4L, "d", "d2")))
+  }
+
+  test("compactParquet lands the target file count with content intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = base + "/in"
+    val out = base + "/out"
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(16).write.parquet(in)
+    Sources.compactParquet(spark, in, out, targetFiles = 2)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(in) == 16)
+    assert(parts(out) == 2)
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("JSONL shard sink round-trips and shards deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(spark, sf)
