@@ -276,8 +276,45 @@ object Joins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of dropping out — the semantics dimension
+    * nothing else in the inventory exercises. Keys are made sparsely
+    * NULL on both sides (suppliers and nations whose region bucket is
+    * 0), so the NULL group is catalog-bounded and the join result
+    * contains both ordinary matches and the NULL×NULL block.
+    * Spark plans `<=>` as an ordinary hash-join key (EqualNullSafe is
+    * a valid equi-join expression — no nested-loop fallback).
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        when(col("s_nationkey") % 5 === 0, lit(null)).otherwise(col("s_nationkey"))
+          .as("s_nk"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        when(col("n_nationkey") % 5 === 0, lit(null)).otherwise(col("n_nationkey"))
+          .as("n_nk"))
+    s.join(broadcast(n), col("s_nk") <=> col("n_nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+  }
+
+  private val nullSafeJoinSql =
+    """WITH s AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_nationkey % 5 = 0 THEN NULL ELSE s_nationkey END AS s_nk
+      |  FROM supplier),
+      |n AS (
+      |  SELECT n_nationkey, n_name,
+      |    CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS n_nk
+      |  FROM nation)
+      |SELECT n_name, count(*) AS n_suppliers
+      |FROM s JOIN n ON s.s_nk IS NOT DISTINCT FROM n.n_nk
+      |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
+    Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("salted_join_agg", saltedJoinAgg, Some(saltedJoinAggSql)),
     Op("bucketed_join_agg", bucketedJoinAgg, Some(bucketedJoinAggSql)),
     Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),
