@@ -312,9 +312,54 @@ object Joins {
       |FROM s JOIN n ON s.s_nk IS NOT DISTINCT FROM n.n_nk
       |GROUP BY 1""".stripMargin
 
+  /** SCD1 upsert (MERGE semantics relationally): an updates relation
+    * overrides matching keys in the base catalog, inserts new keys,
+    * and untouched base rows pass through — full-outer join +
+    * column-wise coalesce with the update side winning.
+    *
+    * Scale notes: a key-shuffled full-outer join — the engine-agnostic
+    * MERGE shape when updates are not partition-aligned; when they
+    * are, `Sources.overwritePartitions` is the cheaper path (rewrite
+    * only the touched partitions). Updates here are derived
+    * deterministically (every 7th nation renamed + one new key) so
+    * the op is self-contained and oracle-checkable.
+    */
+  def upsertCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val updates = base.where(col("n_nationkey") % 7 === 0)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit("_V2")).as("n_name"), col("n_regionkey"))
+      .unionByName(base.limit(1).select(
+        lit(999).cast("int").as("n_nationkey"),
+        lit("NEWLAND").as("n_name"),
+        lit(0).cast("int").as("n_regionkey")))
+    base.alias("b")
+      .join(updates.alias("u"),
+        col("b.n_nationkey") === col("u.n_nationkey"), "full_outer")
+      .select(
+        coalesce(col("u.n_nationkey"), col("b.n_nationkey")).as("n_nationkey"),
+        coalesce(col("u.n_name"), col("b.n_name")).as("n_name"),
+        coalesce(col("u.n_regionkey"), col("b.n_regionkey")).as("n_regionkey"))
+  }
+
+  private val upsertCatalogSql =
+    """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+      |updates AS (
+      |  SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey
+      |  FROM base WHERE n_nationkey % 7 = 0
+      |  UNION ALL
+      |  SELECT CAST(999 AS INTEGER), 'NEWLAND', CAST(0 AS INTEGER))
+      |SELECT
+      |  COALESCE(u.n_nationkey, b.n_nationkey) AS n_nationkey,
+      |  COALESCE(u.n_name, b.n_name) AS n_name,
+      |  COALESCE(u.n_regionkey, b.n_regionkey) AS n_regionkey
+      |FROM base b FULL JOIN updates u ON b.n_nationkey = u.n_nationkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
+    Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),
     Op("salted_join_agg", saltedJoinAgg, Some(saltedJoinAggSql)),
     Op("bucketed_join_agg", bucketedJoinAgg, Some(bucketedJoinAggSql)),
     Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),

@@ -214,8 +214,62 @@ object TextAnalysis {
       |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Corpus-bigram LM perplexity per document — the model-based
+    * quality filter tier above heuristic ratios: estimate
+    * P(w2|w1) = c(w1,w2)/c(w1·) from the corpus itself, score each doc
+    * by avg log-prob and perplexity. High-ppl docs are the gibberish/
+    * boilerplate tail a training pipeline drops.
+    *
+    * Scale shape: bigrams come from zip-sliced token arrays — pure
+    * per-row compute, no positional window, no shuffle to form pairs.
+    * Counts aggregate map-side; the conditional denominator is a
+    * window sum over the already-aggregated bigram relation (reuses
+    * its exchange — the tfidf df pattern); the score join keys on
+    * (w1,w2) — vocabulary²-bounded, never doc×doc. Docs with < 2
+    * tokens have no bigrams and drop out in both engines. avg_logp
+    * rounds at 1e-9 and ppl at 1e-6: double-sum ordering and libm
+    * last-ulp differences sit orders of magnitude below both.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bi = t.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+    bi.join(bg, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("c2").cast("double") / col("c1"))).as("alp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("alp"), 9).as("avg_logp"),
+        round(exp(-col("alp")), 6).as("ppl"))
+  }
+
+  private val lmPerplexitySql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(toks[1:len(toks) - 1]) AS w1,
+      |    unnest(toks[2:len(toks)]) AS w2
+      |  FROM t),
+      |bg AS (
+      |  SELECT w1, w2, count(*) AS c2,
+      |    SUM(count(*)) OVER (PARTITION BY w1) AS c1
+      |  FROM bi GROUP BY 1, 2)
+      |SELECT bi.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(CAST(bg.c2 AS DOUBLE) / bg.c1)), 9) AS avg_logp,
+      |  round(exp(-avg(ln(CAST(bg.c2 AS DOUBLE) / bg.c1))), 6) AS ppl
+      |FROM bi JOIN bg USING (w1, w2)
+      |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
