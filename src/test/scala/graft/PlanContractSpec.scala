@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the scale-critical physical shapes PLANS.md and
+  * BENCH.md argue from, locked in as assertions so a regression in
+  * join strategy, exchange count, or operator choice fails CI instead
+  * of silently costing a shuffle at 100 TB. Plans are taken AFTER
+  * execution, so AQE's final (re-optimized) plan is what's asserted.
+  */
+class PlanContractSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Execute the registered op and return the final adaptive plan
+    * only (the AdaptiveSparkPlan toString appends the pre-AQE
+    * "Initial Plan" section, which would double every count).
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==")(0)
+  }
+
+  private def count(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("interaction_pairs: one corpus shuffle, no fact-table broadcast") {
+    val p = finalPlan("interaction_pairs")
+    // the (cell, tw) grouping is the only exchange that carries the
+    // events fact table; the pair-level distinct adds its own, and
+    // nothing corpus-sized is ever broadcast
+    assert(count(p, "Exchange hashpartitioning(cell") == 1, p.take(2000))
+    // the only broadcast is the 1-row global-MIN origin (W5 pattern)
+    assert(count(p, "BroadcastExchange") == 1
+      && p.contains("BroadcastExchange IdentityBroadcastMode"),
+      "only the scalar origin row may broadcast — never the fact table")
+  }
+
+  test("observed_contacts: home catalogs broadcast, pairs never do") {
+    val p = finalPlan("observed_contacts")
+    assert(count(p, "BroadcastHashJoin") == 2,
+      "both home-catalog joins must be broadcast joins")
+    assert(count(p, "Exchange hashpartitioning(cell") == 1,
+      "pair relation keeps its single corpus shuffle")
+  }
+
+  test("topk_groups plans as TakeOrderedAndProject (never global sort)") {
+    val p = finalPlan("topk_groups")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Sort ["), "no full sort for a top-k")
+  }
+
+  test("quota_sample rank filter plans as WindowGroupLimit (map-side top-N)") {
+    val p = finalPlan("quota_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("point_in_polygon: broadcast BNLJ, fully codegen'd predicate") {
+    val p = finalPlan("point_in_polygon")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CodegenFallback"), "st_contains must stay codegen'd")
+  }
+
+  test("ann_cosine_topk: only the query set broadcasts; no CodegenFallback") {
+    val p = finalPlan("ann_cosine_topk")
+    assert(count(p, "BroadcastExchange") == 1,
+      "exactly the tiny query side broadcasts")
+    assert(!p.contains("CodegenFallback"), "vec_dot must stay codegen'd")
+  }
+
+  test("dedup_minhash_lsh: band self-join pinned to shuffle join for exchange reuse") {
+    val p = finalPlan("dedup_minhash_lsh")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "self-join must not convert to broadcast (kills exchange reuse)")
+    assert(p.contains("ReusedExchange"),
+      "both sides of the band self-join must share one exchange")
+  }
+
+  test("pagerank iterations reuse the directed-edge exchange") {
+    val p = finalPlan("pagerank")
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
+  test("extract_project_filter: predicate and projection reach the scan") {
+    val p = finalPlan("extract_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
+    assert(!p.contains("PushedFilters: []"), "no scan may read unfiltered")
+  }
+}
