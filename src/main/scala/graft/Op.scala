@@ -25,12 +25,21 @@ object Tables {
   // DataFrame (plan only — nothing is cached/persisted, every action
   // still scans parquet) reproduces that. Keyed by session too, so
   // tests with multiple sessions never share plans.
-  private val relations =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Weakly keyed by session so a stopped/discarded SparkSession (and
+  // every memoized plan + file listing hanging off it) is collectable —
+  // a JVM that cycles sessions (Verify then Bench, test runners) must
+  // not grow heap monotonically. The inner map is per-session state.
+  private val relations = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relations.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relations.synchronized {
+      relations.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+  }
 
   /** events.parquet stores ts as TIMESTAMP(NANOS): with
     * spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType epoch

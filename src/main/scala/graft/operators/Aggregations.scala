@@ -156,8 +156,80 @@ object Aggregations {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events"))
 
+  /** Equi-width histogram via `width_bucket` (F11 family): quantity
+    * distribution in 10 buckets over [0, 50), with the under/overflow
+    * buckets 0 and 11 — the data-profiling binning every pipeline
+    * report runs. One map-side-combined exchange. The oracle spells
+    * the same bucket function as explicit floor math (DuckDB has no
+    * width_bucket for this shape) — same semantics, so the comparison
+    * checks the function, not the spelling.
+    */
+  def histogramBins(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr("width_bucket(l_quantity, 0.0D, 50.0D, 10)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private val histogramBinsSql =
+    """SELECT CASE WHEN l_quantity < 0 THEN 0
+      |            WHEN l_quantity >= 50 THEN 11
+      |            ELSE CAST(FLOOR(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Pearson correlation + sample covariance per group, spelled as
+    * explicit scalar formulas over exact decimal co-moments (the
+    * dim_join_agg stddev pattern): both engines sum exact decimals,
+    * then run the identical IEEE double expression — bit-for-bit
+    * comparable, unlike the engines' built-in one-pass accumulators
+    * whose update orders differ. In production the built-ins
+    * (corr/covar_samp) are the call; this op pins their semantics.
+    */
+  def corrCovar(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val q = col("l_quantity").cast(dec)
+    val p = col("l_extendedprice").cast(dec)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(p).cast("double").as("sp"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(p * p).cast("double").as("spp"),
+        sum(q * p).cast("double").as("sqp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(((col("sqp") - col("sq") * col("sp") / col("n"))
+          / (col("n") - 1)), 9).as("covar_qty_price"),
+        round(((col("sqp") - col("sq") * col("sp") / col("n"))
+          / sqrt((col("sqq") - col("sq") * col("sq") / col("n"))
+            * (col("spp") - col("sp") * col("sp") / col("n")))), 9)
+          .as("corr_qty_price"))
+  }
+
+  private val corrCovarSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((sqp - sq * sp / n) / (n - 1), 9) AS covar_qty_price,
+      |  round((sqp - sq * sp / n)
+      |    / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 9) AS corr_qty_price
+      |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q1_agg", q1Agg, Some(q1AggSql), bench = true),
+    Op("histogram_bins", histogramBins, Some(histogramBinsSql)),
+    Op("corr_covar", corrCovar, Some(corrCovarSql)),
     Op("count_distinct_approx", countDistinctApprox, None),
     Op("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),
     Op("case_bins", caseBins, Some(caseBinsSql)),

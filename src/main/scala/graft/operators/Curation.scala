@@ -22,10 +22,10 @@ object Curation {
     * to happen).
     */
   private def splitBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 10
+    graft.functions.CrossHash.hash60(id.cast("string")) % 10
 
   private val splitBucketSql =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10"
+    graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)") + " % 10"
 
   private def splitCol(b: Column): Column =
     when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
@@ -159,8 +159,7 @@ object Curation {
     */
   def quotaSample(spark: SparkSession, dir: String, perSource: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.CrossHash.hash60(col("doc_id").cast("string"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), h.as("h"))
       .withColumn("rk",
@@ -171,13 +170,13 @@ object Curation {
   }
 
   private val quotaSampleSql =
-    """SELECT doc_id, source, rk FROM (
-      |  SELECT doc_id, source,
-      |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
-      |               doc_id ASC) AS rk
-      |  FROM documents)
-      |WHERE rk <= 40""".stripMargin
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} ASC,
+       |               doc_id ASC) AS rk
+       |  FROM documents)
+       |WHERE rk <= 40""".stripMargin
 
   /** Per-document top-3 TF-IDF terms: corpus document frequency
     * (distinct-doc count per token) joined back to term frequencies,
@@ -247,8 +246,7 @@ object Curation {
     */
   def shardPack(spark: SparkSession, dir: String, budget: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.CrossHash.hash60(col("doc_id").cast("string"))
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
@@ -267,13 +265,14 @@ object Curation {
   }
 
   private val shardPackSql =
-    """SELECT doc_id, n_tokens,
-      |  COALESCE(SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC, doc_id ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard
-      |FROM (
-      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-      |  FROM documents)""".stripMargin
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+       |    AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents)""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),

@@ -330,7 +330,7 @@ object Joins {
     val updates = base.where(col("n_nationkey") % 7 === 0)
       .select(col("n_nationkey"),
         concat(col("n_name"), lit("_V2")).as("n_name"), col("n_regionkey"))
-      .unionByName(base.limit(1).select(
+      .unionByName(spark.range(1).select(
         lit(999).cast("int").as("n_nationkey"),
         lit("NEWLAND").as("n_name"),
         lit(0).cast("int").as("n_regionkey")))

@@ -100,12 +100,14 @@ object Sources {
   /** Small-file compaction: rewrite a parquet dataset into
     * `targetFiles` files. At 100 TB the small-file problem is a
     * first-order operational cost (footer reads + task scheduling per
-    * file); compaction is the standing maintenance op. Coalesce avoids
-    * a shuffle when reducing file count.
+    * file); compaction is the standing maintenance op. Repartition —
+    * not coalesce — on purpose: coalesce(n) propagates into the scan
+    * stage and would read 10,000 input files with n tasks; the shuffle
+    * keeps the read parallel at full cluster width.
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int): Unit =
-    spark.read.parquet(inPath).coalesce(targetFiles)
+    spark.read.parquet(inPath).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
   /** JSONL shard sink: one JSON object per line — the standard
