@@ -143,7 +143,58 @@ object Temporal {
         (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
   }
 
+  /** Daily resample + forward fill: regularize each device's event
+    * series onto the full day grid (global min..max), carrying the
+    * last observed daily count across gaps — the gap-filling step a
+    * mobility pipeline runs before day-over-day metrics (the
+    * reference iterates daily partitions and unions them; missing
+    * days simply vanish there — this op makes the gaps explicit and
+    * fillable).
+    *
+    * Scale shape: the grid is users × span-days (rows ∝ entities, not
+    * events); the day vector comes from a 1-row scalar aggregate
+    * broadcast (W5 pattern) and the fill is one window per user key.
+    * `last(col, ignoreNulls)` over a running frame ≡ DuckDB
+    * `last_value(x IGNORE NULLS)`.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).where(col("user_id") < 50)
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = Tables.events(spark, dir)
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .as("day"))
+    ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("n").as("n_raw"),
+        last(col("n"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("n_ffill"))
+  }
+
+  private val resampleFfillSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      |      FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50)
+      |SELECT u.user_id, days.day, daily.n AS n_raw,
+      |  last_value(daily.n IGNORE NULLS) OVER (
+      |    PARTITION BY u.user_id ORDER BY days.day ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ffill
+      |FROM u CROSS JOIN days
+      |LEFT JOIN daily ON u.user_id = daily.user_id AND days.day = daily.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Op("asof_join", asofJoin, Some(asofJoinSql)),
     Op("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Op("range_join_buckets", rangeJoinBuckets, Some(rangeJoinBucketsSql)),
