@@ -13,9 +13,17 @@ object Bench {
     // Warm pass: JVM classloading + whole-stage-codegen compilation are
     // one-time costs (amortized to zero over a real workload); the timed
     // pass then measures steady-state engine throughput.
-    SparkEntry.benchQueries.foreach { op =>
-      try op.run(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    // A crashing bench op must fail the run LOUDLY: swallowing it
+    // would record a ~0 s "time" for the op and the headline total
+    // would IMPROVE on a regression that broke the query.
+    def runOnce(op: Op): Unit =
+      try { op.run(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FATAL: ${op.name} failed: $e")
+          spark.stop()
+          sys.exit(1)
+      }
+    SparkEntry.benchQueries.foreach(runOnce)
     // min of 5 timed runs: the VM shows multi-second uninterruptible-IO
     // stalls at random (whole windows of 10-30 s); the minimum is the
     // faithful steady-state number. Raw per-run times go to stderr so a
@@ -24,7 +32,7 @@ object Bench {
     val results = SparkEntry.benchQueries.map { op =>
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        try { op.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        runOnce(op)
         (System.nanoTime() - t0) / 1e9
       }
       val spread = if (times.min > 0) times.max / times.min else Double.NaN

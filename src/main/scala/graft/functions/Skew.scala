@@ -19,9 +19,19 @@ object Skew {
 
   /** Equi-join `left ⋈ right` on `key`, salting the left (large,
     * skewed) side. `factor` = number of sub-partitions per key.
+    *
+    * Only inner/left-flavored joins are legal: the right side is
+    * replicated once per salt, so a right/full outer join would emit
+    * every unmatched right row `factor` times — silently wrong.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched right " +
+        s"rows $factor times (right side is salt-replicated); use an " +
+        "inner/left-flavored join or salt the other side")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = right

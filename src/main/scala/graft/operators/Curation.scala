@@ -105,10 +105,15 @@ object Curation {
     * Java regex and RE2.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    // greatest(len-4, 0): names shorter than 4 chars must not hand the
+    // oracle a negative substring length (DuckDB errors where Spark
+    // returns "") — latent on fixed-width c_name, load-bearing on any
+    // other column
     Tables.customer(spark, dir)
       .select(col("c_custkey"),
         concat(
-          regexp_replace(expr("substring(c_name, 1, length(c_name) - 4)"),
+          regexp_replace(
+            expr("substring(c_name, 1, greatest(length(c_name) - 4, 0))"),
             "[0-9]", "X"),
           expr("right(c_name, 4)")).as("name_masked"),
         regexp_replace(col("c_name"), "[0-9]+", "#").as("name_redacted"),
@@ -118,7 +123,7 @@ object Curation {
 
   private val piiScrubSql =
     """SELECT c_custkey,
-      |  regexp_replace(substring(c_name, 1, length(c_name) - 4),
+      |  regexp_replace(substring(c_name, 1, greatest(length(c_name) - 4, 0)),
       |    '[0-9]', 'X', 'g') || right(c_name, 4) AS name_masked,
       |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_redacted,
       |  length(c_name)

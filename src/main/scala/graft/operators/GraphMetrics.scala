@@ -31,17 +31,11 @@ object GraphMetrics {
       .agg(count(lit(1)).as("degree"))
   }
 
-  // the interactions pair SQL, restated as CTEs (same text the
-  // empiric_edges oracle uses)
-  private val pairsSql =
-    """SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
-      |FROM p a JOIN p b
-      |  ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid""".stripMargin
-
-  private val presenceSql =
-    """SELECT DISTINCT user_id AS caid, event_type AS cell,
-      |  (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
-      |FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events)""".stripMargin
+  // the canonical presence/pair CTE strings live in Interactions —
+  // referenced, not re-pasted, so an edit to the pair definition
+  // cannot silently leave these oracles validating a stale spec
+  private val pairsSql = Interactions.pairsSelectSql
+  private val presenceSql = Interactions.presenceSql
 
   private val graphDegreesSql =
     s"""WITH p AS ($presenceSql),

@@ -33,10 +33,19 @@ object Interactions {
     * window (SURVEY W5), and the dedup rides inside collect_set (see
     * [[interactionPairs]]).
     */
-  private val presenceSql =
+  private[operators] val presenceSql =
     """SELECT DISTINCT user_id AS caid, event_type AS cell,
       |  (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
       |FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events)""".stripMargin
+
+  /** Bare pair-select against a CTE named `p` — shared with every
+    * oracle (graph metrics included) so the canonical pair definition
+    * lives in exactly one string.
+    */
+  private[operators] val pairsSelectSql =
+    """SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
+      |FROM p a JOIN p b
+      |  ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid""".stripMargin
 
   /** J1: distinct co-located (a_caid, b_caid) pairs (both directions,
     * matching the reference's `a.caid != b.caid` with no canonical
@@ -96,9 +105,7 @@ object Interactions {
 
   private val interactionPairsSql =
     s"""WITH p AS ($presenceSql)
-       |SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
-       |FROM p a JOIN p b
-       |  ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid""".stripMargin
+       |$pairsSelectSql""".stripMargin
 
   /** Per-device home cell: the cell with the most events per user,
     * deterministic tie-break on cell name (NTL-winner shape, W1 —
@@ -119,7 +126,7 @@ object Interactions {
         .as("home_cell"))
   }
 
-  private val homeCellsSql =
+  private[operators] val homeCellsSql =
     """SELECT caid, cell AS home_cell FROM (
       |  SELECT user_id AS caid, event_type AS cell, count(*) AS n,
       |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -60,13 +60,7 @@ object Mobility {
   }
 
   private val radiusOfGyrationSql =
-    s"""WITH homes AS (
-       |  SELECT caid, cell AS home_cell FROM (
-       |    SELECT user_id AS caid, event_type AS cell, count(*) AS n,
-       |      ROW_NUMBER() OVER (PARTITION BY user_id
-       |                         ORDER BY count(*) DESC, event_type ASC) AS rnk
-       |    FROM events GROUP BY user_id, event_type
-       |  ) WHERE rnk = 1),
+    s"""WITH homes AS (${Interactions.homeCellsSql}),
        |traversals AS (
        |  SELECT DISTINCT user_id AS caid, event_type FROM events),
        |ris AS (
@@ -114,13 +108,7 @@ object Mobility {
 
   private val rgByRegionSql =
     s"""WITH rg_t AS ($radiusOfGyrationSql),
-       |homes AS (
-       |  SELECT caid, cell AS home_cell FROM (
-       |    SELECT user_id AS caid, event_type AS cell, count(*) AS n,
-       |      ROW_NUMBER() OVER (PARTITION BY user_id
-       |                         ORDER BY count(*) DESC, event_type ASC) AS rnk
-       |    FROM events GROUP BY user_id, event_type
-       |  ) WHERE rnk = 1),
+       |homes AS (${Interactions.homeCellsSql}),
        |g AS (
        |  SELECT h.home_cell, count(*) AS n,
        |    CAST(SUM(CAST(rg AS DECIMAL(12,9))) AS DOUBLE) AS s1,

@@ -178,8 +178,18 @@ object Spatial {
     var remains = unlocated
     var k = 1
     while (k <= maxK && !remains.isEmpty) {
+      // ring-k ANNULUS, not the full k-disk: every interior cell was
+      // already tested (and matchless — else the point would have left
+      // `remains`) in an earlier round. Disk candidates are 3k(k+1)+1
+      // per point vs 6k for the annulus — O(k²) vs O(k) per round.
+      // k=1 keeps the full disk so the point's own cell centroid is
+      // tested exactly once.
+      val ring =
+        if (k == 1) hex_kring(col("cell"), lit(1))
+        else array_except(hex_kring(col("cell"), lit(k)),
+          hex_kring(col("cell"), lit(k - 1)))
       val candidates = remains
-        .select(col("pt_id"), explode(hex_kring(col("cell"), lit(k))).as("nb"))
+        .select(col("pt_id"), explode(ring).as("nb"))
         .select(col("pt_id"), col("nb"),
           hex_center_lat(col("nb")).as("ny"), hex_center_lon(col("nb")).as("nx"))
         .join(broadcast(polys), st_contains(col("rings"), col("nx"), col("ny")), "left")

@@ -41,7 +41,8 @@ object GraphML {
       w.write("""<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""")
       w.newLine()
       attrKeys.foreach { k =>
-        w.write(s"""  <key id="$k" for="node" attr.name="$k" attr.type="string"/>""")
+        val ek = xmlEscape(k)
+        w.write(s"""  <key id="$ek" for="node" attr.name="$ek" attr.type="string"/>""")
         w.newLine()
       }
       w.write("""  <graph edgedefault="undirected">""")
@@ -99,7 +100,10 @@ object GraphML {
                   r.getAttributeValue(null, "target"))
               case _ => ()
             }
-          case XMLStreamConstants.CHARACTERS if curKey != null =>
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+              if curKey != null =>
+            // foreign writers may emit <data><![CDATA[...]]></data>;
+            // dropping CDATA would silently load empty attr values
             text.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {

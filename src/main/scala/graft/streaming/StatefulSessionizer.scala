@@ -30,30 +30,42 @@ object StatefulSessionizer {
     t
   }
 
+  /** Insert one event into the ascending-by-start open-session list:
+    * it extends every session whose gap-widened interval
+    * [start-gap, end+gap] contains t — at most a contiguous run, and
+    * possibly TWO sessions, which the event then bridges into one.
+    * This is exact batch-gap semantics for out-of-order events: a
+    * head-only fold would mint a spurious session for any in-watermark
+    * event older than the newest session's start.
+    */
+  private def insert(ss: List[SessionState], t: Long): List[SessionState] = {
+    val (before, rest) = ss.span(_.end + GapMicros < t)
+    val (mergeable, after) = rest.span(_.start - GapMicros <= t)
+    val merged =
+      if (mergeable.isEmpty) SessionState(t, t, 1L)
+      else SessionState(math.min(mergeable.head.start, t),
+        math.max(mergeable.last.end, t), mergeable.map(_.n).sum + 1L)
+    before ::: merged :: after
+  }
+
   def updateState(userId: Long, events: Iterator[Event],
       state: GroupState[List[SessionState]]): Iterator[Session] = {
-    var sessions = state.getOption.getOrElse(Nil) // head = most recent
-    if (!state.hasTimedOut) {
-      events.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
-        val t = toMicros(e.ts)
-        sessions = sessions match {
-          case head :: tail if t - head.end <= GapMicros && t >= head.start =>
-            SessionState(head.start, math.max(head.end, t), head.n + 1) :: tail
-          case other => SessionState(t, t, 1L) :: other
-        }
-      }
-    }
+    var sessions = state.getOption.getOrElse(Nil) // ascending by start
+    if (!state.hasTimedOut)
+      events.foreach(e => sessions = insert(sessions, toMicros(e.ts)))
     val watermarkUs = state.getCurrentWatermarkMs() * 1000L
     val (closed, open) = sessions.partition(_.end + GapMicros < watermarkUs)
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
-      // wake up when the newest session becomes closable
-      val timeoutMs = math.max(open.map(_.end).max / 1000L + GapMicros / 1000L,
+      // wake when the EARLIEST open session becomes closable — keying
+      // on the newest would withhold older idle sessions until the
+      // newest also went quiet
+      val timeoutMs = math.max(open.map(_.end).min / 1000L + GapMicros / 1000L,
         state.getCurrentWatermarkMs() + 1L)
       state.setTimeoutTimestamp(timeoutMs)
     }
-    closed.reverseIterator.map(s => Session(userId,
+    closed.iterator.map(s => Session(userId,
       fromMicros(s.start), fromMicros(s.end), s.n))
   }
 

@@ -131,6 +131,45 @@ class StreamingSpec extends AnyFunSuite {
       "streamed window aggregates must equal batch")
   }
 
+  test("sessionizer merges late in-watermark events into the right session (and bridges)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StatefulSessionizer._
+    def ev(minutes: Long) = Event(1L, new java.sql.Timestamp(minutes * 60000L))
+    def call(events: Seq[Event],
+        state: Optional[List[SessionState]], watermarkMin: Long) = {
+      val s = TestGroupState.create[List[SessionState]](
+        state, GroupStateTimeout.EventTimeTimeout(), 0L,
+        Optional.of(watermarkMin * 60000L), false)
+      (updateState(1L, events.iterator, s).toList, s)
+    }
+    // batch 1: events at t=0 and t=100min -> two open sessions
+    val (out1, s1) = call(Seq(ev(0), ev(100)), Optional.empty(), 0)
+    assert(out1.isEmpty)
+    assert(s1.get.map(x => (x.start, x.end, x.n)) ==
+      List((0L, 0L, 1L), (100L * 60000000L, 100L * 60000000L, 1L)))
+    // batch 2: LATE event at t=10min (in watermark) must extend the
+    // [0,0] session, not mint a third one (head-only fold bug)
+    val (out2, s2) = call(Seq(ev(10)), Optional.of(s1.get), 0)
+    assert(out2.isEmpty)
+    assert(s2.get.map(x => (x.start / 60000000L, x.end / 60000000L, x.n)) ==
+      List((0L, 10L, 2L), (100L, 100L, 1L)))
+    // batch 3: an event at t=25 bridges nothing; t=115 extends newest;
+    // then t=55 arrives between [0..25] and [100..115]: outside both
+    // gaps -> own session; finally t=37 bridges [0..25] and [55..55]
+    val (_, s3) = call(Seq(ev(25), ev(115), ev(55), ev(37)), Optional.of(s2.get), 0)
+    assert(s3.get.map(x => (x.start / 60000000L, x.end / 60000000L, x.n)) ==
+      List((0L, 55L, 5L), (100L, 115L, 2L)))
+    // watermark passes 55+30: the merged old session closes and emits
+    val (out4, s4) = call(Seq(), Optional.of(s3.get), 86)
+    assert(out4.map(s => (s.session_start.getTime / 60000L,
+      s.session_end.getTime / 60000L, s.n_events)) == List((0L, 55L, 5L)))
+    assert(s4.get.map(x => (x.start / 60000000L, x.end / 60000000L, x.n)) ==
+      List((100L, 115L, 2L)))
+    // timeout keys on the EARLIEST open session's close, not the newest
+    assert(s4.getTimeoutTimestampMs.get() == (115L + 30L) * 60000L)
+  }
+
   test("checkpointed file sink resumes exactly-once across a restart") {
     // the production recovery contract: stop the query, new data
     // arrives, a NEW query on the same checkpoint picks up only the
