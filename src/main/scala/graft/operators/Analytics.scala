@@ -85,6 +85,31 @@ object Analytics {
       |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube desugar to),
+    * through the `spark.sql` entry path over a temp view — the one
+    * aggregation shape the DataFrame API has no direct spelling for,
+    * and a deliberate exercise of the SQL front door the engine
+    * contract includes.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  private val groupingSetsAggSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   /** CUBE over (orderstatus, orderpriority). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -194,6 +219,7 @@ object Analytics {
     Op("window_ranks", windowRanks, Some(windowRanksSql)),
     Op("rollup_agg", rollupAgg, Some(rollupAggSql)),
     Op("cube_agg", cubeAgg, Some(cubeAggSql)),
+    Op("grouping_sets_agg", groupingSetsAgg, Some(groupingSetsAggSql)),
     Op("set_ops", setOps, Some(setOpsSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
