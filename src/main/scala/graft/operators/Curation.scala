@@ -279,8 +279,31 @@ object Curation {
        |    ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
        |  FROM documents)""".stripMargin
 
+  /** Deterministic rate-based stratified sampling: each source keeps a
+    * configured percentage of its documents, membership decided by the
+    * portable hash — the mixture-downsampling complement to
+    * [[quotaSample]]'s absolute quotas. Shuffle-free (pure filter),
+    * reproducible across engines/runs/cluster sizes, and stable under
+    * late-arriving data — the three properties `rand()`-based
+    * sampling loses.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val pct = when(col("source") === "src0", lit(50))
+      .when(col("source") === "src1", lit(25))
+      .otherwise(lit(10))
+    Tables.documents(spark, dir)
+      .where(graft.functions.CrossHash.hash60(col("doc_id").cast("string")) % 100 < pct)
+      .select(col("doc_id"), col("source"))
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100
+       |  < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
+    Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Op("decontaminate", decontaminate, Some(decontaminateSql)),
     Op("pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("repetition_score", repetitionScore, Some(repetitionScoreSql)),

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry hygiene: contributor-error guards over the driver
+  * contract itself (SparkEntry). These catch the mistakes the oracle
+  * harness would surface only as confusing downstream failures —
+  * duplicate names silently shadowing an op in the queries Map,
+  * oracles referencing tables the harness never registers, bench ops
+  * without oracles.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val tables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("op names are unique (Map build must not shadow)") {
+    val names = SparkEntry.allOps.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate op names: $dups")
+  }
+
+  test("every oracle references only harness-registered tables") {
+    // conservative: any FROM/JOIN <ident> must be a known table or a
+    // CTE name defined in the same statement
+    val fromRe = """(?i)\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)""".r
+    // allows an optional CTE column list: name(c1, c2) AS (VALUES ...)
+    val cteRe = """(?i)\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
+    SparkEntry.allOps.flatMap(o => o.oracle.map(o.name -> _)).foreach {
+      case (name, sql) =>
+        val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        val unknown = refs -- tables -- ctes
+        assert(unknown.isEmpty,
+          s"$name oracle references unknown relations: $unknown")
+    }
+  }
+
+  test("every bench op carries an oracle") {
+    val weak = SparkEntry.benchQueries.filter(_.oracle.isEmpty).map(_.name)
+    assert(weak.isEmpty, s"bench ops without oracle: $weak")
+  }
+
+  test("oracleSql keys are exactly the oracle-carrying ops") {
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.allOps.filter(_.oracle.nonEmpty).map(_.name).toSet)
+  }
+}
