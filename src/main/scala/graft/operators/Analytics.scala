@@ -85,6 +85,56 @@ object Analytics {
       |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    * -preserving variants of [[setOps]] — a customer with three
+    * qualifying orders appears min(3, m) times in the intersection,
+    * not once. Planned by Spark as aggregate+join (no row explosion).
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+    big.intersectAll(urgent).withColumn("relation", lit("both_all"))
+      .unionByName(big.exceptAll(urgent).withColumn("relation", lit("only_big_all")))
+  }
+
+  private val setOpsAllSql =
+    """WITH big AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000),
+      |urgent AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT custkey, 'both_all' AS relation
+      |FROM (SELECT custkey FROM big INTERSECT ALL SELECT custkey FROM urgent)
+      |UNION ALL
+      |SELECT custkey, 'only_big_all' AS relation
+      |FROM (SELECT custkey FROM big EXCEPT ALL SELECT custkey FROM urgent)""".stripMargin
+
+  /** Unpivot/melt — the inverse of A9's pivot: wide measure columns to
+    * long (measure, value) rows. Narrow per-row transform, no shuffle;
+    * the oracle spells the identical semantics as a 3-way UNION ALL.
+    */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+
+  private val unpivotLongSql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+      |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount',
+      |  CAST(l_discount AS DOUBLE) FROM lineitem""".stripMargin
+
   /** Explicit GROUPING SETS (the general form rollup/cube desugar to),
     * through the `spark.sql` entry path over a temp view — the one
     * aggregation shape the DataFrame API has no direct spelling for,
@@ -221,6 +271,8 @@ object Analytics {
     Op("cube_agg", cubeAgg, Some(cubeAggSql)),
     Op("grouping_sets_agg", groupingSetsAgg, Some(groupingSetsAggSql)),
     Op("set_ops", setOps, Some(setOpsSql)),
+    Op("set_ops_all", setOpsAll, Some(setOpsAllSql)),
+    Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
