@@ -25,16 +25,19 @@ object Tables {
   // DataFrame (plan only — nothing is cached/persisted, every action
   // still scans parquet) reproduces that. Keyed by session too, so
   // tests with multiple sessions never share plans.
-  // Weakly keyed by session so a stopped/discarded SparkSession (and
-  // every memoized plan + file listing hanging off it) is collectable —
+  // Entries for stopped sessions are evicted eagerly on every access:
   // a JVM that cycles sessions (Verify then Bench, test runners) must
-  // not grow heap monotonically. The inner map is per-session state.
+  // not grow heap monotonically. (A WeakHashMap alone would NOT work
+  // here — the memoized DataFrames strongly reference their session,
+  // so the key would stay reachable through the value and never
+  // collect: the documented WeakHashMap value→key leak.)
   private val relations = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = relations.synchronized {
+      relations.keySet.removeIf(s => s.sparkContext.isStopped)
       relations.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
