@@ -36,6 +36,12 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("driver entry smoke: flagship query returns rows at sf0.001") {
+    val spark = Sessions.build("graft-test", "4")
+    spark.sparkContext.setLogLevel("WARN")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every bench op carries an oracle") {
     val weak = SparkEntry.benchQueries.filter(_.oracle.isEmpty).map(_.name)
     assert(weak.isEmpty, s"bench ops without oracle: $weak")
