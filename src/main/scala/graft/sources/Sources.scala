@@ -126,6 +126,30 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Corruption-tolerant JSONL source: malformed lines land in a
+    * `_corrupt` column instead of failing the job — at ingest scale a
+    * handful of bad lines in a billion must never kill the run, and
+    * quarantining them (filter on `_corrupt IS NOT NULL`) preserves
+    * them for audit. `schema` is the expected good-row schema.
+    */
+  def readJsonlPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", "string"))
+      .json(path)
+
+  /** Schema-evolved parquet scan: union the schemas of all files
+    * (columns added over a dataset's lifetime read as null for files
+    * written before the column existed). Off by default in Spark
+    * because footer-merging costs a pass over file metadata — that is
+    * exactly the documented trade: pay it when a lake-era dataset has
+    * evolved, skip it when the schema is known-stable.
+    */
+  def parquetMergeSchema(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** S14: bench-log append table (same three-column schema as the
     * reference's Benchmark DuckDB table —
     * /root/reference/src/utils/stopwatch.py:63-79).

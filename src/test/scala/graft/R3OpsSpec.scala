@@ -115,6 +115,40 @@ class R3OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == docs.count())
   }
 
+  test("permissive JSONL source quarantines corrupt lines instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir + "/part-0.json"),
+      """{"doc_id": 1, "text": "good"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // Spark disallows querying ONLY the corrupt column straight off the
+    // raw file (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    // materialize the parse once, as the error message prescribes
+    val df = Sources.readJsonlPermissive(spark, dir, schema).cache()
+    assert(df.count() == 3, "no line may be dropped or kill the read")
+    assert(df.where(col("_corrupt").isNotNull).count() == 1)
+    assert(df.where(col("_corrupt").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("mergeSchema reads a schema-evolved parquet dataset with null backfill") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(base + "/w1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(base + "/w2")
+    val merged = Sources.parquetMergeSchema(spark, base + "/w1", base + "/w2")
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(rows == Set((1L, None), (2L, Some(9.5))),
+      "pre-evolution files must read the new column as null")
+  }
+
   test("JSONL shard sink round-trips and shards deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(spark, sf)
