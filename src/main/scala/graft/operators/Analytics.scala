@@ -85,6 +85,39 @@ object Analytics {
       |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Frame-bounded moving-window aggregates (ROWS BETWEEN 3 PRECEDING
+    * AND CURRENT ROW): the sliding-statistics family — moving sum/avg/
+    * min — that default whole-partition frames cannot express. Sum
+    * rides an exact decimal accumulator (Spark's incremental
+    * add/remove and DuckDB's segment tree would otherwise disagree in
+    * double ulps); avg is the exact sum over the frame count; min on
+    * doubles is order-free. Frame order keys on unique event_id, so
+    * frames are deterministic.
+    */
+  def windowMoving(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("n_frame"),
+        min(col("value")).over(w).as("mov_min"))
+      .withColumn("mov_avg", col("mov_sum") / col("n_frame"))
+  }
+
+  private val windowMovingSql =
+    """SELECT event_id, event_type, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mov_sum,
+      |  COUNT(*) OVER w AS n_frame,
+      |  MIN(value) OVER w AS mov_min,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    / (COUNT(*) OVER w) AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY event_id ASC
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
     * -preserving variants of [[setOps]] — a customer with three
     * qualifying orders appears min(3, m) times in the intersection,
@@ -272,6 +305,7 @@ object Analytics {
     Op("grouping_sets_agg", groupingSetsAgg, Some(groupingSetsAggSql)),
     Op("set_ops", setOps, Some(setOpsSql)),
     Op("set_ops_all", setOpsAll, Some(setOpsAllSql)),
+    Op("window_moving", windowMoving, Some(windowMovingSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
