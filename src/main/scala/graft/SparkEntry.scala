@@ -13,7 +13,8 @@ object SparkEntry {
       Similarity.ops ++ Multimodal.ops ++ Mobility.ops ++
       Imputation.ops ++ Scaling.ops ++ Spatial.ops ++
       Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
-      GraphMetrics.ops ++ Curation.ops ++ graft.streaming.StreamOps.ops
+      GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
+      graft.streaming.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

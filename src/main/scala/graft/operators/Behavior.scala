@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Behavioral event analytics beyond the reference's epidemiology
+  * focus: cohort retention and state-transition (Markov) matrices over
+  * the events stream — the product-analytics queries any engine sold
+  * as "general event analytics" must answer.
+  */
+object Behavior {
+
+  /** Classic cohort-retention triangle: users are cohorted by their
+    * first active day; each (cohort, day-offset) cell counts users
+    * active that many days after joining.
+    *
+    * Scale shape: the (user, day) distinct and the per-user cohort
+    * window share ONE user_id exchange (the window runs on the
+    * distinct's partitioning); the final cell aggregation is map-side
+    * combined into a cohort×offset result that is calendar-bounded,
+    * never corpus-sized. No self-join — the join-back spelling would
+    * shuffle events by user twice.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
+  private val cohortRetentionSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day,
+      |        min(day) OVER (PARTITION BY user_id) AS cohort
+      |      FROM ud)
+      |SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** First-order event-type transition matrix: for every user-adjacent
+    * (previous type → type) pair, its corpus count and the conditional
+    * probability P(dst | src). The Markov-chain summary behind "what do
+    * users do next" and session-flow Sankeys.
+    *
+    * Scale shape: one user_id exchange for the lag window; the pair
+    * count is map-side combined down to |types|² rows, and the
+    * conditional-probability window runs on that tiny relation. Exact
+    * long counts; the probability is a single IEEE division —
+    * bit-identical across engines.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(w).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("src"))))
+  }
+
+  private val eventTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts ASC, event_id ASC) AS src,
+      |         event_type AS dst
+      |  FROM events),
+      |counted AS (
+      |  SELECT src, dst, count(*) AS n FROM pairs
+      |  WHERE src IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+      |FROM counted""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    Op("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+  )
+}
