@@ -55,6 +55,17 @@ object GraftFunctions {
       es => LccLatExpr(es(0), es(1))),
     ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
       es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
+    ("bloom_build", "bloom_build(key, items, fpp) - serialized bloom filter over long keys",
+      es => BloomBuildAgg(es(0),
+        es(1).eval().asInstanceOf[Number].longValue(),
+        es(2).eval().asInstanceOf[Number].doubleValue()).toAggregateExpression()),
+    ("bloom_might_contain", "bloom_might_contain(key, bloom) - probe a build-time bloom filter",
+      es => {
+        require(es(1).foldable,
+          "bloom_might_contain: the bloom argument must be a literal " +
+            "(build it first via BloomExpressions.build)")
+        BloomMightContainExpr(es(0), es(1).eval().asInstanceOf[Array[Byte]])
+      }),
   )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -85,6 +96,8 @@ object GraftFunctions {
     call_function("lcc_northing", lon, lat)
   def lcc_lon(e: Column, n: Column): Column = call_function("lcc_lon", e, n)
   def lcc_lat(e: Column, n: Column): Column = call_function("lcc_lat", e, n)
+  def bloom_might_contain(key: Column, bloom: Column): Column =
+    call_function("bloom_might_contain", key, bloom)
 
   /** Native as-of join ([[graft.plans.AsOfJoinExec]]): for each left
     * row, the right row with equal key and greatest rTime ≤ lTime;
