@@ -134,6 +134,27 @@ object StreamOps {
       .dropDuplicates("content_hash")
   }
 
+  /** Watermark-bounded streaming dedup — the 100 TB-safe form of
+    * [[streamingDedup]]: duplicate re-deliveries of an event are
+    * dropped as long as they arrive within the watermark delay of the
+    * first copy, and the per-key state EXPIRES once the watermark
+    * passes it. Unbounded-key dedup state grows with the corpus; this
+    * grows with (event rate × watermark) only — the deliberate
+    * trade: a duplicate later than the delay is no longer caught.
+    */
+  def streamingDedupBounded(spark: SparkSession, eventsDir: String): DataFrame = {
+    val s0 = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val s =
+      if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s0
+    s.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("ts"))
+  }
+
   /** Stream-stream interval join (watermarked both sides): purchases
     * within 30 minutes after a click by the same user — identical
     * semantics to Temporal.clickToPurchase (spec-verified). The

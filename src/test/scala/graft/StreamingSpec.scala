@@ -66,6 +66,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0, "no invented hashes")
   }
 
+  test("watermark-bounded dedup drops in-watermark redeliveries, state stays bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wdedup").toString + "/events"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // batch 1: the full stream; batch 2: a redelivery of every event
+    // (same ids, same timestamps => all within the 30 min watermark)
+    ev.coalesce(1).write.parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamOps.streamingDedupBounded(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("wdedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wdedup_out")
+    assert(streamed.count() == ev.count(),
+      "each event emitted exactly once despite full redelivery")
+    assert(streamed.select("event_id").distinct().count() == streamed.count())
+    assert(streamed.exceptAll(ev).count() == 0, "no invented rows")
+  }
+
   test("stream-stream interval join equals the batch click_to_purchase") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString + "/events"
     Tables.events(spark, sf).write.parquet(dir)
