@@ -226,8 +226,50 @@ object Aggregations {
       |    / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 9) AS corr_qty_price
       |FROM m""".stripMargin
 
+  /** Incremental aggregation (materialized-view maintenance): the
+    * running per-flag totals are maintained as PARTIAL aggregates —
+    * history partitions aggregated once and stored, each new
+    * partition's delta aggregated alone, the two merged by summing the
+    * partials. sum/count/min are mergeable, so merged partials ≡ the
+    * full re-aggregation the oracle runs; avg is derived from the
+    * merged sums, never averaged across partials (the classic
+    * incremental-view bug).
+    *
+    * Scale shape: a daily refresh touches ONE partition's worth of
+    * input plus a flag-cardinality state table — not the 100 TB
+    * history. Exact decimal partials keep merge order irrelevant.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2020-06-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          min(col("l_shipdate")).as("first_ship"))
+    val li = Tables.lineitem(spark, dir)
+    val history = partial(li.where(col("l_shipdate") < cutoff))
+    val delta = partial(li.where(col("l_shipdate") >= cutoff))
+    history.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_qty")).as("merged_qty"),
+        min(col("first_ship")).as("first_ship"))
+      .select(col("l_returnflag"), col("n"),
+        col("merged_qty").cast("double").as("sum_qty"),
+        (col("merged_qty").cast("double") / col("n")).as("avg_qty"),
+        col("first_ship"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  min(l_shipdate) AS first_ship
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q1_agg", q1Agg, Some(q1AggSql), bench = true),
+    Op("incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Op("histogram_bins", histogramBins, Some(histogramBinsSql)),
     Op("corr_covar", corrCovar, Some(corrCovarSql)),
     Op("count_distinct_approx", countDistinctApprox, None),

@@ -280,8 +280,41 @@ object Dedup {
        |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id""".stripMargin
 
+  /** Blocked fuzzy matching: within-brand part-name pairs at edit
+    * distance ≤ 2 — the entity-resolution primitive (typo dedup,
+    * catalog reconciliation). Levenshtein is the textbook DP, defined
+    * identically in every engine, so pairs are oracle-exact.
+    *
+    * Scale shape: the self-join is blocked on the brand key (an
+    * equi-join), never name×name across the catalog — same discipline
+    * as the shingle/band blocking above. The quadratic cost lives only
+    * inside a block; skewed blocks would take the salting treatment
+    * from `functions.Skew`.
+    */
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.alias("a").join(p.alias("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_brand").as("brand"),
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+  }
+
+  private val fuzzyPairsSql =
+    """SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
     Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql), bench = true),

@@ -356,10 +356,52 @@ object Joins {
       |  COALESCE(u.n_regionkey, b.n_regionkey) AS n_regionkey
       |FROM base b FULL JOIN updates u ON b.n_nationkey = u.n_nationkey""".stripMargin
 
+  /** SCD2 history build: each customer's order-status change log
+    * becomes validity intervals — valid_from = the change's date,
+    * valid_to = the next change's date (NULL while current). The
+    * other half of the MERGE story next to [[upsertCatalog]]'s SCD1:
+    * instead of update-in-place, every version is kept with its
+    * validity range, which is what time-travel joins consume.
+    *
+    * Scale shape: one customer-key exchange for the lead() window;
+    * rows with no status change are collapsed first (lag filter) on
+    * the same partitioning, so consecutive-dedup and interval
+    * construction share a single sort.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .where(col("prev_status").isNull
+        || col("prev_status") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"))
+  }
+
+  private val scd2HistorySql =
+    """WITH changes AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER w AS prev_status
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC))
+      |SELECT o_custkey, o_orderstatus AS status,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      |FROM changes
+      |WHERE prev_status IS NULL OR prev_status <> o_orderstatus""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),
+    Op("scd2_history", scd2History, Some(scd2HistorySql)),
     Op("salted_join_agg", saltedJoinAgg, Some(saltedJoinAggSql)),
     Op("bucketed_join_agg", bucketedJoinAgg, Some(bucketedJoinAggSql)),
     Op("left_join_sentinel", leftJoinSentinel, Some(leftJoinSentinelSql)),

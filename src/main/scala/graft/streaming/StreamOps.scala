@@ -134,6 +134,39 @@ object StreamOps {
       .dropDuplicates("content_hash")
   }
 
+  /** The same 30-minute-gap sessions through Spark's native
+    * `session_window` aggregate: windows merge while events arrive
+    * within the gap, so `window.start = min(ts)` and `window.end =
+    * max(ts) + gap` per session. One exchange (user_id ⊕ session
+    * merge), and — unlike the lag/cumsum spelling in [[sessionize]] —
+    * this form runs UNCHANGED under readStream with a watermark,
+    * where merging session state is exactly what the streaming
+    * aggregation operator maintains.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // session end is max(ts) + gap under session_window semantics
+  private val sessionWindowAggSql =
+    """SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |                >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, s""".stripMargin
+
   /** Watermark-bounded streaming dedup — the 100 TB-safe form of
     * [[streamingDedup]]: duplicate re-deliveries of an event are
     * dropped as long as they arrive within the watermark delay of the
@@ -189,5 +222,6 @@ object StreamOps {
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Op("sliding_window", slidingWindow, Some(slidingWindowSql)),
     Op("sessionize", sessionize, Some(sessionizeSql)),
+    Op("session_window_agg", sessionWindowAgg, Some(sessionWindowAggSql)),
   )
 }
