@@ -16,12 +16,14 @@ object Behavior {
     * first active day; each (cohort, day-offset) cell counts users
     * active that many days after joining.
     *
-    * Scale shape: the (user, day) distinct and the per-user cohort
-    * window share ONE user_id exchange (the window runs on the
-    * distinct's partitioning); the final cell aggregation is map-side
-    * combined into a cohort×offset result that is calendar-bounded,
-    * never corpus-sized. No self-join — the join-back spelling would
-    * shuffle events by user twice.
+    * Scale shape: the raw event stream is touched by exactly one
+    * exchange — the (user, day) distinct, which partial-aggregates
+    * map-side first. The per-user cohort window then re-shuffles only
+    * the DISTINCT user-days (users × active-days, orders of magnitude
+    * below the event count), and the final cell aggregation combines
+    * map-side into a calendar-bounded cohort×offset result. No
+    * self-join — the join-back spelling would shuffle raw events by
+    * user twice.
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -90,6 +90,50 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(2000))
   }
 
+  test("bloom_prune: probe filter precedes the join; dim side broadcasts") {
+    val p = finalPlan("bloom_prune")
+    // the bloom probe must run in the scan stage (before any join),
+    // not as a post-join residual
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(probeAt >= 0, "probe filter missing from the plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "treeString lists parents first: the probe filter must sit BELOW " +
+        "(after in text) the join it feeds")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "catalog-sized dim must broadcast for the exact semi-join")
+    assert(!p.contains("CodegenFallback"), "probe must stay codegen'd")
+  }
+
+  test("chunk_documents: shuffle-free explode") {
+    val p = finalPlan("chunk_documents")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      "chunking must not shuffle")
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
+  test("cohort_retention: raw events shuffle once; window re-shuffles distinct days only") {
+    val p = finalPlan("cohort_retention")
+    // exchange 1: (user_id, day) distinct — map-side combined, the only
+    // exchange that sees raw events; exchange 2: user_id window over the
+    // already-distinct user-days
+    val userDay = "Exchange hashpartitioning\\(user_id#\\d+L?, day#".r
+      .findAllIn(p).size
+    val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d".r
+      .findAllIn(p).size
+    assert(userDay == 1, s"distinct must shuffle raw events exactly once: $userDay")
+    assert(userOnly == 1, s"cohort window shuffles only distinct user-days: $userOnly")
+    assert(p.contains("partial_"),
+      "the final cell aggregation must combine map-side")
+  }
+
+  test("zorder_key: scalar min/max broadcast only, no hash exchange") {
+    val p = finalPlan("zorder_key")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      "normalization scalars must not shuffle the fact table")
+    assert(count(p, "BroadcastExchange") == 1, p.take(2000))
+  }
+
   test("extract_project_filter: predicate and projection reach the scan") {
     val p = finalPlan("extract_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")

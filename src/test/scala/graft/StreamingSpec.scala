@@ -66,6 +66,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0, "no invented hashes")
   }
 
+  test("session_window aggregation runs unchanged under readStream + watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swin").toString + "/events"
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts")).cache()
+    val cut = lit("2024-01-15").cast("timestamp")
+    ev.where(col("ts") < cut).coalesce(1).write.parquet(dir)
+    ev.where(col("ts") >= cut).coalesce(1).write.mode("append").parquet(dir)
+    // the IDENTICAL transformation as the batch op, on a stream
+    val streamed = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("swin_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("swin_out")
+    val want = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    assert(got.count() == want.count(),
+      s"stream ${got.count()} vs batch ${want.count()} sessions")
+    assert(got.exceptAll(want).count() == 0, "session sets must be identical")
+  }
+
   test("watermark-bounded dedup drops in-watermark redeliveries, state stays bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wdedup").toString + "/events"
     val ev = Tables.events(spark, sf)
