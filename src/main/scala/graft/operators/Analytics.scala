@@ -297,7 +297,98 @@ object Analytics {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  /** Higher-order array-function parity: transform / filter /
+    * aggregate (fold) / sort / slice over per-document token-length
+    * arrays — the lambda surface a DataFrame user reaches for when the
+    * data is nested. Integer element math keeps every engine exact.
+    *
+    * Scale note: pure per-row projection, shuffle-free. Spark's lambda
+    * HOFs do NOT whole-stage-codegen (VERDICT r1 #4) — fine here where
+    * the op IS the lambda surface; hot inner loops use native
+    * expressions instead (vec_dot, shingle kernels).
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => length(t)).as("lens"))
+      .select(col("doc_id"),
+        size(filter(col("lens"), x => x > 4)).cast("long").as("n_long"),
+        aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("total_len"),
+        array_max(col("lens")).cast("long").as("longest"),
+        slice(sort_array(col("lens"), asc = false), 1, 3).as("top_lens"))
+
+  private val arrayHofSql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+      |  CAST(list_aggregate(lens, 'sum') AS BIGINT) AS total_len,
+      |  CAST(list_max(lens) AS BIGINT) AS longest,
+      |  list_sort(lens, 'DESC')[1:3] AS top_lens
+      |FROM (SELECT doc_id,
+      |        list_transform(string_split(text, ' '), t -> len(t)) AS lens
+      |      FROM documents)""".stripMargin
+
+  /** Top-k per group WITH ties (rank, not row_number): every row whose
+    * quantity ranks in the flag's top 3 — the "all record holders"
+    * semantics row_number-based top-k silently drops. Still plans as
+    * WindowGroupLimit (rank is group-limit-eligible), so partial top-k
+    * runs map-side before the exchange.
+    */
+  def topkTies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        rank().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .groupBy(col("l_returnflag"), col("l_quantity"), col("rk"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val topkTiesSql =
+    """SELECT l_returnflag, l_quantity, rk, count(*) AS n_rows
+      |FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    rank() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity DESC) AS rk
+      |  FROM lineitem)
+      |WHERE rk <= 3
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Robust dispersion per event type: exact linear-interpolated median
+    * and MAD (median absolute deviation) — the outlier-resistant pair
+    * quality monitoring uses where mean/stddev get dragged by tails.
+    * Two type-key exchanges (values, then absolute deviations joined
+    * against the broadcast |types|-row median relation); results
+    * rounded to 9 dp to absorb engine interpolation ulps.
+    */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("m"), count(lit(1)).as("n"),
+        expr("percentile(adev, 0.5)").as("mad"))
+      .select(col("event_type"), round(col("m"), 9).as("median_value"),
+        col("n"), round(col("mad"), 9).as("mad"))
+  }
+
+  private val robustStatsSql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY 1)
+      |SELECT events.event_type, round(med.m, 9) AS median_value,
+      |  count(*) AS n,
+      |  round(quantile_cont(abs(value - med.m), 0.5), 9) AS mad
+      |FROM events JOIN med ON events.event_type = med.event_type
+      |GROUP BY 1, med.m""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("array_hof", arrayHof, Some(arrayHofSql)),
+    Op("topk_ties", topkTies, Some(topkTiesSql)),
+    Op("robust_stats", robustStats, Some(robustStatsSql)),
     Op("window_offsets", windowOffsets, Some(windowOffsetsSql)),
     Op("window_ranks", windowRanks, Some(windowRanksSql)),
     Op("rollup_agg", rollupAgg, Some(rollupAggSql)),

@@ -23,6 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # DuckDB's int64 row_number hash-matched — but decimal128 vs int64 does
 # NOT: the three r1 hash-fails were all uncast HUGEINT sums).
 def norm(t):
+    import pyarrow as pa
+    # lists compare by normalized ELEMENT type (field name and
+    # nullability are arrow metadata the canon never sees; int widths
+    # inside a list canonize to equal python ints exactly like at the
+    # top level)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm(t.value_type)}>"
     s = str(t)
     if s.startswith("timestamp"):
         return "timestamp"
