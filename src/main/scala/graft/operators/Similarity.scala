@@ -295,7 +295,71 @@ object Similarity {
        |    (acc, x) -> acc + x) / len(v)), 9) AS rmse
        |FROM qd""".stripMargin
 
+  /** kNN classification by majority vote: each query vector takes the
+    * modal label of its 10 nearest neighbors (cosine; self excluded),
+    * ties broken toward the smaller label — the eval-time labeling
+    * primitive on top of the ANN family. Votes and labels are exact
+    * integers, so the result is oracle-exact even though the distance
+    * is floating (the bit-parity dot product decides the SAME top-10
+    * in both engines).
+    *
+    * Scale shape: identical to [[annCosineTopk]] — query set
+    * broadcasts, corpus never shuffles before the per-query top-k
+    * (WindowGroupLimit partials); the vote count then touches only
+    * queries × 10 rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("label"))
+    val sim = (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("label"), sim)
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 10)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .where(col("vr") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
+  private val knnClassifySql = {
+    val dotQC = dotSql("qv", "cv")
+    s"""WITH emb AS (
+       |  SELECT vec_id, $vecSql AS v, label,
+       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn, label FROM emb),
+       |top10 AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, cand_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY $dotQC / (qn * cn) DESC, cand_id ASC) AS rnk
+       |    FROM c CROSS JOIN q WHERE query_id != cand_id)
+       |  WHERE rnk <= 10),
+       |votes AS (
+       |  SELECT query_id, label, count(*) AS votes
+       |  FROM top10 GROUP BY 1, 2)
+       |SELECT query_id, label AS predicted_label, votes FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY votes DESC, label ASC) AS vr
+       |  FROM votes)
+       |WHERE vr = 1""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),

@@ -150,6 +150,20 @@ object Sources {
   def parquetMergeSchema(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** Raw-binary ingestion for the multimodal path: each file becomes a
+    * row of (path, modificationTime, length, content binary) — the
+    * entry point that turns a directory of images/audio into the
+    * opaque-binary column `operators.Multimodal` processes. Built on
+    * Spark's binaryFile source, so listing is distributed and
+    * `pathGlobFilter` prunes at enumeration time (never reads rejected
+    * bytes); `maxBytesPerFile`-style guards belong in the caller at
+    * 100 TB.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** S14: bench-log append table (same three-column schema as the
     * reference's Benchmark DuckDB table —
     * /root/reference/src/utils/stopwatch.py:63-79).

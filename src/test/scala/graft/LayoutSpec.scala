@@ -87,6 +87,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("binaryFile source ingests raw bytes with glob pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val a = dir.resolve("img_0.bin"); val b = dir.resolve("img_1.bin")
+    val skip = dir.resolve("notes.txt")
+    java.nio.file.Files.write(a, Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(b, Array[Byte](9, 8, 7))
+    java.nio.file.Files.write(skip, "not binary payload".getBytes)
+    val df = graft.sources.Sources.binaryFiles(spark, dir.toString, "*.bin")
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.length == 2, "glob must prune the .txt file at listing time")
+    assert(rows(0) == (("img_0.bin", 4L, Seq[Byte](1, 2, 3, 4))))
+    assert(rows(1) == (("img_1.bin", 3L, Seq[Byte](9, 8, 7))))
+  }
+
   test("bloom probe stays codegen'd (no CodegenFallback in the filter stage)") {
     val dim = Tables.part(spark, sf).where(col("p_size") < 15)
       .select(col("p_partkey"))
