@@ -385,8 +385,59 @@ object Analytics {
       |FROM events JOIN med ON events.event_type = med.event_type
       |GROUP BY 1, med.m""".stripMargin
 
+  /** Rolling z-score anomaly flags: each event's value against the
+    * mean/stddev of its type's 20 PRECEDING events (current row
+    * excluded — a point must not normalize itself). The streaming-ish
+    * monitoring primitive, spelled as one frame-bounded window.
+    *
+    * Exactness: frame sum and sum-of-squares ride DECIMAL(28,12)
+    * accumulators (order-free), count is exact, and mean/var/z are
+    * derived from those exact ingredients with the identical IEEE
+    * operation sequence in both engines — no rounding crutch needed,
+    * but z is still rounded to 9 dp as belt-and-braces. One
+    * event_type exchange.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(28, 12)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-20, -1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("value").cast(d12)).over(w).cast("double"))
+      .withColumn("ss",
+        sum((col("value").cast(d12) * col("value").cast(d12))
+          .cast(DecimalType(38, 12))).over(w).cast("double"))
+      .where(col("n") >= 5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("s") / col("n"))
+          / sqrt((col("ss") - col("s") * col("s") / col("n"))
+            / (col("n") - 1)), 9).as("z"))
+      .where(abs(col("z")) > 2.5)
+  }
+
+  private val anomalyZscoreSql =
+    """SELECT event_id, event_type, value, z FROM (
+      |  SELECT event_id, event_type, value,
+      |    round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 9) AS z
+      |  FROM (
+      |    SELECT event_id, event_type, value,
+      |      count(*) OVER w AS n,
+      |      CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS s,
+      |      CAST(SUM(CAST(CAST(value AS DECIMAL(28,12))
+      |        * CAST(value AS DECIMAL(28,12)) AS DECIMAL(38,12))) OVER w
+      |        AS DOUBLE) AS ss
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY event_type
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |  WHERE n >= 5)
+      |WHERE abs(z) > 2.5""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("array_hof", arrayHof, Some(arrayHofSql)),
+    Op("anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     Op("topk_ties", topkTies, Some(topkTiesSql)),
     Op("robust_stats", robustStats, Some(robustStatsSql)),
     Op("window_offsets", windowOffsets, Some(windowOffsetsSql)),

@@ -85,6 +85,51 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** Gopher-style hard quality GATES — the keep/drop boolean filter
+    * stage downstream of [[textQuality]]'s soft score: token-count
+    * bounds, mean-token-length band, minimum stop-word fraction, and
+    * a long-token-share cap, each emitted as its own flag plus the
+    * conjunction (`keep`), so a pipeline can audit WHICH rule dropped
+    * a document. Single-pass per-row HOFs, shuffle-free; every ratio
+    * is exact-int division in double, so flags are oracle-exact.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val n = size(split(col("text"), " "))
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+    val nLong = expr("size(filter(split(text, ' '), t -> length(t) >= 8))")
+    val meanLen = (col("n_chars") - (n - 1)).cast("double") / n
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (n >= 30 && n <= 5000).as("ok_tokens"),
+        (meanLen >= lit(4.0) && meanLen <= lit(5.0)).as("ok_word_len"),
+        (nStop.cast("double") / n >= lit(0.03)).as("ok_stopwords"),
+        (nLong.cast("double") / n <= lit(0.2)).as("ok_long_tokens"))
+      .withColumn("keep",
+        col("ok_tokens") && col("ok_word_len")
+          && col("ok_stopwords") && col("ok_long_tokens"))
+  }
+
+  private val gopherRulesSql = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) BETWEEN 30 AND 5000 AS ok_tokens,
+       |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) BETWEEN 4.0 AND 5.0 AS ok_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))
+       |    AS DOUBLE) / len(string_split(text, ' ')) >= 0.03 AS ok_stopwords,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) >= 8))
+       |    AS DOUBLE) / len(string_split(text, ' ')) <= 0.2 AS ok_long_tokens,
+       |  (len(string_split(text, ' ')) BETWEEN 30 AND 5000)
+       |    AND (CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |      / len(string_split(text, ' ')) BETWEEN 4.0 AND 5.0)
+       |    AND (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))
+       |      AS DOUBLE) / len(string_split(text, ' ')) >= 0.03)
+       |    AND (CAST(len(list_filter(string_split(text, ' '), t -> len(t) >= 8))
+       |      AS DOUBLE) / len(string_split(text, ' ')) <= 0.2) AS keep
+       |FROM documents""".stripMargin
+  }
+
   /** Language-ID via marker-word profile counts (n-gram-heuristic
     * family): per-profile token hits, argmax with deterministic
     * alphabetic tie-break.
@@ -271,6 +316,7 @@ object TextAnalysis {
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
+    Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
