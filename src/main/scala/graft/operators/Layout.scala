@@ -77,7 +77,9 @@ object Layout {
       expectedItems = 1 << 14, fpp = 0.03)
     Tables.lineitem(spark, dir)
       .where(GraftFunctions.bloom_might_contain(col("l_partkey"), lit(bloom)))
-      .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+      // explicit hint: the filtered dim is catalog-sized by selection;
+      // auto-broadcast must not depend on ambient session conf
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
@@ -90,8 +92,23 @@ object Layout {
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
       |GROUP BY 1""".stripMargin
 
+  /** The `ping_gen` DataSource V2 scan ([[graft.sources.PingGen]]):
+    * a deterministic synthetic ping table generated distributively at
+    * read time. Registered as an oracle query because every field is a
+    * pure function of the logical indices through the portable md5
+    * hash — DuckDB reproduces the identical relation from
+    * generate_series + the same arithmetic, so even the custom
+    * connector is held to bit-for-bit parity.
+    */
+  def pingGenScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("ping_gen")
+      .option("users", 50).option("days", 3).option("pings", 20)
+      .load()
+
   val ops: Seq[Op] = Seq(
     Op("zorder_key", zorderKey, Some(zorderKeySql)),
     Op("bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    Op("ping_gen_scan", pingGenScan,
+      Some(graft.sources.PingGen.oracleSql(50, 3, 20))),
   )
 }
