@@ -142,7 +142,59 @@ object Clustering {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Canonical-document election per duplicate cluster: the KEEP
+    * decision a dedup pipeline actually ships — each cluster keeps its
+    * highest-quality member (longest document; doc_id tie-break), and
+    * the member count is reported for audit. Quality-aware retention
+    * beats [[dedupClusters]]'s min-id convention when duplicates
+    * differ in truncation/extraction quality.
+    *
+    * Scale shape: the cluster relation is duplicate-bounded (≪
+    * corpus), so its join against the documents table broadcasts; the
+    * election window partitions by cluster over that small relation
+    * only.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+    docs.join(broadcast(clusters), Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("n_chars").as("canonical_chars"), col("n_members"))
+  }
+
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE lsh AS (${Dedup.dedupMinhashLshSql}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh
+       |  UNION
+       |  SELECT doc_b, doc_a FROM lsh),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT cluster_id, doc_id AS canonical_doc,
+       |  n_chars AS canonical_chars, n_members FROM (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |  FROM clusters c JOIN documents d USING (doc_id))
+       |WHERE rk = 1""".stripMargin
+
+  // declared LAST: Scala object vals initialize in declaration order,
+  // and this list must see every oracle string already constructed
   val ops: Seq[Op] = Seq(
     Op("dedup_clusters", (s, d) => dedupClusters(s, d), Some(dedupClustersSql)),
+    Op("dedup_canonical", (s, d) => dedupCanonical(s, d), Some(dedupCanonicalSql)),
   )
 }

@@ -89,6 +89,19 @@ object Pipeline {
   def compose(stages: Stage*): Stage =
     stages.reduceLeft(_ andThen _)
 
+  /** Attach an execution-time audit to a stage boundary: the metrics
+    * accumulate DURING whatever action eventually runs the plan — no
+    * second scan, no extra job (the production answer to "how many
+    * rows left this stage, and how many were null" that a naive
+    * `df.count()` would double-pay for at 100 TB). Read the values
+    * from the Observation after the action completes.
+    */
+  def audited(df: DataFrame, obs: org.apache.spark.sql.Observation,
+      metrics: org.apache.spark.sql.Column*): DataFrame = {
+    val base = count(lit(1)).as("rows")
+    df.observe(obs, base, metrics: _*)
+  }
+
   // ---- full flow ------------------------------------------------------
 
   /** End-to-end daily run: events → NTL homes → interactions →

@@ -38,6 +38,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(staged.where(hour(col("ts")) >= 6 && hour(col("ts")) < 22).count() == 0)
   }
 
+  test("observed stage audit: metrics accumulate in the same action, no extra job") {
+    val obs = new org.apache.spark.sql.Observation("extract_audit")
+    val ev = Tables.events(spark, cfg.dataDir)
+    val staged = Pipeline.audited(
+      Pipeline.extractStage(cfg)(ev), obs,
+      sum(when(col("value").isNull, 1).otherwise(0)).as("null_values"),
+      // exact DISTINCT is not a mergeable single-pass accumulator and
+      // is rejected by observe(); the HLL sketch is the right audit
+      approx_count_distinct(col("user_id")).as("n_users"))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val n = staged.count()
+    val m = obs.get
+    assert(m("rows") == n, "audit row count must equal the action's count")
+    assert(m("null_values") == 0L)
+    assert(m("n_users").asInstanceOf[Long] > 0)
+    // the audit must not have scheduled its own scan
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter - jobsBefore <= 2,
+      s"observe must piggyback on the action: ${jobsAfter - jobsBefore} jobs")
+  }
+
   test("end-to-end daily run: matrix -> network -> SEIR") {
     val (matrix, vertices, edges, status) =
       Pipeline.dailyRun(spark, cfg, seeds = 0 until 2)

@@ -20,6 +20,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate op names: $dups")
   }
 
+  test("no oracle string is null or blank (object-init-order guard)") {
+    // a Seq[Op] val that references an oracle string declared LATER in
+    // its object captures null at init — Verify then NPEs mid-run.
+    // Surface it here with the op's name instead.
+    val bad = SparkEntry.allOps
+      .filter(o => o.oracle.exists(s => s == null || s.trim.isEmpty))
+      .map(_.name)
+    assert(bad.isEmpty, s"ops with null/blank oracle SQL: $bad")
+  }
+
   test("every oracle references only harness-registered tables") {
     // conservative: any FROM/JOIN <ident> must be a known table or a
     // CTE name defined in the same statement
