@@ -358,8 +358,111 @@ object Similarity {
        |WHERE vr = 1""".stripMargin
   }
 
+  /** One Lloyd assignment step with deterministic seeds (the k first
+    * vectors as centroids): each vector → its nearest centroid by
+    * squared L2, spelled ||v||² − 2·v·c + ||c||² from three bit-parity
+    * dot products so the argmin is decided identically in both
+    * engines. The distributed-ML primitive under k-means/IVF training:
+    * centroids broadcast, the corpus never shuffles, per-vector work
+    * is k dot products.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val c = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = (vec_dot(col("v"), col("v"))
+      - lit(2.0) * vec_dot(col("v"), col("cv"))
+      + vec_dot(col("cv"), col("cv"))).as("d2")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"), d2)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("d2"), 9).as("dist2"))
+  }
+
+  private val kmeansAssignSql = {
+    val dVV = dotSql("v", "v")
+    val dVC = dotSql("v", "cv")
+    val dCC = dotSql("cv", "cv")
+    s"""WITH emb AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT vec_id, cid,
+       |    $dVV - 2.0 * $dVC + $dCC AS d2
+       |  FROM emb CROSS JOIN c)
+       |SELECT vec_id, cid AS cluster, round(d2, 9) AS dist2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY d2 ASC, cid ASC) AS rk
+       |  FROM scored)
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** Full Lloyd iterations on DataFrames — assignment as in
+    * [[kmeansAssign]] (centroids broadcast as a literal relation), new
+    * centroids as per-dimension DECIMAL-exact means (posexplode →
+    * (cluster, dim) partial-aggregated sums — aggregation order can
+    * never change the result), centroids collected driver-side between
+    * rounds exactly like production k-means (k×dim doubles). Returns
+    * the per-iteration inertia trace; spec asserts it never increases.
+    */
+  def kmeansIterate(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): Seq[Double] = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .cache()
+    var centroids: Array[(Int, Array[Double])] = e.where(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }
+    val inertia = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toSeq
+        .toDF("cid", "cv_d")
+        .select(col("cid"), col("cv_d").cast("array<float>").as("cv"))
+      val d2 = vec_dot(col("v"), col("v"))
+        .minus(lit(2.0) * vec_dot(col("v"), col("cv")))
+        .plus(vec_dot(col("cv"), col("cv"))).as("d2")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val assigned = e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("cid"), col("v"), d2)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .cache()
+      inertia += assigned.agg(sum(col("d2").cast(DecimalType28)).cast("double"))
+        .head().getDouble(0)
+      val next = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType28)) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val a = new Array[Double](64)
+          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+          cid -> a
+        }.toArray.sortBy(_._1)
+      assigned.unpersist()
+      centroids = next
+    }
+    e.unpersist()
+    inertia.result()
+  }
+
+  private val DecimalType28 = org.apache.spark.sql.types.DecimalType(28, 12)
+
   val ops: Seq[Op] = Seq(
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
+    Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
