@@ -397,8 +397,64 @@ object Joins {
       |FROM changes
       |WHERE prev_status IS NULL OR prev_status <> o_orderstatus""".stripMargin
 
+  /** TPC-H Q5-shaped local-supplier revenue: the 6-relation join-order
+    * stress test — two fact joins (orders⋈lineitem) and a
+    * four-deep dimension chain (customer→nation→region plus the
+    * supplier co-nationality constraint).
+    *
+    * Scale shape: region/nation/supplier/customer are catalog-sized →
+    * broadcast; the only real exchange joins lineitem to orders on
+    * orderkey. The co-nationality predicate (c_nationkey =
+    * s_nationkey) rides the broadcast joins as an equi-key, never a
+    * residual. Exact decimal revenue.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast(dec)
+        * (lit(1.0).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(38, 4)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5LocalSupplierSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
+    Op("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),
     Op("scd2_history", scd2History, Some(scd2HistorySql)),
