@@ -137,7 +137,51 @@ object GraphMetrics {
        |${prIterSql("r2", "r3")}
        |SELECT node, round(r, 9) AS pagerank FROM r3""".stripMargin
 
+  /** Bounded-depth BFS from a deterministic seed set (nodes ≡ 0 mod
+    * 50): min hop distance within 3 rounds — the reachability /
+    * contact-tracing primitive over the empiric network. Proper
+    * frontier expansion: each round joins ONLY the nodes first reached
+    * in the previous round against the edge relation, then folds into
+    * the running min — never re-expands settled nodes. The edge
+    * subtree is identical each round, so all three rounds read one
+    * materialized exchange (same mechanism as [[pagerank]]).
+    */
+  def graphBfsDepth(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e0 = edges(spark, dir)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var dist = e.select(col("src").as("node")).distinct()
+      .where(col("node") % 50 === 0)
+      .select(col("node"), lit(0L).as("depth"))
+    for (k <- 1 to rounds)
+      dist = dist.unionByName(
+          e.join(dist.where(col("depth") === (k - 1)),
+              col("src") === col("node"))
+            .select(col("dst").as("node"), lit(k.toLong).as("depth")))
+        .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+    dist
+  }
+
+  private val graphBfsDepthSql =
+    s"""WITH RECURSIVE p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |reach(node, depth) AS (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS depth
+       |  FROM e WHERE src % 50 = 0
+       |  UNION
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.depth < 3)
+       |SELECT node, CAST(min(depth) AS BIGINT) AS depth
+       |FROM reach GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_bfs_depth", (s, d) => graphBfsDepth(s, d), Some(graphBfsDepthSql)),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),

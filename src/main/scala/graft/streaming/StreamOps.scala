@@ -218,6 +218,38 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[streamingClickToPurchase]] but clicks with no purchase within
+    * the window ALSO emit (purchase columns null) — which is only
+    * decidable once the purchase-side watermark has passed the click's
+    * join window, so null rows surface with watermark delay and the
+    * per-key state is evicted right after. The abandoned-cart query,
+    * impossible without watermark-bounded outer-join state.
+    */
+  def streamingClickToPurchaseOuter(spark: SparkSession, eventsDir: String): DataFrame = {
+    def src(): DataFrame = {
+      val s = spark.readStream
+        .schema(spark.read.parquet(eventsDir).schema)
+        .parquet(eventsDir)
+      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s
+    }
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Op("sliding_window", slidingWindow, Some(slidingWindowSql)),

@@ -127,6 +127,33 @@ class StreamingSpec extends AnyFunSuite {
       "every streamed match exists in batch")
   }
 
+  test("stream-stream LEFT OUTER join: matches exact, null rows only for true no-shows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssoj").toString + "/events"
+    Tables.events(spark, sf).write.parquet(dir)
+    val q = StreamOps.streamingClickToPurchaseOuter(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("c2po_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("c2po_out")
+    val batch = graft.operators.Temporal.clickToPurchase(spark, sf)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    // matched rows must be exactly the batch inner-join result
+    val matched = streamed.where(col("purchase_id").isNotNull)
+    assert(matched.count() == batch.count(),
+      s"matched ${matched.count()} vs batch ${batch.count()}")
+    assert(matched.exceptAll(batch).count() == 0)
+    // null rows may only appear for clicks the batch join left unmatched
+    // (the tail of the stream can stay unemitted: the watermark never
+    // passes the final events of a finite source — that is the
+    // documented outer-join semantics, not data loss)
+    val nullRows = streamed.where(col("purchase_id").isNull)
+      .select(col("click_id"))
+    assert(nullRows.join(batch, Seq("click_id"), "left_semi").count() == 0,
+      "no click may emit both matched and null")
+    assert(nullRows.count() > 0,
+      "some abandoned clicks must have been decided by the advancing watermark")
+  }
+
   test("foreachBatch parquet sink lands the streamed dedup output exactly") {
     // the production sink shape: each micro-batch written to parquet
     // (append; batch-id column makes redelivery idempotent-by-audit)
