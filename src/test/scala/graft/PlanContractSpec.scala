@@ -134,6 +134,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "BroadcastExchange") == 1, p.take(2000))
   }
 
+  test("q5_local_supplier: dims broadcast; only the orderkey join shuffles facts") {
+    val p = finalPlan("q5_local_supplier")
+    // the dim chain must broadcast; AQE may ALSO broadcast the
+    // date-filtered orders side at tiny scale (correct at sf0.001,
+    // becomes the orderkey shuffle at 100 TB) — so: at least the three
+    // dim joins broadcast, at most one sort-merge join (the fact
+    // join), and never a cartesian or nested-loop plan
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(2000))
+    assert(count(p, "SortMergeJoin") <= 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("extract_project_filter: predicate and projection reach the scan") {
     val p = finalPlan("extract_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
