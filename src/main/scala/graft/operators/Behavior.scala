@@ -81,8 +81,56 @@ object Behavior {
       |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
       |FROM counted""".stripMargin
 
+  /** Ordered 3-step funnel (view → click → purchase): a user counts
+    * for a step only if it happened AT OR AFTER their previous step —
+    * the sequencing constraint that separates a funnel from three
+    * independent counts. Emits users-reached per stage.
+    *
+    * Scale shape: three user-keyed aggregates/joins, every one
+    * partial-aggregated before its exchange and co-partitioned on
+    * user_id after the first, so the funnel costs one logical user
+    * repartition; stage outputs are |stages| rows.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.where(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .where(col("ts") >= col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c.select(col("user_id"), col("t2")), "t2", "t3")
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), lit("view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("purchase").as("stage"), col("n_users")))
+  }
+
+  private val funnelStepsSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Op("funnel_steps", funnelSteps, Some(funnelStepsSql)),
   )
 }
