@@ -128,9 +128,61 @@ object Behavior {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""".stripMargin
 
+  /** RFM segmentation: per user recency (last purchase), frequency
+    * (purchase count), monetary (exact decimal spend), each quartiled
+    * by ntile(4) with full deterministic ordering (metric, then
+    * user_id) so bucket edges are engine-identical.
+    *
+    * Scale note: the per-user rollup is one exchange; the three ntile
+    * windows run over the USER relation (not events), which is already
+    * orders of magnitude smaller — but a global ntile still
+    * single-partitions that relation. At 100 TB-of-users the
+    * production spelling replaces ntile with approx-quantile cutoffs
+    * (see `percentile_approx_sketch`) joined back as range predicates;
+    * the quartile SEMANTICS here are the contract.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rfm = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_purchase"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 6))).as("monetary"))
+    def quart(c: String) = ntile(4).over(
+      Window.orderBy(col(c).desc, col("user_id").asc))
+    rfm
+      .withColumn("r_score", quart("last_purchase"))
+      .withColumn("f_score", quart("frequency"))
+      .withColumn("m_score", quart("monetary"))
+      .select(col("user_id"), col("last_purchase"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH rfm AS (
+      |  SELECT user_id, max(ts) AS last_purchase, count(*) AS frequency,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT user_id, last_purchase, frequency,
+      |  CAST(monetary AS DOUBLE) AS monetary,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment
+      |FROM (
+      |  SELECT *,
+      |    ntile(4) OVER (ORDER BY last_purchase DESC, user_id ASC) AS r_score,
+      |    ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+      |    ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+      |  FROM rfm)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Op("funnel_steps", funnelSteps, Some(funnelStepsSql)),
+    Op("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }
