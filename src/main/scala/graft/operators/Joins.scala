@@ -452,9 +452,60 @@ object Joins {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY 1""".stripMargin
 
+  /** CDC snapshot diff: old vs new table version → per-key change
+    * classification (added / removed / changed), unchanged rows
+    * dropped. The change-data-capture primitive behind incremental
+    * downstream refresh; one full-outer key join, same shape as
+    * [[upsertCatalog]]. The "new" snapshot is derived
+    * deterministically (balance bump on every 10th key, every 97th
+    * key dropped, one insert) so the op is self-contained.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val neu = old.where(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(spark.range(1).select(
+        lit(999999L).as("c_custkey"), lit(1.0).as("c_acctbal")))
+    old.alias("o").join(neu.alias("n"),
+        col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o.c_custkey"), col("n.c_custkey")).as("c_custkey"),
+        col("o.c_acctbal").as("old_bal"), col("n.c_acctbal").as("new_bal"),
+        when(col("o.c_custkey").isNull, lit("added"))
+          .when(col("n.c_custkey").isNull, lit("removed"))
+          .when(col("o.c_acctbal") =!= col("n.c_acctbal"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .where(col("change_type") =!= "unchanged")
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+      |neu AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM old WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT CAST(999999 AS BIGINT), CAST(1.0 AS DOUBLE))
+      |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+      |  o.c_acctbal AS old_bal, n.c_acctbal AS new_bal,
+      |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+      |       WHEN n.c_custkey IS NULL THEN 'removed'
+      |       WHEN o.c_acctbal <> n.c_acctbal THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type
+      |FROM old o FULL JOIN neu n ON o.c_custkey = n.c_custkey
+      |WHERE (CASE WHEN o.c_custkey IS NULL THEN 'added'
+      |       WHEN n.c_custkey IS NULL THEN 'removed'
+      |       WHEN o.c_acctbal <> n.c_acctbal THEN 'changed'
+      |       ELSE 'unchanged' END) <> 'unchanged'""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    Op("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),
     Op("scd2_history", scd2History, Some(scd2HistorySql)),

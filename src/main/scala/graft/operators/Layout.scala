@@ -105,8 +105,31 @@ object Layout {
       .option("users", 50).option("days", 3).option("pings", 20)
       .load()
 
+  /** File-provenance audit: rows per physical input file via
+    * `input_file_name()` — the ingestion-debugging primitive ("which
+    * file contributed these rows") that costs nothing because the
+    * scan already knows its file. The oracle pins the expected
+    * single-file layout of the test tables; in a multi-file lake the
+    * same query audits per-partition row counts.
+    */
+  def fileProvenance(spark: SparkSession, dir: String): DataFrame = {
+    def per(t: DataFrame, name: String) =
+      t.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table"), col("file"), col("n_rows"))
+    per(Tables.lineitem(spark, dir), "lineitem")
+      .unionByName(per(Tables.orders(spark, dir), "orders"))
+  }
+
+  private val fileProvenanceSql =
+    """SELECT 'lineitem' AS "table", 'lineitem.parquet' AS file,
+      |  count(*) AS n_rows FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', 'orders.parquet', count(*) FROM orders""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("zorder_key", zorderKey, Some(zorderKeySql)),
+    Op("file_provenance", fileProvenance, Some(fileProvenanceSql)),
     Op("bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Op("ping_gen_scan", pingGenScan,
       Some(graft.sources.PingGen.oracleSql(50, 3, 20))),

@@ -193,8 +193,56 @@ object Temporal {
       |FROM u CROSS JOIN days
       |LEFT JOIN daily ON u.user_id = daily.user_id AND days.day = daily.day""".stripMargin
 
+  /** Time-travel lookup against SCD2 history: each order resolves the
+    * status interval containing its date (valid_from ≤ d < valid_to,
+    * NULL-open current interval) — the consumption side of
+    * [[Joins.scd2History]], i.e. "what was this customer's state AS OF
+    * this event". Also a built-in audit: the resolved status must
+    * equal the order's own status (intervals were derived from the
+    * same change log), which the oracle verifies row-by-row.
+    *
+    * Scale shape: equi-join on the customer key with the interval
+    * predicate as residual — history relations are change-bounded,
+    * so the per-key interval list stays short.
+    */
+  def asOfLookup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Joins.scd2History(spark, dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("ck"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .join(hist,
+        col("ck") === col("o_custkey")
+          && col("valid_from") <= col("o_orderdate")
+          && (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("ck").as("o_custkey"),
+        col("status").as("status_at_order"),
+        (col("status") === col("o_orderstatus")).as("consistent"))
+  }
+
+  private val asOfLookupSql =
+    """WITH changes AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER w AS prev_status
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC)),
+      |hist AS (
+      |  SELECT o_custkey, o_orderstatus AS status,
+      |    o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      |  FROM changes
+      |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+      |SELECT o.o_orderkey, o.o_custkey, h.status AS status_at_order,
+      |  h.status = o.o_orderstatus AS consistent
+      |FROM orders o JOIN hist h
+      |  ON o.o_custkey = h.o_custkey
+      |  AND h.valid_from <= o.o_orderdate
+      |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("resample_ffill", resampleFfill, Some(resampleFfillSql)),
+    Op("as_of_lookup", asOfLookup, Some(asOfLookupSql)),
     Op("asof_join", asofJoin, Some(asofJoinSql)),
     Op("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Op("range_join_buckets", rangeJoinBuckets, Some(rangeJoinBucketsSql)),

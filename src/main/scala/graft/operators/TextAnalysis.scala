@@ -85,6 +85,30 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** Inverted index: token → sorted postings list of the documents
+    * containing it, plus document frequency — the search-engine /
+    * retrieval build step. One exchange on the token after a per-doc
+    * distinct; postings arrays are sorted so the layout is
+    * deterministic and mergeable shard-by-shard. At 100 TB the
+    * postings for stop-word-grade tokens dominate — the standard
+    * mitigations (df cutoffs, posting-list sharding by doc range)
+    * compose on top of this exact shape.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
+  private val invertedIndexSql =
+    """SELECT token, list(doc_id ORDER BY doc_id) AS postings,
+      |  count(*) AS df
+      |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
   /** Gopher-style hard quality GATES — the keep/drop boolean filter
     * stage downstream of [[textQuality]]'s soft score: token-count
     * bounds, mean-token-length band, minimum stop-word fraction, and
@@ -317,6 +341,7 @@ object TextAnalysis {
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
+    Op("inverted_index", invertedIndex, Some(invertedIndexSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
