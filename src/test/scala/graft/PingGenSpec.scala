@@ -54,6 +54,19 @@ class PingGenSpec extends AnyFunSuite {
     assert(res.count() == 20L * 2 * 5)
   }
 
+  test("blackhole sink runs the distributed commit protocol and counts committed rows") {
+    graft.sources.Blackhole.reset("t1")
+    val df = gen(parts = 6)
+    df.write.format("blackhole").option("name", "t1").mode("append").save()
+    assert(graft.sources.Blackhole.rowsWritten("t1") == 40L * 2 * 5,
+      "driver commit must aggregate every partition's writer count")
+    // second write accumulates (append semantics)
+    df.where(col("user_id") < 4).write.format("blackhole")
+      .option("name", "t1").mode("append").save()
+    assert(graft.sources.Blackhole.rowsWritten("t1") == 40L * 2 * 5 + 4L * 2 * 5)
+    assert(graft.sources.Blackhole.rowsWritten("never-written") == 0L)
+  }
+
   test("field derivations match the portable hash formula") {
     val r = gen().where(col("user_id") === 0).orderBy(col("ts").asc).head()
     // recompute one row's fields straight from the spec'd formula
