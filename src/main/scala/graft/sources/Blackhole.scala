@@ -57,18 +57,27 @@ private[sources] class BlackholeTable(writeSchema: StructType, sinkName: String)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateFirst = false
+      // backs the TRUNCATE capability: overwrite mode resets the
+      // counter before the new write's commit lands
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BlackholeBatchWrite(sinkName)
+        override def toBatch: BatchWrite =
+          new BlackholeBatchWrite(sinkName, truncateFirst)
       }
     }
 }
 
-private[sources] class BlackholeBatchWrite(sinkName: String) extends BatchWrite {
+private[sources] class BlackholeBatchWrite(sinkName: String, truncateFirst: Boolean)
+  extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     BlackholeWriterFactory
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // truncate applies atomically WITH the commit, not at job start: a
+    // failed overwrite must leave the previous count intact
+    if (truncateFirst) Blackhole.reset(sinkName)
     val total = messages.collect { case BlackholeCommit(n) => n }.sum
     Blackhole.record(sinkName, total)
   }

@@ -65,6 +65,11 @@ class PingGenSpec extends AnyFunSuite {
       .option("name", "t1").mode("append").save()
     assert(graft.sources.Blackhole.rowsWritten("t1") == 40L * 2 * 5 + 4L * 2 * 5)
     assert(graft.sources.Blackhole.rowsWritten("never-written") == 0L)
+    // overwrite mode truncates with the commit, then records the new write
+    df.where(col("user_id") < 2).write.format("blackhole")
+      .option("name", "t1").mode("overwrite").save()
+    assert(graft.sources.Blackhole.rowsWritten("t1") == 2L * 2 * 5,
+      "overwrite must reset the committed count, not accumulate")
   }
 
   test("field derivations match the portable hash formula") {
