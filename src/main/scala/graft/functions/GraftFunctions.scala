@@ -56,9 +56,17 @@ object GraftFunctions {
     ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
       es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
     ("bloom_build", "bloom_build(key, items, fpp) - serialized bloom filter over long keys",
-      es => BloomBuildAgg(es(0),
-        es(1).eval().asInstanceOf[Number].longValue(),
-        es(2).eval().asInstanceOf[Number].doubleValue()).toAggregateExpression()),
+      es => {
+        require(es(1).foldable && es(2).foldable,
+          "bloom_build: items and fpp must be literals")
+        val items = es(1).eval()
+        val fpp = es(2).eval()
+        require(items != null && fpp != null,
+          "bloom_build: items and fpp must be non-null")
+        BloomBuildAgg(es(0),
+          items.asInstanceOf[Number].longValue(),
+          fpp.asInstanceOf[Number].doubleValue()).toAggregateExpression()
+      }),
     ("bloom_might_contain", "bloom_might_contain(key, bloom) - probe a build-time bloom filter",
       es => {
         require(es(1).foldable,

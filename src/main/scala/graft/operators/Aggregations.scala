@@ -248,7 +248,10 @@ object Aggregations {
           min(col("l_shipdate")).as("first_ship"))
     val li = Tables.lineitem(spark, dir)
     val history = partial(li.where(col("l_shipdate") < cutoff))
-    val delta = partial(li.where(col("l_shipdate") >= cutoff))
+    // NULL shipdates fail BOTH comparisons — route them to the delta
+    // explicitly or the split silently drops rows the oracle keeps
+    val delta = partial(li.where(col("l_shipdate") >= cutoff
+      || col("l_shipdate").isNull))
     history.unionByName(delta)
       .groupBy(col("l_returnflag"))
       .agg(sum(col("n")).as("n"),

@@ -390,25 +390,30 @@ object Analytics {
     * excluded — a point must not normalize itself). The streaming-ish
     * monitoring primitive, spelled as one frame-bounded window.
     *
-    * Exactness: frame sum and sum-of-squares ride DECIMAL(28,12)
+    * Exactness: frame sum and sum-of-squares ride exact DECIMAL
     * accumulators (order-free), count is exact, and mean/var/z are
     * derived from those exact ingredients with the identical IEEE
     * operation sequence in both engines — no rounding crutch needed,
-    * but z is still rounded to 9 dp as belt-and-braces. One
-    * event_type exchange.
+    * but z is still rounded to 9 dp as belt-and-braces. Values are
+    * quantized to DECIMAL(18,6) BEFORE squaring: an (18,6)² product
+    * is DECIMAL(37,12) — fully representable in both engines — where
+    * a (28,12)² square silently resolves to DECIMAL(38,6) under
+    * Spark's precision-loss rule and drops digits the oracle keeps.
+    * (Contract: values carry ≤ 6 decimal places, as event `value`
+    * does.) One event_type exchange.
     */
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
-    val d12 = DecimalType(28, 12)
+    val d6 = DecimalType(18, 6)
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(-20, -1)
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum(col("value").cast(d12)).over(w).cast("double"))
+      .withColumn("s", sum(col("value").cast(d6)).over(w).cast("double"))
       .withColumn("ss",
-        sum((col("value").cast(d12) * col("value").cast(d12))
-          .cast(DecimalType(38, 12))).over(w).cast("double"))
+        sum(col("value").cast(d6) * col("value").cast(d6)).over(w)
+          .cast("double"))
       .where(col("n") >= 5)
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - col("s") / col("n"))
@@ -424,10 +429,9 @@ object Analytics {
       |  FROM (
       |    SELECT event_id, event_type, value,
       |      count(*) OVER w AS n,
-      |      CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS s,
-      |      CAST(SUM(CAST(CAST(value AS DECIMAL(28,12))
-      |        * CAST(value AS DECIMAL(28,12)) AS DECIMAL(38,12))) OVER w
-      |        AS DOUBLE) AS ss
+      |      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+      |      CAST(SUM(CAST(value AS DECIMAL(18,6))
+      |        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
       |    FROM events
       |    WINDOW w AS (PARTITION BY event_type
       |      ORDER BY ts ASC, event_id ASC

@@ -294,14 +294,19 @@ object Dedup {
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    // compute the O(len²) DP once per pair — a filter-then-project
+    // respelling would evaluate it twice (Filter and Project don't
+    // share subexpressions across operators)
     p.alias("a").join(p.alias("b"),
         col("a.p_brand") === col("b.p_brand")
           && col("a.p_partkey") < col("b.p_partkey"))
-      .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .withColumn("dist",
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+      .where(col("dist") <= 2)
       .select(col("a.p_brand").as("brand"),
         col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
         col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        col("dist"))
   }
 
   private val fuzzyPairsSql =

@@ -140,7 +140,11 @@ private[sources] class PingGenScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(parts.toLong, math.max(1L, hi - lo)).toInt)
+    // degenerate configs (empty user range, zero days/pings) must plan
+    // an EMPTY scan — the reader's index arithmetic assumes days ≥ 1
+    // and pings ≥ 1 and would otherwise fabricate rows
+    if (hi <= lo || days <= 0 || pings <= 0) return Array.empty
+    val n = math.max(1, math.min(parts.toLong, hi - lo).toInt)
     val span = hi - lo
     (0 until n).map { p =>
       val s = lo + span * p / n

@@ -14,6 +14,19 @@ import graft.{Op, Tables}
   */
 object StreamOps {
 
+  /** File-source stream over an events parquet directory with the same
+    * nanos-ts normalization as `Tables.events` — the one place the
+    * schema probe + LongType fixup lives (one `spark.read` schema
+    * listing per stream build, shared by every streaming op).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s
+  }
+
   /** Shared transformation: 10-minute tumbling window counts + exact
     * per-window value sums per event_type. Works on a batch OR
     * streaming events DataFrame unchanged.
@@ -45,16 +58,8 @@ object StreamOps {
     * 10-min watermark, same transformation (used by StreamingSpec with
     * a memory sink).
     */
-  def streamingWindowedCounts(spark: SparkSession, eventsDir: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-    val normalized =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
-    windowedCounts(normalized.withWatermark("ts", "10 minutes"))
-  }
+  def streamingWindowedCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    windowedCounts(eventsStream(spark, eventsDir).withWatermark("ts", "10 minutes"))
 
   /** Sliding windows (10-minute window, 5-minute slide): each event
     * lands in exactly two windows — stretch beyond the reference's
@@ -150,7 +155,10 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
-  // session end is max(ts) + gap under session_window semantics
+  // session end is max(ts) + gap under session_window semantics; the
+  // split comparison is STRICT (> gap): Spark merges an event exactly
+  // gap-after the previous one into the same session (empirically: a
+  // 30:00.000000 pair is ONE session), same as sessionize's lag rule
   private val sessionWindowAggSql =
     """SELECT user_id, min(ts) AS session_start,
       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
@@ -163,7 +171,7 @@ object StreamOps {
       |    SELECT user_id, ts,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-      |                >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |                > 1800000000 THEN 1 ELSE 0 END AS new_session
       |    FROM events))
       |GROUP BY user_id, s""".stripMargin
 
@@ -175,18 +183,11 @@ object StreamOps {
     * grows with (event rate × watermark) only — the deliberate
     * trade: a duplicate later than the delay is no longer caught.
     */
-  def streamingDedupBounded(spark: SparkSession, eventsDir: String): DataFrame = {
-    val s0 = spark.readStream
-      .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-    val s =
-      if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s0
-    s.withWatermark("ts", "30 minutes")
+  def streamingDedupBounded(spark: SparkSession, eventsDir: String): DataFrame =
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("ts"))
-  }
 
   /** Stream-stream interval join (watermarked both sides): purchases
     * within 30 minutes after a click by the same user — identical
@@ -195,14 +196,7 @@ object StreamOps {
     * joins emit on match, no watermark wait.
     */
   def streamingClickToPurchase(spark: SparkSession, eventsDir: String): DataFrame = {
-    def src(): DataFrame = {
-      val s = spark.readStream
-        .schema(spark.read.parquet(eventsDir).schema)
-        .parquet(eventsDir)
-      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s
-    }
+    def src(): DataFrame = eventsStream(spark, eventsDir)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
@@ -227,14 +221,7 @@ object StreamOps {
     * impossible without watermark-bounded outer-join state.
     */
   def streamingClickToPurchaseOuter(spark: SparkSession, eventsDir: String): DataFrame = {
-    def src(): DataFrame = {
-      val s = spark.readStream
-        .schema(spark.read.parquet(eventsDir).schema)
-        .parquet(eventsDir)
-      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s
-    }
+    def src(): DataFrame = eventsStream(spark, eventsDir)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")

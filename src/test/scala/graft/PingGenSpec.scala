@@ -54,6 +54,18 @@ class PingGenSpec extends AnyFunSuite {
     assert(res.count() == 20L * 2 * 5)
   }
 
+  test("degenerate configs plan an empty scan, never phantom rows") {
+    def gen0(users: Int, days: Int, pings: Int) =
+      spark.read.format("ping_gen")
+        .option("users", users).option("days", days).option("pings", pings)
+        .load()
+    assert(gen0(40, 2, 0).count() == 0, "pings=0")
+    assert(gen0(40, 0, 5).count() == 0, "days=0")
+    assert(gen0(0, 2, 5).count() == 0, "users=0")
+    // pushdown collapsing the range to empty must also yield zero rows
+    assert(gen().where(col("user_id") >= 1000).count() == 0)
+  }
+
   test("blackhole sink runs the distributed commit protocol and counts committed rows") {
     graft.sources.Blackhole.reset("t1")
     val df = gen(parts = 6)
