@@ -297,6 +297,39 @@ object Analytics {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  /** ANSI-robustness family: `try_cast` / guarded division turn
+    * malformed inputs into NULLs instead of failed jobs — the
+    * difference between a 100 TB ingest that quarantines bad rows and
+    * one that dies at hour nine. Numeric round-trips are exact because
+    * both engines print doubles shortest-roundtrip; only the PARSED
+    * values are emitted (the intermediate string representation is
+    * engine-private).
+    */
+  def safeCasts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("s",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal").cast("string"))
+          .when(col("c_custkey") % 3 === 1, lit("N/A"))
+          .otherwise(lit("")))
+      .withColumn("ds",
+        when(col("c_custkey") % 2 === 0, lit("2024-03-15"))
+          .otherwise(lit("not-a-date")))
+      .select(col("c_custkey"),
+        expr("try_cast(s AS DOUBLE)").as("as_double"),
+        expr("try_cast(ds AS DATE)").as("as_date"),
+        expr("try_divide(c_acctbal, c_custkey % 5)").as("safe_div"))
+
+  private val safeCastsSql =
+    """SELECT c_custkey,
+      |  TRY_CAST(CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS VARCHAR)
+      |                WHEN c_custkey % 3 = 1 THEN 'N/A'
+      |                ELSE '' END AS DOUBLE) AS as_double,
+      |  TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN '2024-03-15'
+      |                ELSE 'not-a-date' END AS DATE) AS as_date,
+      |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |       ELSE c_acctbal / (c_custkey % 5) END AS safe_div
+      |FROM customer""".stripMargin
+
   /** Higher-order array-function parity: transform / filter /
     * aggregate (fold) / sort / slice over per-document token-length
     * arrays — the lambda surface a DataFrame user reaches for when the
@@ -456,5 +489,6 @@ object Analytics {
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
+    Op("safe_casts", safeCasts, Some(safeCastsSql)),
   )
 }
