@@ -248,8 +248,30 @@ object Extraction {
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** `explode_outer` semantics: unnesting a possibly-empty array must
+    * KEEP the parent row (null element) — the left-join flavor of
+    * flattening, where plain explode silently drops parents and skews
+    * downstream counts. Documents with no ≥9-char token survive with
+    * a null `long_tok`. The oracle spells the outer behavior
+    * explicitly (empty list → [NULL]) since unnest alone drops rows.
+    */
+  def explodeOuterTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode_outer(expr(
+          "filter(split(text, ' '), t -> length(t) >= 9)")).as("long_tok"))
+
+  private val explodeOuterTokensSql =
+    """SELECT doc_id,
+      |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |              ELSE l END) AS long_tok
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), t -> len(t) >= 9) AS l
+      |      FROM documents)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("extract_project_filter", extractProjectFilter, Some(extractProjectFilterSql), bench = true),
+    Op("explode_outer_tokens", explodeOuterTokens, Some(explodeOuterTokensSql)),
     Op("json_props", jsonProps, Some(jsonPropsSql)),
     Op("night_hours", nightHours, Some(nightHoursSql)),
     Op("prefix_filter", prefixFilter, Some(prefixFilterSql)),

@@ -146,6 +146,22 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("knn_classify: corpus never shuffles before top-k; query set broadcasts") {
+    val p = finalPlan("knn_classify")
+    assert(count(p, "BroadcastExchange") == 1,
+      "exactly the query side broadcasts")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 must run partial map-side")
+    assert(!p.contains("CodegenFallback"), "vec_dot must stay codegen'd")
+  }
+
+  test("kmeans_assign: centroids broadcast; assignment argmin is WindowGroupLimit") {
+    val p = finalPlan("kmeans_assign")
+    assert(count(p, "BroadcastExchange") == 1, p.take(2000))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CodegenFallback"))
+  }
+
   test("extract_project_filter: predicate and projection reach the scan") {
     val p = finalPlan("extract_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
