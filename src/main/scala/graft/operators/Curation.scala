@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
+import graft.operators.TextAnalysis.Stopwords
 
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw ingest and tokenization: deterministic splitting,
@@ -301,7 +302,80 @@ object Curation {
        |WHERE ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100
        |  < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END""".stripMargin
 
+  /** The END-TO-END curation pipeline as ONE lazy composition — what a
+    * user actually runs over 100 TB: quality-gate (Gopher rules) →
+    * exact dedup (keep the min-id copy per content hash) → split
+    * assignment → token-budget shard packing of the surviving train
+    * split. Every stage is an already-verified operator; this registers
+    * the COMPOSITION itself against an oracle built from the same CTE
+    * chain, proving the stages compose without schema/semantics drift.
+    *
+    * Scale shape: gates are shuffle-free maps; dedup is one
+    * content-hash exchange; split is a stateless hash; packing is the
+    * distributed prefix-sum (64 broadcast bucket offsets + partitioned
+    * window). Nothing corpus-sized ever single-partitions.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val n = size(split(col("text"), " "))
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+    val kept = Tables.documents(spark, dir)
+      .where((n >= 30 && n <= 5000)
+        && (nStop.cast("double") / n >= lit(0.03)))
+    val canonical = kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id").asc)))
+      .where(col("rk") === 1)
+    val h = graft.functions.CrossHash.hash60(col("doc_id").cast("string"))
+    val train = canonical.where(splitBucket(col("doc_id")) < 8)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("bucket", col("h") % 64)
+    val offsets = train.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    train.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(boff + cum - n_tokens) div 1000").as("shard"))
+  }
+
+  private val curationPipelineSql = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH kept AS (
+       |  SELECT * FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 5000
+       |    AND CAST(len(list_filter(string_split(text, ' '),
+       |          t -> t IN ($stopList))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) >= 0.03),
+       |canonical AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id ASC) AS rk
+       |    FROM kept)
+       |  WHERE rk = 1),
+       |train AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM canonical
+       |  WHERE $splitBucketSql < 8)
+       |SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+       |    AS BIGINT) AS shard
+       |FROM train""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Op("decontaminate", decontaminate, Some(decontaminateSql)),

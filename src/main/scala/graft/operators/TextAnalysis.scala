@@ -14,7 +14,7 @@ import graft.functions.CrossHash
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Whitespace token count + BPE-ish size estimate + token-length
     * extremes (`aggregate` over the split array — no explode).

@@ -243,6 +243,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(s4.getTimeoutTimestampMs.get() == (115L + 30L) * 60000L)
   }
 
+  test("transformWithState running totals converge to the batch aggregate (RocksDB store)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString + "/events"
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("value")).cache()
+    // two appends => at least two micro-batches => state must carry over
+    ev.where(col("user_id") % 2 === 0).coalesce(1).write.parquet(dir)
+    ev.where(col("user_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.RunningStats.runningTotals(spark, dir)
+        .writeStream.outputMode("update").format("memory").queryName("tws_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // last update per user == the batch aggregate
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      val last = spark.table("tws_out")
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+      val batch = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+      assert(last.count() == batch.count())
+      assert(last.exceptAll(batch).count() == 0,
+        "running totals must converge to the batch aggregate per user")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpointed file sink resumes exactly-once across a restart") {
     // the production recovery contract: stop the query, new data
     // arrives, a NEW query on the same checkpoint picks up only the
