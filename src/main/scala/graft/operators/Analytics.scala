@@ -297,6 +297,24 @@ object Analytics {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  /** LISTAGG / string_agg (SQL:2016): suppliers per nation as one
+    * ordered comma-joined string — the report-friendly denormalization.
+    * Spelled orderless-safe: collect_list is non-deterministic across
+    * partitions, so the sort happens INSIDE the row (sort_array) before
+    * joining — the only way string aggregation is reproducible on a
+    * cluster.
+    */
+  def listaggNames(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(sort_array(collect_list(col("s_name"))), ",").as("names"))
+
+  private val listaggNamesSql =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS names
+      |FROM supplier GROUP BY 1""".stripMargin
+
   /** ANSI-robustness family: `try_cast` / guarded division turn
     * malformed inputs into NULLs instead of failed jobs — the
     * difference between a 100 TB ingest that quarantines bad rows and
@@ -490,5 +508,6 @@ object Analytics {
     Op("percentile_approx_sketch", percentileApproxSketch, None),
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
     Op("safe_casts", safeCasts, Some(safeCastsSql)),
+    Op("listagg_names", listaggNames, Some(listaggNamesSql)),
   )
 }

@@ -460,9 +460,44 @@ object Similarity {
 
   private val DecimalType28 = org.apache.spark.sql.types.DecimalType(28, 12)
 
+  /** Per-label mean embedding (class centroids) in long form: the
+    * supervised counterpart of the k-means step — prototype vectors
+    * for nearest-centroid classification and per-class drift checks.
+    * Per-dimension DECIMAL-exact sums (order-free) divided as doubles,
+    * so 512 (label, dim) cells are oracle-exact. One exchange,
+    * map-side combined: the explode multiplies rows ×64 but the
+    * partial aggregate collapses them before the shuffle.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        // float → SHORTEST STRING → decimal: engines disagree on
+        // direct float/double→decimal quantization (shortest-repr vs
+        // full binary expansion rounding), but both print a float's
+        // unique shortest round-trip digits, and a ≤9-sig-digit value
+        // ≥ 1e-9 fits DECIMAL(30,18) exactly — so the accumulators are
+        // bit-equal by construction
+        // final 9-dp round: the engines' decimal→double conversions
+        // differ by 1 ulp (correctly-rounded vs scaled multiply)
+        round(sum(col("x").cast("string")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 18)))
+          .cast("double") / count(lit(1)), 9).as("mean"))
+
+  private val labelCentroidsSql =
+    """SELECT label, CAST(dim - 1 AS INTEGER) AS dim, count(*) AS n,
+      |  round(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,18))) AS DOUBLE)
+      |    / count(*), 9) AS mean
+      |FROM (SELECT label, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS dim
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),
+    Op("label_centroids", labelCentroids, Some(labelCentroidsSql)),
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
