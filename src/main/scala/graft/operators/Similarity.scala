@@ -358,6 +358,61 @@ object Similarity {
        |WHERE vr = 1""".stripMargin
   }
 
+  /** Nearest-centroid classification + confusion matrix: every vector
+    * is assigned the label of its closest class centroid (squared L2
+    * against [[labelCentroids]]' exact means), and (true, predicted)
+    * pairs are counted — the eval step that closes the loop on the
+    * embedding family. The centroid relation is |labels|×|dims| long
+    * form, pivoted per-vector by a broadcast join + per-dim product
+    * sum; everything after the one dim exchange is label²-sized.
+    *
+    * Distance spelled as −2·v·c + ‖c‖² (the ‖v‖² term is constant per
+    * vector and cannot change the argmin); both terms come from exact
+    * decimal centroid means rounded to 9 dp, so the argmin is decided
+    * identically in both engines.
+    */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(spark, dir)
+      .select(col("label").as("c_label"), col("dim"), col("mean"))
+    val expl = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+    val scored = expl.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg((round(sum(col("x").cast("double") * col("mean")), 9) * -2.0
+        + round(sum(col("mean") * col("mean")), 9)).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("c_label").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // lazy: interpolates labelCentroidsSql, which is declared later in
+  // this object — a strict val would capture null at init (the
+  // RegistrySpec guard catches null oracles but not null SPLICES)
+  private lazy val centroidConfusionSql =
+    s"""WITH cent AS ($labelCentroidsSql),
+       |expl AS (
+       |  SELECT vec_id, label, CAST(dim - 1 AS INTEGER) AS dim,
+       |    CAST(x AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS dim
+       |        FROM embeddings)),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.label AS c_label,
+       |    round(SUM(e.x * c.mean), 9) * -2.0
+       |      + round(SUM(c.mean * c.mean), 9) AS score
+       |  FROM expl e JOIN cent c ON e.dim = c.dim
+       |  GROUP BY 1, 2, 3)
+       |SELECT label, c_label AS predicted, count(*) AS n FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY score ASC, c_label ASC) AS rk
+       |  FROM scored)
+       |WHERE rk = 1
+       |GROUP BY 1, 2""".stripMargin
+
   /** One Lloyd assignment step with deterministic seeds (the k first
     * vectors as centroids): each vector → its nearest centroid by
     * squared L2, spelled ||v||² − 2·v·c + ||c||² from three bit-parity
@@ -498,6 +553,7 @@ object Similarity {
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),
     Op("label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    Op("centroid_confusion", centroidConfusion, Some(centroidConfusionSql)),
     Op("ann_cosine_topk", annCosineTopk, Some(annCosineTopkSql), bench = true),
     Op("ann_lsh_bucketed", annLshBucketed, Some(annLshBucketedSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),

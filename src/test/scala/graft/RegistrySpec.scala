@@ -28,6 +28,12 @@ class RegistrySpec extends AnyFunSuite {
       .filter(o => o.oracle.exists(s => s == null || s.trim.isEmpty))
       .map(_.name)
     assert(bad.isEmpty, s"ops with null/blank oracle SQL: $bad")
+    // a not-yet-initialized SPLICED fragment interpolates as the text
+    // "null" — e.g. "WITH cte AS (null)" — which no SQL dialect accepts
+    val spliced = SparkEntry.allOps
+      .filter(o => o.oracle.exists(_.matches("(?s).*\\(\\s*null\\s*\\).*")))
+      .map(_.name)
+    assert(spliced.isEmpty, s"ops with null-spliced oracle SQL: $spliced")
   }
 
   test("every oracle references only harness-registered tables") {
