@@ -297,6 +297,89 @@ object Analytics {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  /** nth_value + IGNORE NULLS window completions: the second event
+    * type in each user's history, and the most recent non-null
+    * purchase value carried forward (value nullified on non-purchase
+    * rows) — the two offset-family members the plain lag/lead query
+    * can't express.
+    */
+  def windowNth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        nth_value(col("event_type"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_type"),
+        last(col("purchase_value"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("last_purchase_value"))
+  }
+
+  private val windowNthSql =
+    """SELECT user_id, event_id, ts,
+      |  nth_value(event_type, 2) OVER w AS second_type,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER w AS last_purchase_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Calendar dimension generated from the fact table's own date span
+    * (scalar min/max broadcast — never a hardcoded range): one row per
+    * day with the attributes every warehouse join needs. Spark's
+    * sequence() and the oracle's generate_series enumerate the same
+    * closed interval.
+    */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(spark, dir)
+      .agg(to_date(min(col("o_orderdate"))).as("lo"),
+        to_date(max(col("o_orderdate"))).as("hi"))
+    span.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(col("d"),
+        year(col("d")).as("y"),
+        month(col("d")).as("m"),
+        dayofmonth(col("d")).as("dom"),
+        // ISO day-of-week (Mon=1..Sun=7), identical in both engines
+        dayofweek(col("d")).as("dow_sunday1"),
+        (expr("extract(dayofweek_iso FROM d)") >= 6).as("is_weekend"))
+  }
+
+  private val dateDimSql =
+    """WITH span AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+      |    CAST(max(o_orderdate) AS DATE) AS hi
+      |  FROM orders)
+      |SELECT CAST(d AS DATE) AS d,
+      |  CAST(year(d) AS INTEGER) AS y,
+      |  CAST(month(d) AS INTEGER) AS m,
+      |  CAST(day(d) AS INTEGER) AS dom,
+      |  CAST(dayofweek(d) + 1 AS INTEGER) AS dow_sunday1,
+      |  isodow(d) >= 6 AS is_weekend
+      |FROM (
+      |  SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS d
+      |  FROM span)""".stripMargin
+
+  /** k-anonymity audit over quasi-identifiers: equivalence-class sizes
+    * for (nation, market segment) and a flag for classes smaller than
+    * k=5 — the re-identification risk check that pairs with
+    * `pii_scrub` before a dataset leaves the pipeline. One map-side
+    * combined aggregation.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < 5)
+
+  private val kAnonymitySql =
+    """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+      |  count(*) < 5 AS at_risk
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
   /** LISTAGG / string_agg (SQL:2016): suppliers per nation as one
     * ordered comma-joined string — the report-friendly denormalization.
     * Spelled orderless-safe: collect_list is non-deterministic across
@@ -509,5 +592,8 @@ object Analytics {
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
     Op("safe_casts", safeCasts, Some(safeCastsSql)),
     Op("listagg_names", listaggNames, Some(listaggNamesSql)),
+    Op("window_nth", windowNth, Some(windowNthSql)),
+    Op("date_dim", dateDim, Some(dateDimSql)),
+    Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
   )
 }
