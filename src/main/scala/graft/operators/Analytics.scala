@@ -297,6 +297,30 @@ object Analytics {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  /** Recursive CTE through the SQL front door — ONE dialect-common
+    * statement that is BOTH the Spark implementation (spark.sql; Spark
+    * 4 supports WITH RECURSIVE) and, verbatim, the DuckDB oracle. The
+    * query walks the synthetic binary hierarchy parent(c) = ⌊c/2⌋ to
+    * the root and reports each customer's depth — the org-chart /
+    * BOM-explosion recursion pattern. Termination is structural
+    * (ancestor halves every step) with a depth guard as belt.
+    */
+  private val recursiveCteSql =
+    """WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT a.c_custkey, CAST(floor(a.ancestor / 2.0) AS BIGINT),
+      |    a.depth + 1
+      |  FROM anc a WHERE a.ancestor > 1 AND a.depth < 25)
+      |SELECT c_custkey, max(depth) AS depth_to_root,
+      |  count(*) AS chain_len
+      |FROM anc GROUP BY 1""".stripMargin
+
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(recursiveCteSql)
+  }
+
   /** nth_value + IGNORE NULLS window completions: the second event
     * type in each user's history, and the most recent non-null
     * purchase value carried forward (value nullified on non-purchase
@@ -595,5 +619,6 @@ object Analytics {
     Op("window_nth", windowNth, Some(windowNthSql)),
     Op("date_dim", dateDim, Some(dateDimSql)),
     Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Op("recursive_cte", recursiveCte, Some(recursiveCteSql)),
   )
 }
