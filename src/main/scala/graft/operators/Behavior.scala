@@ -179,10 +179,46 @@ object Behavior {
       |    ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
       |  FROM rfm)""".stripMargin
 
+
+  /** Row-pattern detection (the MATCH_RECOGNIZE use case, emulated
+    * with offset windows — Spark has no MATCH_RECOGNIZE, and neither
+    * does DuckDB): V-shaped value reversals in each user's event
+    * sequence — a strict local minimum with both neighbors ≥ 10%
+    * higher. Emits the match row with its pattern context (prev,
+    * min, next). One user exchange; the pattern predicate is pure
+    * per-row arithmetic after the lag/lead projection.
+    */
+  def patternVShape(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"))
+      .where(col("prev_v").isNotNull && col("next_v").isNotNull
+        && col("prev_v") >= col("value") * 1.1
+        && col("next_v") >= col("value") * 1.1)
+      .select(col("user_id"), col("event_id"), col("prev_v"),
+        col("value").as("min_v"), col("next_v"))
+  }
+
+  private val patternVShapeSql =
+    """SELECT user_id, event_id, prev_v, value AS min_v, next_v
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    lag(value, 1) OVER w AS prev_v,
+      |    lead(value, 1) OVER w AS next_v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      |  AND prev_v >= value * 1.1 AND next_v >= value * 1.1""".stripMargin
+
+  // declared LAST: object vals initialize in declaration order
   val ops: Seq[Op] = Seq(
     Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Op("funnel_steps", funnelSteps, Some(funnelStepsSql)),
     Op("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    Op("pattern_v_shape", patternVShape, Some(patternVShapeSql)),
   )
 }
