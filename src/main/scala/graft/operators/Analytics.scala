@@ -404,6 +404,50 @@ object Analytics {
       |  count(*) < 5 AS at_risk
       |FROM customer GROUP BY 1, 2""".stripMargin
 
+  /** Decile lift table — the model-evaluation report: events ranked by
+    * a score (here `value` stands in for a model score), cut into
+    * deciles (deterministic ntile ordering), and each decile's
+    * conversion rate compared against the global base rate. Decile 1
+    * of a useful score shows lift ≫ 1. Rates are exact-integer
+    * divisions in double; the global base rate joins back as a
+    * broadcast scalar.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        (col("event_type") === "purchase").cast("long").as("converted"))
+    val base = ev.agg(
+      (sum(col("converted")).cast("double") / count(lit(1))).as("base_rate"))
+    ev.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("value").desc, col("event_id").asc)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("converted")).as("n_converted"))
+      .crossJoin(broadcast(base))
+      .select(col("decile"), col("n"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n")).as("rate"),
+        round((col("n_converted").cast("double") / col("n"))
+          / col("base_rate"), 9).as("lift"))
+  }
+
+  private val decileLiftSql =
+    """WITH ev AS (
+      |  SELECT event_id, value,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS converted
+      |  FROM events),
+      |base AS (
+      |  SELECT CAST(SUM(converted) AS DOUBLE) / count(*) AS base_rate FROM ev),
+      |d AS (
+      |  SELECT ntile(10) OVER (ORDER BY value DESC, event_id ASC) AS decile,
+      |    converted
+      |  FROM ev)
+      |SELECT decile, count(*) AS n,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  CAST(SUM(converted) AS DOUBLE) / count(*) AS rate,
+      |  round((CAST(SUM(converted) AS DOUBLE) / count(*)) / base_rate, 9) AS lift
+      |FROM d CROSS JOIN base
+      |GROUP BY decile, base_rate""".stripMargin
+
   /** LISTAGG / string_agg (SQL:2016): suppliers per nation as one
     * ordered comma-joined string — the report-friendly denormalization.
     * Spelled orderless-safe: collect_list is non-deterministic across
@@ -620,5 +664,6 @@ object Analytics {
     Op("date_dim", dateDim, Some(dateDimSql)),
     Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Op("recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    Op("decile_lift", decileLift, Some(decileLiftSql)),
   )
 }

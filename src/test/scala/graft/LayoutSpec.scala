@@ -87,6 +87,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("hive-partitioned scan prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.partitionBy("day").parquet(dir)
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    val pruned = spark.read.parquet(dir).where(col("day") === "2024-01-10")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"day predicate must become a partition filter: ${plan.take(1200)}")
+    // the pruned scan reads one directory, not all of them
+    assert(pruned.count() ==
+      Tables.events(spark, sf).where(to_date(col("ts")) === "2024-01-10").count())
+    assert(nDays > 1, "test data must actually span multiple partitions")
+  }
+
   test("binaryFile source ingests raw bytes with glob pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val a = dir.resolve("img_0.bin"); val b = dir.resolve("img_1.bin")
