@@ -67,6 +67,8 @@ object GraftFunctions {
           items.asInstanceOf[Number].longValue(),
           fpp.asInstanceOf[Number].doubleValue()).toAggregateExpression()
       }),
+    ("ngram_explode", "ngram_explode(text, n) - lazy (pos, ngram) rows per word n-gram",
+      es => NgramExplodeExpr(es(0), es(1))),
     ("bloom_might_contain", "bloom_might_contain(key, bloom) - probe a build-time bloom filter",
       es => {
         require(es(1).foldable,

@@ -109,6 +109,27 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY 1""".stripMargin
 
+  /** Positional trigram rows through the custom `ngram_explode`
+    * Generator ([[graft.functions.NgramExplodeExpr]]): each document's
+    * word-3-grams with their positions, generated lazily — no
+    * intermediate ngram array in the row. Bounded to a doc subset so
+    * the oracle comparison stays small; the corpus-wide form feeds the
+    * dedup/decontamination family.
+    */
+  def ngramExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"), expr("ngram_explode(text, 3)"))
+
+  private val ngramExplodeSql =
+    """SELECT doc_id, CAST(i AS INTEGER) AS pos,
+      |  array_to_string(toks[i + 1 : i + 3], ' ') AS ngram
+      |FROM (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 40))""".stripMargin
+
   /** Gopher-style hard quality GATES — the keep/drop boolean filter
     * stage downstream of [[textQuality]]'s soft score: token-count
     * bounds, mean-token-length band, minimum stop-word fraction, and
@@ -342,6 +363,7 @@ object TextAnalysis {
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Op("inverted_index", invertedIndex, Some(invertedIndexSql)),
+    Op("ngram_explode", ngramExplode, Some(ngramExplodeSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
