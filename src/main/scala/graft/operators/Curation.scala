@@ -374,8 +374,42 @@ object Curation {
        |FROM train""".stripMargin
   }
 
+  /** Data-mixture accounting: per (source, split) document and token
+    * counts plus each cell's share of total corpus tokens — the
+    * mixture report a training run's data card publishes, and the
+    * input to quota/rate decisions ([[quotaSample]],
+    * [[stratifiedSample]]). One map-side-combined aggregation; the
+    * token-share denominator is a window total over the |sources×3|
+    * result, not a second corpus pass.
+    */
+  def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        splitCol(splitBucket(col("doc_id"))).as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over(Window.partitionBy()))
+  }
+
+  private val mixtureReportSql =
+    s"""SELECT source,
+       |  CASE WHEN $splitBucketSql < 8 THEN 'train'
+       |       WHEN $splitBucketSql = 8 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+       |    / SUM(SUM(len(string_split(text, ' ')))) OVER () AS token_share
+       |FROM documents
+       |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    Op("mixture_report", mixtureReport, Some(mixtureReportSql)),
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Op("decontaminate", decontaminate, Some(decontaminateSql)),
