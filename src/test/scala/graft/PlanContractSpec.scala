@@ -162,6 +162,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"))
   }
 
+  test("curation_pipeline: bounded exchanges, no cartesian, offsets broadcast") {
+    val p = finalPlan("curation_pipeline")
+    // dedup window (md5), bucket-offset agg, and the packing window —
+    // nothing else may shuffle; the 64-row offsets relation broadcasts
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"unexpected exchange count: ${count(p, "Exchange hashpartitioning")}")
+    assert(count(p, "BroadcastExchange") >= 1, "bucket offsets must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("inverted_index: per-doc distinct combines map-side before the token exchange") {
+    val p = finalPlan("inverted_index")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      "exactly the (doc, token) distinct and the token aggregation shuffle")
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("extract_project_filter: predicate and projection reach the scan") {
     val p = finalPlan("extract_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
