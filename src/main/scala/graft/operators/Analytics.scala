@@ -404,6 +404,36 @@ object Analytics {
       |  count(*) < 5 AS at_risk
       |FROM customer GROUP BY 1, 2""".stripMargin
 
+  /** Month-over-month revenue report: exact decimal monthly totals
+    * with the previous month's total and the percentage change — the
+    * BI staple that composes date_trunc, an exact aggregate, and an
+    * offset window. The lag runs over the |months|-sized result, never
+    * the fact table; pct change is one IEEE division rounded to 9 dp.
+    */
+  def momRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"), count(lit(1)).as("n_orders"))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("month"), col("rev").cast("double").as("revenue"),
+        col("n_orders"),
+        round((col("rev") - col("prev_rev")).cast("double")
+          / col("prev_rev").cast("double") * 100.0, 9).as("pct_change"))
+  }
+
+  private val momRevenueSql =
+    """SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders,
+      |  round(CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE)
+      |    * 100.0, 9) AS pct_change
+      |FROM (
+      |  SELECT month, rev, n_orders, lag(rev, 1) OVER (ORDER BY month) AS prev_rev
+      |  FROM (
+      |    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |      count(*) AS n_orders
+      |    FROM orders GROUP BY 1))""".stripMargin
+
   /** Decile lift table — the model-evaluation report: events ranked by
     * a score (here `value` stands in for a model score), cut into
     * deciles (deterministic ntile ordering), and each decile's
@@ -665,5 +695,6 @@ object Analytics {
     Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Op("recursive_cte", recursiveCte, Some(recursiveCteSql)),
     Op("decile_lift", decileLift, Some(decileLiftSql)),
+    Op("mom_revenue", momRevenue, Some(momRevenueSql)),
   )
 }
