@@ -547,14 +547,15 @@ object Analytics {
         size(filter(col("lens"), x => x > 4)).cast("long").as("n_long"),
         aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("total_len"),
         array_max(col("lens")).cast("long").as("longest"),
-        slice(sort_array(col("lens"), asc = false), 1, 3).as("top_lens"))
+        array_join(slice(sort_array(col("lens"), asc = false), 1, 3), ",")
+          .as("top_lens"))
 
   private val arrayHofSql =
     """SELECT doc_id,
       |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
       |  CAST(list_aggregate(lens, 'sum') AS BIGINT) AS total_len,
       |  CAST(list_max(lens) AS BIGINT) AS longest,
-      |  list_sort(lens, 'DESC')[1:3] AS top_lens
+      |  array_to_string(list_sort(lens, 'DESC')[1:3], ',') AS top_lens
       |FROM (SELECT doc_id,
       |        list_transform(string_split(text, ' '), t -> len(t)) AS lens
       |      FROM documents)""".stripMargin

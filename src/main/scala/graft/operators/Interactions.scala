@@ -136,7 +136,12 @@ object Interactions {
 
   /** Observed contacts per (a_home, b_home): distinct interacting pairs
     * enriched with each side's home cell, then counted
-    * (matrix_transforms.py:65-90). Home catalog is tiny => broadcast.
+    * (matrix_transforms.py:65-90). The home catalog is keyed on caid —
+    * DEVICE cardinality (10⁷–10⁸ in production, SURVEY §4.3), so it is
+    * NOT broadcastable at scale: both enrichment joins go through a
+    * shuffle-hash join on the device key (VERDICT r3 #3). AQE may still
+    * downgrade to broadcast at toy SF; the hint keeps the plan
+    * shuffle-shaped where it matters.
     */
   def observedContacts(spark: SparkSession, dir: String): DataFrame = {
     // fused dedup (r2): count DISTINCT pairs inside the home-level
@@ -152,10 +157,12 @@ object Interactions {
     val pairs = interactionPairsRaw(spark, dir)
     val homes = homeCells(spark, dir)
     pairs
-      .join(broadcast(homes.withColumnRenamed("caid", "a_caid")
-        .withColumnRenamed("home_cell", "a_home")), Seq("a_caid"))
-      .join(broadcast(homes.withColumnRenamed("caid", "b_caid")
-        .withColumnRenamed("home_cell", "b_home")), Seq("b_caid"))
+      .join(homes.withColumnRenamed("caid", "a_caid")
+        .withColumnRenamed("home_cell", "a_home")
+        .hint("shuffle_hash"), Seq("a_caid"))
+      .join(homes.withColumnRenamed("caid", "b_caid")
+        .withColumnRenamed("home_cell", "b_home")
+        .hint("shuffle_hash"), Seq("b_caid"))
       .groupBy(col("a_home"), col("b_home"))
       .agg(countDistinct(col("a_caid"), col("b_caid")).as("observed_contacts"))
   }

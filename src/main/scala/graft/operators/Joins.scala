@@ -402,11 +402,14 @@ object Joins {
     * four-deep dimension chain (customer→nation→region plus the
     * supplier co-nationality constraint).
     *
-    * Scale shape: region/nation/supplier/customer are catalog-sized →
-    * broadcast; the only real exchange joins lineitem to orders on
-    * orderkey. The co-nationality predicate (c_nationkey =
-    * s_nationkey) rides the broadcast joins as an equi-key, never a
-    * residual. Exact decimal revenue.
+    * Scale shape: region/nation/supplier are catalog-sized →
+    * broadcast. Customer is NOT (1.5M rows/SF, ~10⁸ at 100 TB —
+    * VERDICT r3 #4): it reaches the fact side through a shuffle on
+    * o_custkey/c_custkey, which AQE may locally downgrade to broadcast
+    * at toy SF but stays a sound exchange at any scale. The
+    * co-nationality predicate (c_nationkey = s_nationkey) rides the
+    * supplier broadcast as an equi-key, never a residual. Exact
+    * decimal revenue.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val asia = Tables.region(spark, dir).where(col("r_name") === "ASIA")
@@ -424,7 +427,7 @@ object Joins {
       .select(col("o_orderkey"), col("o_custkey"))
     Tables.lineitem(spark, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))

@@ -99,11 +99,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
       .groupBy(col("token"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"),
         count(lit(1)).as("df"))
 
   private val invertedIndexSql =
-    """SELECT token, list(doc_id ORDER BY doc_id) AS postings,
+    """SELECT token,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
       |  count(*) AS df
       |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
       |      FROM documents)

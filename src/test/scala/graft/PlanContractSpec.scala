@@ -45,10 +45,15 @@ class PlanContractSpec extends AnyFunSuite {
       "only the scalar origin row may broadcast — never the fact table")
   }
 
-  test("observed_contacts: home catalogs broadcast, pairs never do") {
+  test("observed_contacts: device-keyed home joins shuffle, never broadcast") {
     val p = finalPlan("observed_contacts")
-    assert(count(p, "BroadcastHashJoin") == 2,
-      "both home-catalog joins must be broadcast joins")
+    // homes is keyed on caid — device cardinality (10⁷–10⁸ in
+    // production). Broadcasting it OOMs executors at scale (VERDICT r3
+    // #3), so both enrichment joins must stay shuffle-side.
+    assert(count(p, "ShuffledHashJoin") == 2,
+      "both home-catalog joins must go through the device-key shuffle")
+    assert(count(p, "BroadcastHashJoin") == 0,
+      "a device-cardinality relation must never broadcast")
     assert(count(p, "Exchange hashpartitioning(cell") == 1,
       "pair relation keeps its single corpus shuffle")
   }
@@ -134,13 +139,16 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "BroadcastExchange") == 1, p.take(2000))
   }
 
-  test("q5_local_supplier: dims broadcast; only the orderkey join shuffles facts") {
+  test("q5_local_supplier: small dims broadcast; customer stays on the custkey shuffle") {
     val p = finalPlan("q5_local_supplier")
-    // the dim chain must broadcast; AQE may ALSO broadcast the
-    // date-filtered orders side at tiny scale (correct at sf0.001,
-    // becomes the orderkey shuffle at 100 TB) — so: at least the three
-    // dim joins broadcast, at most one sort-merge join (the fact
-    // join), and never a cartesian or nested-loop plan
+    // region/nation/supplier are catalog-sized → broadcast. Customer is
+    // the LARGEST dimension (~10⁸ rows at 100 TB — VERDICT r3 #4): it
+    // must reach the fact via a shuffle join on custkey, never a
+    // broadcast. AQE may ALSO broadcast the date-filtered orders side
+    // at tiny scale (correct at sf0.001, becomes the orderkey shuffle
+    // at 100 TB).
+    assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
+      "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
     assert(count(p, "BroadcastHashJoin") >= 3, p.take(2000))
     assert(count(p, "SortMergeJoin") <= 1)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
