@@ -87,6 +87,58 @@ object Imputation {
        |  FROM partner_homes)
        |WHERE rnk = 1""".stripMargin
 
+  /** SQL mirror of [[imputeFixpoint]]: the convergence loop unrolled to
+    * its maxRounds=5 bound as chained CTEs (homes_i = homes_{i-1} ∪
+    * gained_i). The engine's early exit on an empty round is a no-op
+    * in the unrolled form — an empty gained_i leaves homes_i equal to
+    * homes_{i-1}.
+    */
+  private val imputeFixpointSql: String = {
+    val base =
+      """homes_0 AS (
+        |  SELECT caid, home_cell FROM (
+        |    SELECT caid, cell AS home_cell, score,
+        |      ROW_NUMBER() OVER (PARTITION BY caid ORDER BY score DESC, cell ASC) AS rnk
+        |    FROM (
+        |      SELECT caid, cell, SUM(pings_per_day) AS score FROM (
+        |        SELECT * FROM (
+        |          SELECT caid, cell, d, pings_per_day,
+        |            SUM(pings_per_day) OVER (PARTITION BY caid) AS total_pings
+        |          FROM (
+        |            SELECT user_id AS caid, event_type AS cell, CAST(ts AS DATE) AS d,
+        |              count(*) AS pings_per_day
+        |            FROM events WHERE hour(ts) >= 22 OR hour(ts) < 6
+        |            GROUP BY 1, 2, 3))
+        |        WHERE total_pings >= 10 AND pings_per_day >= 2)
+        |      GROUP BY 1, 2))
+        |  WHERE rnk = 1),
+        |pairs AS (
+        |  WITH p AS (SELECT DISTINCT user_id AS caid, event_type AS cell,
+        |      (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
+        |    FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events))
+        |  SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
+        |  FROM p a JOIN p b
+        |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid),
+        |allusers AS (SELECT DISTINCT user_id AS caid FROM events)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""gained_$i AS (
+         |  SELECT caid, partner_home AS home_cell FROM (
+         |    SELECT ph.*, ROW_NUMBER() OVER (PARTITION BY caid
+         |      ORDER BY n DESC, partner_home ASC) AS rnk
+         |    FROM (
+         |      SELECT m.caid, h.home_cell AS partner_home, count(*) AS n
+         |      FROM (SELECT caid FROM allusers
+         |            WHERE caid NOT IN (SELECT caid FROM homes_${i - 1})) m
+         |      JOIN pairs ON m.caid = pairs.a_caid
+         |      JOIN homes_${i - 1} h ON pairs.b_caid = h.caid
+         |      GROUP BY 1, 2) ph)
+         |  WHERE rnk = 1),
+         |homes_$i AS (SELECT * FROM homes_${i - 1}
+         |  UNION ALL SELECT * FROM gained_$i)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rounds\nSELECT caid, home_cell FROM homes_5"
+  }
+
   /** Fixpoint imputation: iterate neighbor-frequency rounds, feeding
     * imputed homes back in, until no new device gains a home or
     * maxRounds is hit (mirrors the reference's `for i in range(5)` +
@@ -133,9 +185,8 @@ object Imputation {
 
   val ops: Seq[Op] = Seq(
     Op("impute_by_neighbors", imputeByNeighbors, Some(imputeByNeighborsSql)),
-    // fixpoint variant: loop-of-jobs with convergence check; first
-    // round equals impute_by_neighbors (oracle-checked above), the
-    // fixpoint invariants are scalatest-checked.
-    Op("impute_fixpoint", (s, d) => imputeFixpoint(s, d), None),
+    // fixpoint variant: loop-of-jobs with convergence check,
+    // oracle-checked against the 5-round unrolled SQL.
+    Op("impute_fixpoint", (s, d) => imputeFixpoint(s, d), Some(imputeFixpointSql)),
   )
 }

@@ -149,19 +149,45 @@ object Multimodal {
       |FROM (SELECT doc_id AS media_id, encode(text) AS payload, text
       |      FROM documents)""".stripMargin
 
+  /** SQL mirror of [[decodeBatch]]'s fake-decode kernel: the byte fold
+    * sum = sum*31 + b as a list_reduce in HUGEINT, wrapped mod 2^64
+    * each step to reproduce Java Long two's-complement overflow, then
+    * re-signed at the end; hist_i as filtered byte counts. ASCII corpus
+    * ⇒ per-char ascii() equals the UTF-8 byte sequence.
+    */
+  private val multimodalDecodeBatchSql: String = {
+    val hists = (0 until 8).map(i =>
+      s"  CAST(len(list_filter(bs, b -> b % 8 = $i)) AS FLOAT) AS hist_$i").mkString(",\n")
+    s"""WITH bytes AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       |    list_transform(range(1, len(text) + 1),
+       |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS bs
+       |  FROM documents),
+       |folded AS (
+       |  SELECT media_id, n_bytes, bs,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(bs, b -> CAST(b AS HUGEINT))),
+       |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS u
+       |  FROM bytes)
+       |SELECT media_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+       |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS checksum,
+       |$hists
+       |FROM folded""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Op("multimodal_resize", multimodalResize, Some(multimodalResizeSql)),
-    // typed mapPartitions batch path; checksum/histogram are
-    // deterministic, but not SQL-expressible without loops → rows-only.
-    // The registered form flattens the feature array into scalar
-    // hist_0..hist_7 columns: the driver canonizer sorts column values
-    // and can't hash array cells (r1 harness crash).
+    // typed mapPartitions batch path; the registered form flattens the
+    // feature array into scalar hist_0..hist_7 columns (the driver
+    // canonizer can't hash array cells) and is oracle-checked against
+    // the list_reduce byte-fold SQL.
     Op("multimodal_decode_batch", (s, d) => {
       val df = decodeBatch(s, d).toDF()
       val hist = (0 until 8).map(i => col("feature").getItem(i).as(s"hist_$i"))
       df.select(col("media_id") +: col("n_bytes") +: col("checksum") +: hist: _*)
-    }, None),
+    }, Some(multimodalDecodeBatchSql)),
   )
 }

@@ -19,6 +19,64 @@ import graft.functions.GraftFunctions._
   */
 object Spatial {
 
+  /** DuckDB-SQL mirror of the [[graft.functions.HexGrid]] kernels, so
+    * the hex family is oracle-checkable: the axial transform, cube
+    * rounding, id packing, centroid, and grid distance are all plain
+    * floor/integer arithmetic. Every floating-point constant is spliced
+    * from the SAME Java double the engine uses and wrapped in
+    * CAST(... AS DOUBLE) — a bare decimal literal is DECIMAL in DuckDB
+    * and would run exact decimal arithmetic instead of IEEE doubles,
+    * breaking bit parity (measured: 1-ulp drift on ~1/3 of centroids).
+    * Cube rounding mirrors Java's Math.round as floor(x + 0.5), which
+    * differs from DuckDB's round() (half away from zero) for negative
+    * halves.
+    */
+  private object HexSql {
+    import graft.functions.HexGrid
+    private def lit(v: Double): String = s"CAST($v AS DOUBLE)"
+    private val cql = lit(math.sqrt(3.0) / 3.0)
+    private val c23 = lit(2.0 / 3.0)
+    private val sq3 = lit(math.sqrt(3.0))
+    private val sq3h = lit(math.sqrt(3.0) / 2.0)
+
+    /** fractional axial coords (qf, rf) of (latE, lonE) at `res`. */
+    def qfRf(latE: String, lonE: String, res: Int): (String, String) = {
+      val s = lit(HexGrid.edgeLengthDeg(res))
+      (s"(($cql * ($lonE) - ($latE) / 3.0) / $s)",
+        s"(($c23 * ($latE)) / $s)")
+    }
+
+    /** cube-round fractional axial columns (by name) to integer (q, r). */
+    def roundQ(qf: String, rf: String): (String, String) = {
+      val q0 = s"CAST(floor($qf + 0.5) AS BIGINT)"
+      val r0 = s"CAST(floor($rf + 0.5) AS BIGINT)"
+      val s0 = s"CAST(floor((- $qf - $rf) + 0.5) AS BIGINT)"
+      val dq = s"abs($q0 - $qf)"
+      val dr = s"abs($r0 - $rf)"
+      val ds = s"abs($s0 - (- $qf - $rf))"
+      (s"(CASE WHEN $dq > $dr AND $dq > $ds THEN - $r0 - $s0 ELSE $q0 END)",
+        s"(CASE WHEN NOT ($dq > $dr AND $dq > $ds) AND $dr > $ds THEN - $q0 - $s0 ELSE $r0 END)")
+    }
+
+    /** packed 60-bit cell value (HexGrid.pack); fixed-width hex of this
+      * sorts identically to the packed BIGINT, so ORDER BY/min on the
+      * packed value matches the engine's string ordering.
+      */
+    def pack(q: String, r: String, res: Int): String =
+      s"(((($q) + 33554432) * 33554432 + (($r) + 16777216)) * 16 + $res)"
+
+    def hexStr(packed: String): String = s"printf('%015x', $packed)"
+
+    def centerLat(r: String, res: Int): String =
+      s"(${lit(HexGrid.edgeLengthDeg(res) * 1.5)} * ($r))"
+
+    def centerLon(q: String, r: String, res: Int): String =
+      s"(${lit(HexGrid.edgeLengthDeg(res))} * ($sq3 * ($q) + $sq3h * ($r)))"
+
+    def gridDist(dq: String, dr: String): String =
+      s"((abs($dq) + abs($dr) + abs(($dq) + ($dr))) // 2)"
+  }
+
   /** GeoJSON Polygon "coordinates" schema: rings → points → [x, y]. */
   private val ringsType: DataType = ArrayType(ArrayType(ArrayType(DoubleType)))
 
@@ -81,8 +139,8 @@ object Spatial {
 
   /** F15/F16/F19: hex-grid indexing of synthetic coordinates at res
     * 12/15 + parent + centroid columns (geo_to_h3 / h3_to_geo /
-    * h3_to_parent analogs). Codegen'd Catalyst expressions; no oracle
-    * (not SQL-expressible) — invariants are scalatest-checked.
+    * h3_to_parent analogs). Codegen'd Catalyst expressions;
+    * oracle-checked bit-exactly via the [[HexSql]] SQL mirror.
     */
   def hexCells(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.events(spark, dir)
@@ -95,6 +153,31 @@ object Spatial {
       .withColumn("parent12", hex_parent(col("cell15"), lit(12)))
       .withColumn("c_lat", hex_center_lat(col("cell15")))
       .withColumn("c_lon", hex_center_lon(col("cell15")))
+  }
+
+  private val hexCellsSql: String = {
+    import HexSql._
+    val (qf15, rf15) = qfRf("lat", "lon", 15)
+    val (qf12, rf12) = qfRf("lat", "lon", 12)
+    val (q15, r15) = roundQ("qf15", "rf15")
+    val (q12, r12) = roundQ("qf12", "rf12")
+    val (pqf, prf) = qfRf("c_lat", "c_lon", 12)
+    val (pq, pr) = roundQ("pqf", "prf")
+    s"""WITH pts AS (SELECT event_id, (value % 120.0) - 60.0 AS lat,
+       |    CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon FROM events),
+       |frac AS (SELECT event_id, lat, lon, $qf15 AS qf15, $rf15 AS rf15,
+       |    $qf12 AS qf12, $rf12 AS rf12 FROM pts),
+       |ax AS (SELECT event_id, lat, lon, $q15 AS q15, $r15 AS r15,
+       |    $q12 AS q12, $r12 AS r12 FROM frac),
+       |ctr AS (SELECT *, ${centerLat("r15", 15)} AS c_lat,
+       |    ${centerLon("q15", "r15", 15)} AS c_lon FROM ax),
+       |pfrac AS (SELECT *, $pqf AS pqf, $prf AS prf FROM ctr)
+       |SELECT event_id, lat, lon,
+       |  ${hexStr(pack("q15", "r15", 15))} AS cell15,
+       |  ${hexStr(pack("q12", "r12", 12))} AS cell12,
+       |  ${hexStr(pack(pq, pr, 12))} AS parent12,
+       |  c_lat, c_lon
+       |FROM pfrac""".stripMargin
   }
 
   /** F18: k-ring neighborhood explode (spatial imputer shape,
@@ -118,6 +201,25 @@ object Spatial {
       .agg(sum(col("n_users")).as("neighborhood_users"))
   }
 
+  private val hexKringNeighborsSql: String = {
+    import HexSql._
+    val (qf12, rf12) = qfRf("lat", "lon", 12)
+    val (q, r) = roundQ("qf", "rf")
+    s"""WITH pts AS (SELECT user_id, (value % 120.0) - 60.0 AS lat,
+       |    CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon FROM events),
+       |frac AS (SELECT user_id, $qf12 AS qf, $rf12 AS rf FROM pts),
+       |cells AS (SELECT DISTINCT user_id, $q AS q, $r AS r FROM frac),
+       |occupied AS (SELECT q, r, count(DISTINCT user_id) AS n_users
+       |  FROM cells GROUP BY 1, 2),
+       |offs(dq, dr) AS (VALUES (-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0)),
+       |nb AS (SELECT c.user_id, c.q, c.r, c.q + o.dq AS nq, c.r + o.dr AS nr
+       |  FROM cells c CROSS JOIN offs o)
+       |SELECT nb.user_id, ${hexStr(pack("nb.q", "nb.r", 12))} AS cell12,
+       |  CAST(sum(occ.n_users) AS BIGINT) AS neighborhood_users
+       |FROM nb JOIN occupied occ ON occ.q = nb.nq AND occ.r = nb.nr
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** F17: radius of gyration on true hex grid distances
     * (RadiusOfGyrationHandler.py:139-140 analog).
     */
@@ -136,6 +238,24 @@ object Spatial {
       .agg(count(lit(1)).as("n"), sum(col("r_i") * col("r_i")).as("sum_r2"))
       .select(col("caid"), col("n"),
         sqrt(col("sum_r2").cast("double") / col("n")).as("rg"))
+  }
+
+  private val hexRgSql: String = {
+    import HexSql._
+    val (qf12, rf12) = qfRf("lat", "lon", 12)
+    val (q, r) = roundQ("qf", "rf")
+    s"""WITH pts AS (SELECT user_id AS caid, (value % 120.0) - 60.0 AS lat,
+       |    CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon FROM events),
+       |frac AS (SELECT caid, $qf12 AS qf, $rf12 AS rf FROM pts),
+       |cells AS (SELECT DISTINCT caid, $q AS q, $r AS r FROM frac),
+       |packed AS (SELECT caid, q, r, ${pack("q", "r", 12)} AS cell FROM cells),
+       |homes AS (SELECT caid, min(cell) AS home_cell FROM packed GROUP BY 1),
+       |dists AS (SELECT p.caid, ${gridDist("p.q - hq.q", "p.r - hq.r")} AS r_i
+       |  FROM packed p JOIN homes h ON p.caid = h.caid
+       |  JOIN packed hq ON hq.caid = p.caid AND hq.cell = h.home_cell)
+       |SELECT caid, count(*) AS n,
+       |  sqrt(CAST(sum(r_i * r_i) AS DOUBLE) / count(*)) AS rg
+       |FROM dists GROUP BY 1""".stripMargin
   }
 
   /** Spatial fixpoint imputer (NullLocationImputer,
@@ -214,6 +334,54 @@ object Spatial {
     imputed
   }
 
+  /** SQL mirror of [[imputeByKRing]]'s expanding-ring loop, unrolled:
+    * the k-round loop over ring annuli is equivalent to scoring every
+    * disk cell (grid distance ≤ maxK) once with its ring number rk
+    * (distance-0 cells are tested in round 1), then taking the row
+    * minimal in (rk, poly_id, packed-cell) per point — smallest ring
+    * with a polygon match, the reference's NULLS-LAST row_number pick
+    * within it. Packed-BIGINT cell ordering equals the engine's
+    * fixed-width hex string ordering.
+    */
+  private val imputeByKRingSql: String = {
+    import HexSql._
+    val tiles = (for { i <- 0 until 4; j <- 0 until 4 } yield
+      s"('P_${i}_${j}', ${5.0 * i + 0.005}, ${5.0 * i + 5.005}, ${5.0 * j + 0.005}, ${5.0 * j + 5.005})")
+      .mkString(",\n    ")
+    val (qf6, rf6) = qfRf("y", "x", 6)
+    val (q, r) = roundQ("qf", "rf")
+    val d = "((abs(dq) + abs(dr) + abs(dq + dr)) // 2)"
+    s"""WITH polys(poly_id, x0, x1, y0, y1) AS (VALUES
+       |    $tiles),
+       |pts AS (SELECT c_custkey AS pt_id, abs(c_acctbal) % 20.0 AS x,
+       |    CAST(c_custkey % 2000 AS DOUBLE) / 100.0 AS y FROM customer),
+       |located AS (
+       |  SELECT pt_id, x, y, poly_id FROM pts LEFT JOIN polys
+       |    ON x > x0 AND x < x1 AND y > y0 AND y < y1),
+       |frac AS (SELECT pt_id, $qf6 AS qf, $rf6 AS rf
+       |  FROM located WHERE poly_id IS NULL),
+       |cells AS (SELECT pt_id, $q AS q, $r AS r FROM frac),
+       |offs AS (SELECT dq, dr,
+       |    CASE WHEN $d = 0 THEN 1 ELSE $d END AS rk
+       |  FROM (SELECT a.x AS dq, b.x AS dr FROM range(-5, 6) a(x), range(-5, 6) b(x))
+       |  WHERE $d <= 5),
+       |cand AS (SELECT c.pt_id, o.rk, c.q + o.dq AS nq, c.r + o.dr AS nr
+       |  FROM cells c CROSS JOIN offs o),
+       |cent AS (SELECT pt_id, rk, ${pack("nq", "nr", 6)} AS nb,
+       |    ${centerLat("nr", 6)} AS ny, ${centerLon("nq", "nr", 6)} AS nx FROM cand),
+       |matched AS (SELECT cent.pt_id, cent.rk, cent.nb, p.poly_id
+       |  FROM cent JOIN polys p
+       |    ON nx > p.x0 AND nx < p.x1 AND ny > p.y0 AND ny < p.y1),
+       |winner AS (SELECT pt_id, poly_id, rk AS k FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY pt_id
+       |      ORDER BY rk ASC, poly_id ASC, nb ASC) AS rnk FROM matched)
+       |  WHERE rnk = 1)
+       |SELECT pt_id, poly_id, CAST(0 AS INTEGER) AS k
+       |FROM located WHERE poly_id IS NOT NULL
+       |UNION ALL
+       |SELECT pt_id, poly_id, CAST(k AS INTEGER) AS k FROM winner""".stripMargin
+  }
+
   /** F20: CRS re-projection stage — the reference's
     * `to_crs("EPSG:4326")` catalog step (RadiusOfGyrationHandler.py:
     * 73-85) as a ONE-pass projected→geographic→hex-index pipeline over
@@ -234,9 +402,9 @@ object Spatial {
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, None),
-    Op("impute_by_kring", (s, d) => imputeByKRing(s, d), None),
-    Op("hex_cells", hexCells, None),
-    Op("hex_kring_neighbors", hexKringNeighbors, None),
-    Op("hex_rg", hexRg, None),
+    Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
+    Op("hex_cells", hexCells, Some(hexCellsSql)),
+    Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
+    Op("hex_rg", hexRg, Some(hexRgSql)),
   )
 }
