@@ -408,7 +408,7 @@ object Curation {
        |GROUP BY 1, 2""".stripMargin
 
   val ops: Seq[Op] = Seq(
-    Op("curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("mixture_report", mixtureReport, Some(mixtureReportSql)),
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
@@ -416,7 +416,7 @@ object Curation {
     Op("pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("repetition_score", repetitionScore, Some(repetitionScoreSql)),
     Op("quota_sample", (s, d) => quotaSample(s, d), Some(quotaSampleSql)),
-    Op("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
-    Op("shard_pack", (s, d) => shardPack(s, d), Some(shardPackSql)),
+    Op("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql), bench = true),
+    Op("shard_pack", (s, d) => shardPack(s, d), Some(shardPackSql), bench = true),
   )
 }

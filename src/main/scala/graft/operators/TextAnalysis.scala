@@ -364,7 +364,7 @@ object TextAnalysis {
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
-    Op("inverted_index", invertedIndex, Some(invertedIndexSql)),
+    Op("inverted_index", invertedIndex, Some(invertedIndexSql), bench = true),
     Op("ngram_explode", ngramExplode, Some(ngramExplodeSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),

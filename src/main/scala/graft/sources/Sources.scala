@@ -164,6 +164,23 @@ object Sources {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  /** S6: GeoJSON FeatureCollection harvest — the polygon-catalog build
+    * step (/root/reference/notebooks/GeneratesMunicipioDB.ipynb cells
+    * 1-5): one whole-document JSON read (multiLine), `features[]`
+    * exploded to a row per feature, properties flattened to columns,
+    * geometry re-serialized to its GeoJSON string. The output plugs
+    * straight into the point-in-polygon path: parse `geometry` once
+    * catalog-side with from_json($.coordinates) and broadcast
+    * (operators.Spatial). Catalog-sized input by nature — whole-file
+    * JSON parse is a build-time cost, never per-ping.
+    */
+  def geoJsonFeatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("feature"))
+      .select(col("feature.properties.*"),
+        col("feature.geometry.type").as("geometry_type"),
+        to_json(col("feature.geometry")).as("geometry"))
+
   /** S14: bench-log append table (same three-column schema as the
     * reference's Benchmark DuckDB table —
     * /root/reference/src/utils/stopwatch.py:63-79).
