@@ -37,6 +37,14 @@ object GraftFunctions {
       es => HexKRingExpr(es(0), es(1))),
     ("hex_parent", "hex_parent(cell, res) - containing cell at coarser res",
       es => HexParentExpr(es(0), es(1))),
+    ("h3_index", "h3_index(lat, lon, res) - true H3 cell id (bit-compatible)",
+      es => H3IndexExpr(es(0), es(1), es(2))),
+    ("h3_parent", "h3_parent(cell, res) - containing H3 cell at coarser res",
+      es => H3ParentExpr(es(0), es(1))),
+    ("h3_resolution", "h3_resolution(cell) - resolution encoded in an H3 id",
+      es => H3ResolutionExpr(es.head)),
+    ("h3_is_pentagon", "h3_is_pentagon(cell) - true for the 12 pentagons per res",
+      es => H3IsPentagonExpr(es.head)),
     ("st_contains", "st_contains(rings, lon, lat) - point-in-polygon",
       es => StContainsExpr(es(0), es(1), es(2))),
     ("vec_dot", "vec_dot(a, b) - sequential-order dot product of numeric arrays",
@@ -93,6 +101,12 @@ object GraftFunctions {
   def hex_kring(cell: Column, k: Column): Column = call_function("hex_kring", cell, k)
   def hex_parent(cell: Column, res: Column): Column =
     call_function("hex_parent", cell, res)
+  def h3_index(lat: Column, lon: Column, res: Column): Column =
+    call_function("h3_index", lat, lon, res)
+  def h3_parent(cell: Column, res: Column): Column =
+    call_function("h3_parent", cell, res)
+  def h3_resolution(cell: Column): Column = call_function("h3_resolution", cell)
+  def h3_is_pentagon(cell: Column): Column = call_function("h3_is_pentagon", cell)
   def st_contains(rings: Column, lon: Column, lat: Column): Column =
     call_function("st_contains", rings, lon, lat)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

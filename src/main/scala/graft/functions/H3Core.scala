@@ -1,0 +1,890 @@
+package graft.functions
+
+/** Clean-room implementation of the published H3 cell-indexing
+  * algorithm (h3geo.org spec; the reference pipelines index pings with
+  * it — /root/reference/src/transforms/NTLTransforms.py:71-72
+  * geo_to_h3 at res 12/15, h3_to_parent at :73). Produces bit-exact H3
+  * cell ids: gnomonic projection onto the H3-oriented icosahedron,
+  * aperture-7 digit generation, base-cell assignment and canonical
+  * rotation, pentagon deleted-K-axis adjustment.
+  *
+  * Published constants carried: the 20 face centers and face i-axis
+  * azimuths, and the 122-entry base-cell table (home face+ijk,
+  * pentagon flags, pentagon cw-offset faces). The (face,ijk)→(base
+  * cell, rotation) lookup h3lib tabulates is DERIVED here at first use
+  * from those constants: base cells by nearest-center matching with
+  * unambiguity margins, rotations by seam voting — canonical indices
+  * of perturbation-stable points near the two faces' region boundary
+  * (where fold drift vanishes) must agree between the frames, BFS-
+  * propagated from each home face across the entry faces with an 80%
+  * supermajority demanded per link. A transcription error in any
+  * constant fails loudly at derivation, not silently at query time.
+  *
+  * Scope: cell indexing (latLngToCell), parent truncation, accessors,
+  * string round-trip. Neighbor traversal (k-ring/distance) stays on
+  * [[HexGrid]] — the engine's documented grid for those roles.
+  *
+  * Validation: golden vectors from the public H3 docs (San Francisco
+  * res-9 cell + its res-8 parent, the 12 res-0 pentagons) plus global
+  * structural properties — see H3Spec.
+  */
+object H3Core {
+
+  private val Pi2 = 2.0 * math.Pi
+  private val Eps = 1e-16
+  private val Sqrt7 = 2.6457513110645905905016157536392604257102
+  /** res-0 unit length to gnomonic unit length (published constant). */
+  private val Res0UGnomonic = 0.38196601125010500003
+  /** rotation between Class II and Class III grids: asin(sqrt(3/28)). */
+  private val Ap7Rot = math.asin(math.sqrt(3.0 / 28.0))
+  private val Sin60 = math.sqrt(3.0) / 2.0
+
+  // ------------------------------------------------------------------
+  // published icosahedron geometry (radians)
+  // ------------------------------------------------------------------
+
+  /** (lat, lon) of the 20 face centers. */
+  private val faceCenterGeo: Array[(Double, Double)] = Array(
+    (0.803582649718989942, 1.248397419617396099),
+    (1.307747883455638156, 2.536945009877921159),
+    (1.054751253523952054, -1.347517358900396623),
+    (0.600191595538186799, -0.450603909469755746),
+    (0.491715428198773866, 0.401988202911306943),
+    (0.172745327415618701, 1.678146885280433686),
+    (0.605929321571350690, 2.953923329812411617),
+    (0.427370518328979641, -1.888876200336285401),
+    (-0.079066118549212831, -0.733429513380867741),
+    (-0.230961644455383637, 0.506495587332349035),
+    (0.079066118549212831, 2.408163140208925497),
+    (0.230961644455383637, -2.635097066257444203),
+    (-0.172745327415618701, -1.463445768309359553),
+    (-0.605929321571350690, -0.187669323777381622),
+    (-0.427370518328979641, 1.252716453253507838),
+    (-0.600191595538186799, 2.690988744120037492),
+    (-0.491715428198773866, -2.739604450678486295),
+    (-0.803582649718989942, -1.893195233972397139),
+    (-1.307747883455638156, -0.604647643711872080),
+    (-1.054751253523952054, 1.794075294689396615))
+
+  /** azimuth from each face center to its Class II i-axis (index 0);
+    * j/k axes (1/2) follow at exact -2π/3 steps (asserted below).
+    */
+  private val faceAxesAz: Array[(Double, Double, Double)] = Array(
+    (5.619958268523939882, 3.525563166130744542, 1.431168063737548730),
+    (5.760339081714187279, 3.665943979320991689, 1.571548876927795877),
+    (0.780213654393430055, 4.969003859179821079, 2.874608756786625655),
+    (0.430469363979999913, 4.619259568766391033, 2.524864466373195467),
+    (6.130269123335111400, 4.035874020941915804, 1.941478918548720291),
+    (2.692877706530642877, 0.598482604137447119, 4.787272808923838195),
+    (2.982963003477243874, 0.888567901084048369, 5.077358105870439581),
+    (3.532912002790141181, 1.438516900396945656, 5.627307105183336758),
+    (3.494305004259568154, 1.399909901866372864, 5.588700106652763840),
+    (3.003214169499538391, 0.908819067106342928, 5.097609271892733906),
+    (5.930472956509811562, 3.836077854116615875, 1.741682751723420374),
+    (0.138378484090254847, 4.327168688876645809, 2.232773586483450311),
+    (0.448714947059150361, 4.637505151845541521, 2.543110049452346017),
+    (0.158629650112549365, 4.347419854898940135, 2.253024752505744869),
+    (5.891865957979238535, 3.797470855586042958, 1.703075753192847583),
+    (2.711123289609793325, 0.616728187216597771, 4.805518392002988683),
+    (3.294508837434268316, 1.200113735041072948, 5.388903939827463911),
+    (3.804819692245439833, 1.710424589852244509, 5.899214794638635174),
+    (3.664438879055192436, 1.570043776661997111, 5.758833981448388776),
+    (2.361378999196363184, 0.266983896803167583, 4.455774101589558636))
+
+  // ------------------------------------------------------------------
+  // published base-cell table: home (face, i, j, k), pentagon flag,
+  // pentagon cw-offset faces (-1 = none)
+  // ------------------------------------------------------------------
+
+  private val baseCellData: Array[(Int, Int, Int, Int, Boolean, Int, Int)] = Array(
+    (1, 1, 0, 0, false, -1, -1), (2, 1, 1, 0, false, -1, -1),
+    (1, 0, 0, 0, false, -1, -1), (2, 1, 0, 0, false, -1, -1),
+    (0, 2, 0, 0, true, -1, -1), (1, 1, 1, 0, false, -1, -1),
+    (1, 0, 0, 1, false, -1, -1), (2, 0, 0, 0, false, -1, -1),
+    (0, 1, 0, 0, false, -1, -1), (2, 0, 1, 0, false, -1, -1),
+    (1, 0, 1, 0, false, -1, -1), (1, 0, 1, 1, false, -1, -1),
+    (3, 1, 0, 0, false, -1, -1), (3, 1, 1, 0, false, -1, -1),
+    (11, 2, 0, 0, true, 2, 6), (4, 1, 0, 0, false, -1, -1),
+    (0, 0, 0, 0, false, -1, -1), (6, 0, 1, 0, false, -1, -1),
+    (0, 0, 0, 1, false, -1, -1), (2, 0, 1, 1, false, -1, -1),
+    (7, 0, 0, 1, false, -1, -1), (2, 0, 0, 1, false, -1, -1),
+    (0, 1, 1, 0, false, -1, -1), (6, 0, 0, 1, false, -1, -1),
+    (10, 2, 0, 0, true, 1, 5), (6, 0, 0, 0, false, -1, -1),
+    (3, 0, 0, 0, false, -1, -1), (11, 1, 0, 0, false, -1, -1),
+    (4, 1, 1, 0, false, -1, -1), (3, 0, 1, 0, false, -1, -1),
+    (0, 0, 1, 1, false, -1, -1), (4, 0, 0, 0, false, -1, -1),
+    (5, 0, 1, 0, false, -1, -1), (0, 0, 1, 0, false, -1, -1),
+    (7, 0, 1, 0, false, -1, -1), (11, 1, 1, 0, false, -1, -1),
+    (7, 0, 0, 0, false, -1, -1), (10, 1, 0, 0, false, -1, -1),
+    (12, 2, 0, 0, true, 3, 7), (6, 1, 0, 1, false, -1, -1),
+    (7, 1, 0, 1, false, -1, -1), (4, 0, 0, 1, false, -1, -1),
+    (3, 0, 0, 1, false, -1, -1), (3, 0, 1, 1, false, -1, -1),
+    (4, 0, 1, 0, false, -1, -1), (6, 1, 0, 0, false, -1, -1),
+    (11, 0, 0, 0, false, -1, -1), (8, 0, 0, 1, false, -1, -1),
+    (5, 0, 0, 1, false, -1, -1), (14, 2, 0, 0, true, 0, 9),
+    (5, 0, 0, 0, false, -1, -1), (12, 1, 0, 0, false, -1, -1),
+    (10, 1, 1, 0, false, -1, -1), (4, 0, 1, 1, false, -1, -1),
+    (12, 1, 1, 0, false, -1, -1), (7, 1, 0, 0, false, -1, -1),
+    (11, 0, 1, 0, false, -1, -1), (10, 0, 0, 0, false, -1, -1),
+    (13, 2, 0, 0, true, 4, 8), (10, 0, 0, 1, false, -1, -1),
+    (11, 0, 0, 1, false, -1, -1), (9, 0, 1, 0, false, -1, -1),
+    (8, 0, 1, 0, false, -1, -1), (6, 2, 0, 0, true, 11, 15),
+    (8, 0, 0, 0, false, -1, -1), (9, 0, 0, 1, false, -1, -1),
+    (14, 1, 1, 0, false, -1, -1), (5, 1, 0, 1, false, -1, -1),
+    (16, 0, 1, 1, false, -1, -1), (8, 1, 0, 1, false, -1, -1),
+    (5, 1, 0, 0, false, -1, -1), (12, 0, 0, 0, false, -1, -1),
+    (7, 2, 0, 0, true, 12, 16), (12, 0, 1, 0, false, -1, -1),
+    (10, 0, 1, 0, false, -1, -1), (9, 0, 0, 0, false, -1, -1),
+    (13, 1, 0, 0, false, -1, -1), (16, 0, 0, 1, false, -1, -1),
+    (15, 0, 1, 1, false, -1, -1), (15, 0, 1, 0, false, -1, -1),
+    (16, 0, 1, 0, false, -1, -1), (14, 1, 0, 0, false, -1, -1),
+    (13, 1, 1, 0, false, -1, -1), (5, 2, 0, 0, true, 10, 19),
+    (8, 1, 0, 0, false, -1, -1), (14, 0, 0, 0, false, -1, -1),
+    (9, 1, 0, 1, false, -1, -1), (14, 0, 0, 1, false, -1, -1),
+    (17, 0, 0, 1, false, -1, -1), (12, 0, 0, 1, false, -1, -1),
+    (16, 0, 0, 0, false, -1, -1), (17, 0, 1, 1, false, -1, -1),
+    (15, 0, 0, 1, false, -1, -1), (16, 1, 0, 1, false, -1, -1),
+    (9, 1, 0, 0, false, -1, -1), (15, 0, 0, 0, false, -1, -1),
+    (13, 0, 0, 0, false, -1, -1), (8, 2, 0, 0, true, 13, 17),
+    (13, 0, 1, 0, false, -1, -1), (17, 1, 0, 1, false, -1, -1),
+    (19, 0, 1, 0, false, -1, -1), (14, 0, 1, 0, false, -1, -1),
+    (19, 0, 1, 1, false, -1, -1), (17, 0, 1, 0, false, -1, -1),
+    (13, 0, 0, 1, false, -1, -1), (17, 0, 0, 0, false, -1, -1),
+    (16, 1, 0, 0, false, -1, -1), (9, 2, 0, 0, true, 14, 18),
+    (15, 1, 0, 1, false, -1, -1), (15, 1, 0, 0, false, -1, -1),
+    (18, 0, 1, 1, false, -1, -1), (18, 0, 0, 1, false, -1, -1),
+    (19, 0, 0, 1, false, -1, -1), (17, 1, 0, 0, false, -1, -1),
+    (19, 0, 0, 0, false, -1, -1), (18, 0, 1, 0, false, -1, -1),
+    (18, 1, 0, 1, false, -1, -1), (19, 2, 0, 0, true, -1, -1),
+    (19, 1, 0, 0, false, -1, -1), (18, 0, 0, 0, false, -1, -1),
+    (19, 1, 0, 1, false, -1, -1), (18, 1, 0, 0, false, -1, -1))
+
+  final val NumBaseCells = 122
+
+  def isPentagonBaseCell(bc: Int): Boolean = baseCellData(bc)._5
+
+  private def isCwOffset(bc: Int, face: Int): Boolean = {
+    val d = baseCellData(bc)
+    d._6 == face || d._7 == face
+  }
+
+  // ------------------------------------------------------------------
+  // angular / vector helpers
+  // ------------------------------------------------------------------
+
+  private def posAngle(a: Double): Double = {
+    var t = if (a < 0.0) a + Pi2 else a
+    if (t >= Pi2) t -= Pi2
+    t
+  }
+
+  private def constrainLng(l: Double): Double = {
+    var t = l
+    while (t > math.Pi) t -= Pi2
+    while (t < -math.Pi) t += Pi2
+    t
+  }
+
+  private def geoToVec3(lat: Double, lon: Double): (Double, Double, Double) = {
+    val c = math.cos(lat)
+    (c * math.cos(lon), c * math.sin(lon), math.sin(lat))
+  }
+
+  private def sqDist(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+    val dx = a._1 - b._1; val dy = a._2 - b._2; val dz = a._3 - b._3
+    dx * dx + dy * dy + dz * dz
+  }
+
+  /** azimuth (radians, ccw convention of the spec) from p1 to p2. */
+  private def azimuth(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    math.atan2(
+      math.cos(lat2) * math.sin(lon2 - lon1),
+      math.cos(lat1) * math.sin(lat2) -
+        math.sin(lat1) * math.cos(lat2) * math.cos(lon2 - lon1))
+
+  /** destination point at `az`/`dist` (radians) from (lat, lon). */
+  private def azDistance(lat: Double, lon: Double, azIn: Double,
+      dist: Double): (Double, Double) = {
+    if (dist < Eps) return (lat, lon)
+    val az = posAngle(azIn)
+    if (az < Eps || math.abs(az - math.Pi) < Eps) {
+      val lat2 = if (az < Eps) lat + dist else lat - dist
+      if (math.abs(lat2 - math.Pi / 2) < Eps) (math.Pi / 2, 0.0)
+      else if (math.abs(lat2 + math.Pi / 2) < Eps) (-math.Pi / 2, 0.0)
+      else (lat2, constrainLng(lon))
+    } else {
+      var sinLat2 = math.sin(lat) * math.cos(dist) +
+        math.cos(lat) * math.sin(dist) * math.cos(az)
+      if (sinLat2 > 1.0) sinLat2 = 1.0
+      if (sinLat2 < -1.0) sinLat2 = -1.0
+      val lat2 = math.asin(sinLat2)
+      if (math.abs(lat2 - math.Pi / 2) < Eps) (math.Pi / 2, 0.0)
+      else if (math.abs(lat2 + math.Pi / 2) < Eps) (-math.Pi / 2, 0.0)
+      else {
+        var sinLng = math.sin(az) * math.sin(dist) / math.cos(lat2)
+        var cosLng = (math.cos(dist) - math.sin(lat) * sinLat2) /
+          (math.cos(lat) * math.cos(lat2))
+        if (sinLng > 1.0) sinLng = 1.0
+        if (sinLng < -1.0) sinLng = -1.0
+        if (cosLng > 1.0) cosLng = 1.0
+        if (cosLng < -1.0) cosLng = -1.0
+        (lat2, constrainLng(lon + math.atan2(sinLng, cosLng)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CoordIJK ops (aperture-7 hex grid)
+  // ------------------------------------------------------------------
+
+  private final class IJK(var i: Long, var j: Long, var k: Long) {
+    def copy(): IJK = new IJK(i, j, k)
+  }
+
+  private def normalize(c: IJK): Unit = {
+    if (c.i < 0) { c.j -= c.i; c.k -= c.i; c.i = 0 }
+    if (c.j < 0) { c.i -= c.j; c.k -= c.j; c.j = 0 }
+    if (c.k < 0) { c.i -= c.k; c.j -= c.k; c.k = 0 }
+  }
+
+  /** digits: 0 center, 1 K, 2 J, 3 JK, 4 I, 5 IK, 6 IJ. */
+  private val unitVecs: Array[(Long, Long, Long)] = Array(
+    (0L, 0L, 0L), (0L, 0L, 1L), (0L, 1L, 0L), (0L, 1L, 1L),
+    (1L, 0L, 0L), (1L, 0L, 1L), (1L, 1L, 0L))
+
+  private def unitIjkToDigit(c: IJK): Int = {
+    val t = c.copy(); normalize(t)
+    var d = 0
+    var found = -1
+    while (d < 7) {
+      if (unitVecs(d) == ((t.i, t.j, t.k))) found = d
+      d += 1
+    }
+    require(found >= 0, s"non-unit ijk (${t.i},${t.j},${t.k})")
+    found
+  }
+
+  /** coarsen one aperture-7 step, counter-clockwise grid (Class II up). */
+  private def upAp7(c: IJK): Unit = {
+    val i = c.i - c.k
+    val j = c.j - c.k
+    c.i = math.round((3 * i - j) / 7.0)
+    c.j = math.round((i + 2 * j) / 7.0)
+    c.k = 0
+    normalize(c)
+  }
+
+  /** coarsen one aperture-7 step, clockwise grid (Class III up). */
+  private def upAp7r(c: IJK): Unit = {
+    val i = c.i - c.k
+    val j = c.j - c.k
+    c.i = math.round((2 * i + j) / 7.0)
+    c.j = math.round((3 * j - i) / 7.0)
+    c.k = 0
+    normalize(c)
+  }
+
+  private def downAp7(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = 3 * i + 1 * j + 0 * k
+    c.j = 0 * i + 3 * j + 1 * k
+    c.k = 1 * i + 0 * j + 3 * k
+    normalize(c)
+  }
+
+  private def downAp7r(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = 3 * i + 0 * j + 1 * k
+    c.j = 1 * i + 3 * j + 0 * k
+    c.k = 0 * i + 1 * j + 3 * k
+    normalize(c)
+  }
+
+  // ------------------------------------------------------------------
+  // face plane <-> grid
+  // ------------------------------------------------------------------
+
+  private def isClassIII(res: Int): Boolean = (res & 1) == 1
+
+  /** nearest face (by center) to a geo point. */
+  private def nearestFace(lat: Double, lon: Double): Int = {
+    val v3 = geoToVec3(lat, lon)
+    var face = 0
+    var sqd = sqDist(faceCenterPoint(0), v3)
+    var f = 1
+    while (f < 20) {
+      val d = sqDist(faceCenterPoint(f), v3)
+      if (d < sqd) { face = f; sqd = d }
+      f += 1
+    }
+    face
+  }
+
+  /** hex2d of a geo point in `face`'s grid at `res`. */
+  private def geoToHex2dOnFace(face: Int, lat: Double, lon: Double,
+      res: Int): (Double, Double) = {
+    val v3 = geoToVec3(lat, lon)
+    val sqd = sqDist(faceCenterPoint(face), v3)
+    val r0 = math.acos(1.0 - sqd / 2.0)
+    if (r0 < Eps) (0.0, 0.0)
+    else {
+      val (fcLat, fcLon) = faceCenterGeo(face)
+      var theta = posAngle(
+        faceAxesAz(face)._1 - posAngle(azimuth(fcLat, fcLon, lat, lon)))
+      if (isClassIII(res)) theta = posAngle(theta - Ap7Rot)
+      var r = math.tan(r0) / Res0UGnomonic
+      var i = 0
+      while (i < res) { r *= Sqrt7; i += 1 }
+      (r * math.cos(theta), r * math.sin(theta))
+    }
+  }
+
+  /** hex2d → containing cell's ijk (spec's reverse conversion). */
+  private def hex2dToIjk(x: Double, y: Double): IJK = {
+    val h = new IJK(0, 0, 0)
+    val a1 = math.abs(x)
+    val a2 = math.abs(y)
+    val x2 = a2 / Sin60
+    val x1 = a1 + x2 / 2.0
+    val m1 = x1.toLong
+    val m2 = x2.toLong
+    val r1 = x1 - m1
+    val r2 = x2 - m2
+    if (r1 < 0.5) {
+      if (r1 < 1.0 / 3.0) {
+        if (r2 < (1.0 + r1) / 2.0) { h.i = m1; h.j = m2 }
+        else { h.i = m1; h.j = m2 + 1 }
+      } else {
+        if (r2 < (1.0 - r1)) h.j = m2 else h.j = m2 + 1
+        if ((1.0 - r1) <= r2 && r2 < (2.0 * r1)) h.i = m1 + 1 else h.i = m1
+      }
+    } else {
+      if (r1 < 2.0 / 3.0) {
+        if (r2 < (1.0 - r1)) h.j = m2 else h.j = m2 + 1
+        if ((2.0 * r1 - 1.0) < r2 && r2 < (1.0 - r1)) h.i = m1 else h.i = m1 + 1
+      } else {
+        if (r2 < (r1 / 2.0)) { h.i = m1 + 1; h.j = m2 }
+        else { h.i = m1 + 1; h.j = m2 + 1 }
+      }
+    }
+    // fold across axes for negative plane coords
+    if (x < 0.0) {
+      if (h.j % 2 == 0) {
+        val axisi = h.j / 2
+        val diff = h.i - axisi
+        h.i = h.i - 2 * diff
+      } else {
+        val axisi = (h.j + 1) / 2
+        val diff = h.i - axisi
+        h.i = h.i - (2 * diff + 1)
+      }
+    }
+    if (y < 0.0) {
+      h.i = h.i - (2 * h.j + 1) / 2
+      h.j = -h.j
+    }
+    normalize(h)
+    h
+  }
+
+  /** ijk → hex2d (cell center on the face plane). */
+  private def ijkToHex2d(c: IJK): (Double, Double) = {
+    val i = c.i - c.k
+    val j = c.j - c.k
+    (i - 0.5 * j, j * Sin60)
+  }
+
+  /** geo center of FaceIJK at `res` via this face's projection — exact
+    * for coordinates on the face, and within a small fold distortion
+    * for one-cell overhangs (only used at init for res-0 nearest-center
+    * matching, where cell spacing dwarfs the distortion; asserted).
+    */
+  private def faceIjkToGeo(face: Int, c: IJK, res: Int): (Double, Double) = {
+    val (x, y) = ijkToHex2d(c)
+    val mag = math.sqrt(x * x + y * y)
+    if (mag < Eps) faceCenterGeo(face)
+    else {
+      var theta = math.atan2(y, x)
+      var r = mag
+      var i = 0
+      while (i < res) { r /= Sqrt7; i += 1 }
+      r *= Res0UGnomonic
+      r = math.atan(r)
+      if (isClassIII(res)) theta = posAngle(theta + Ap7Rot)
+      val az = posAngle(faceAxesAz(face)._1 - theta)
+      val (fcLat, fcLon) = faceCenterGeo(face)
+      azDistance(fcLat, fcLon, az, r)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // derived structures (validated at init)
+  // ------------------------------------------------------------------
+
+  private val faceCenterPoint: Array[(Double, Double, Double)] =
+    faceCenterGeo.map { case (la, lo) => geoToVec3(la, lo) }
+
+  /** geo centers of the 122 base cells (home-face coordinates — on the
+    * home face by definition, so no fold distortion).
+    */
+  private val baseCellCenter: Array[(Double, Double)] =
+    baseCellData.map { case (f, i, j, k, _, _, _) =>
+      faceIjkToGeo(f, new IJK(i, j, k), 0)
+    }
+
+  private val baseCellCenterV3: Array[(Double, Double, Double)] =
+    baseCellCenter.map { case (la, lo) => geoToVec3(la, lo) }
+
+  /** digit string of (lat, lon) at `res` computed in `face`'s grid:
+    * returns (index with mode/res/digits set, base cell ijk on face).
+    */
+  private def digitsOnFace(face: Int, lat: Double, lon: Double,
+      res: Int): (Long, IJK) = {
+    val (x, y) = geoToHex2dOnFace(face, lat, lon, res)
+    val ijk = hex2dToIjk(x, y)
+    var h = (ModeCell << 59) | (res.toLong << 52) | 0x1fffffffffffL
+    var r = res - 1
+    while (r >= 0) {
+      val last = ijk.copy()
+      val lastCenter = ijk.copy()
+      if (isClassIII(r + 1)) {
+        upAp7(ijk)
+        lastCenter.i = ijk.i; lastCenter.j = ijk.j; lastCenter.k = ijk.k
+        downAp7(lastCenter)
+      } else {
+        upAp7r(ijk)
+        lastCenter.i = ijk.i; lastCenter.j = ijk.j; lastCenter.k = ijk.k
+        downAp7r(lastCenter)
+      }
+      val diff = new IJK(last.i - lastCenter.i, last.j - lastCenter.j,
+        last.k - lastCenter.k)
+      normalize(diff)
+      h = setDigit(h, r + 1, unitIjkToDigit(diff).toLong)
+      r -= 1
+    }
+    (h, ijk)
+  }
+
+  /** canonical orientation: the base-cell tail of the indexing
+    * algorithm — pentagon leading-K adjustment (cw on the pentagon's
+    * two cw-offset faces), then ccw rotations into the home frame.
+    */
+  private def canonicalize(face: Int, bc: Int, rot: Int, hIn: Long): Long = {
+    var h = hIn
+    if (isPentagonBaseCell(bc)) {
+      if (leadingNonZeroDigit(h) == 1) {
+        h = if (isCwOffset(bc, face)) rotate60cw(h) else rotate60ccw(h)
+      }
+      var n = 0
+      while (n < rot) { h = rotatePent60ccw(h); n += 1 }
+    } else {
+      var n = 0
+      while (n < rot) { h = rotate60ccw(h); n += 1 }
+    }
+    h
+  }
+
+  /** local orthonormal tangent basis at a point (for sampling). */
+  private def tangentBasis(lat: Double, lon: Double):
+      ((Double, Double, Double), (Double, Double, Double)) = {
+    val e = (-math.sin(lon), math.cos(lon), 0.0)
+    val n = (-math.sin(lat) * math.cos(lon), -math.sin(lat) * math.sin(lon),
+      math.cos(lat))
+    (e, n)
+  }
+
+  private def offsetGeo(lat: Double, lon: Double, de: Double,
+      dn: Double): (Double, Double) = {
+    val c = geoToVec3(lat, lon)
+    val (e, n) = tangentBasis(lat, lon)
+    val px = c._1 + de * e._1 + dn * n._1
+    val py = c._2 + de * e._2 + dn * n._2
+    val pz = c._3 + de * e._3 + dn * n._3
+    val m = math.sqrt(px * px + py * py + pz * pz)
+    (math.asin(pz / m), math.atan2(py, px))
+  }
+
+  private def vecToGeo(v: (Double, Double, Double)): (Double, Double) = {
+    val m = math.sqrt(v._1 * v._1 + v._2 * v._2 + v._3 * v._3)
+    (math.asin(v._3 / m), math.atan2(v._2, v._1))
+  }
+
+  private def angDistV(a: (Double, Double, Double), b: (Double, Double, Double)): Double =
+    2.0 * math.asin(math.sqrt(sqDist(a, b)) / 2.0)
+
+  private def slerp(a: (Double, Double, Double), b: (Double, Double, Double),
+      t: Double): (Double, Double, Double) = {
+    val omega = angDistV(a, b)
+    val sa = math.sin((1.0 - t) * omega) / math.sin(omega)
+    val sb = math.sin(t * omega) / math.sin(omega)
+    (sa * a._1 + sb * b._1, sa * a._2 + sb * b._2, sa * a._3 + sb * b._3)
+  }
+
+  /** Rotation between two faces' frames for the same base cell,
+    * solved by boundary-band voting: sample only near the BOUNDARY of
+    * the two faces' nearest-face regions, where fold drift between the
+    * planar extensions vanishes, so both frames read the same physical
+    * cells and canonical-index equality pins the rotation exactly.
+    * Returns -1 when the band never intersects the cell (the entry
+    * pair shares no usable seam — caller tries other neighbors or
+    * marks the entry unreachable).
+    *
+    * For pentagons the rotation is an equivalence class mod 5: the
+    * leading digit cycles through the 5 non-K classes and exactly one
+    * transition crosses the deleted K axis, adding a sixth trailing
+    * rotation — pentRot^5 is the identity — so {0,5} collapse and the
+    * smallest representative is returned.
+    */
+  private def solvePair(bc: Int, g: Int, gI: Int, gJ: Int, gK: Int, rotG: Int,
+      f: Int, eI: Int, eJ: Int, eK: Int): Int = {
+    val (cLat, cLon) = baseCellCenter(bc)
+    // pentagons need a much tighter seam band: their wedge frames
+    // misalign first-order off the seam (the K-deletion warp), so only
+    // samples within ~0.004 rad of it agree — paired with res-3 cells
+    // for margin. Hexagon seams tolerate the wider band at res 2.
+    val pent = isPentagonBaseCell(bc)
+    val res = if (pent) 3 else 2
+    val band = if (pent) 0.008 else 0.025
+    // hexagon scan reaches 0.22 rad: fine-res boundary pixelation lets
+    // points up to ~0.18 rad from the NOMINAL center aggregate into
+    // this cell (measured), so the seam segment that votes for sliver
+    // entries can sit outside the cell's metric radius
+    val budget = if (pent) 12000 else 10000
+    val scanR = if (pent) 0.14 else 0.22
+    val delta = 2e-4
+    // supermajority tally, not strict intersection: fold drift near
+    // fine-cell boundaries can exceed the stability-probe radius and
+    // let a misread sample cast a coherent wrong vote; such poison is
+    // boundary-local and rare, while the true rotation wins every
+    // interior sample — demand an 80% supermajority instead.
+    val tally = Array.fill(6)(0)
+    var votes = 0
+    val golden = math.Pi * (3.0 - math.sqrt(5.0))
+    var s = 0
+    while (s < budget && votes < 48) {
+      val rad = scanR * math.sqrt((s + 0.5) / budget.toDouble)
+      val ang = s * golden
+      val (pLat, pLon) = offsetGeo(cLat, cLon, rad * math.cos(ang), rad * math.sin(ang))
+      val p3 = geoToVec3(pLat, pLon)
+      // chord-space screen (squared distances are order-isomorphic to
+      // angles — no trig in the 20-face scan); exact angles only for
+      // the band test after the cheap prefilter
+      val sqF = sqDist(p3, faceCenterPoint(f))
+      val sqG = sqDist(p3, faceCenterPoint(g))
+      var sqO = Double.MaxValue
+      var x = 0
+      while (x < 20) {
+        if (x != f && x != g) {
+          val d = sqDist(p3, faceCenterPoint(x))
+          if (d < sqO) sqO = d
+        }
+        x += 1
+      }
+      // f and g must be strictly the two nearest faces: the equidistant
+      // great circle continues beyond the shared-edge segment into
+      // third-face territory, where both frames are non-authoritative
+      // extensions and would cast contradictory votes
+      val inBand = sqO > math.max(sqF, sqG) && math.abs(sqF - sqG) < 0.05 && {
+        val dF = 2.0 * math.asin(math.sqrt(sqF) / 2.0)
+        val dG = 2.0 * math.asin(math.sqrt(sqG) / 2.0)
+        math.abs(dF - dG) < band
+      }
+      if (inBand) {
+        val probes = Seq((0.0, 0.0), (delta, 0.0), (-delta, 0.0), (0.0, delta), (0.0, -delta))
+          .map { case (de, dn) =>
+            val (qLat, qLon) = offsetGeo(pLat, pLon, de, dn)
+            (digitsOnFace(f, qLat, qLon, res), digitsOnFace(g, qLat, qLon, res))
+          }
+        val ((hF, ijkF), (hG, ijkG)) = probes.head
+        val inCell = ijkF.i == eI && ijkF.j == eJ && ijkF.k == eK &&
+          ijkG.i == gI && ijkG.j == gJ && ijkG.k == gK
+        val stable = probes.forall { case ((a, ia), (b, ib)) =>
+          a == hF && b == hG && ia.i == ijkF.i && ia.j == ijkF.j && ia.k == ijkF.k &&
+            ib.i == ijkG.i && ib.j == ijkG.j && ib.k == ijkG.k
+        }
+        if (inCell && stable) {
+          val want = canonicalize(g, bc, rotG, hG)
+          val valid = (0 to 5).filter(r => canonicalize(f, bc, r, hF) == want).toSet
+          if (valid.nonEmpty && valid.size < 6) {
+            valid.foreach(r => tally(r) += 1)
+            votes += 1
+          }
+        }
+      }
+      s += 1
+    }
+    if (votes < 6) return -1
+    // pentagons: pool the mod-5 twins (pentRot^5 is the identity)
+    val classes: Map[Int, Int] =
+      if (pent) (0 to 5).groupBy(_ % 5).map { case (c, rs) => c -> rs.map(tally).max }
+      else (0 to 5).map(r => r -> tally(r)).toMap
+    val (winner, winVotes) = classes.maxBy(_._2)
+    val runnerUp = classes.filter(_._1 != winner).values.max
+    require(winVotes >= math.max(6, (0.8 * votes).toInt) && runnerUp <= 0.2 * votes,
+      s"rotation not supermajority: bc=$bc g=$g f=$f votes=$votes " +
+        s"tally=${tally.mkString(",")}")
+    // the class id is itself the smallest representative (only class 0
+    // has a twin, 5, and both are the same canonical map)
+    winner
+  }
+
+  private def deriveLookup(): Array[Array[Array[Array[Int]]]] = {
+    val interCell = 2.0 * math.asin(
+      math.sqrt(sqDist(baseCellCenterV3(16), baseCellCenterV3(8))) / 2.0)
+    // pass 1: base cell per (face, normalized ijk) by nearest center,
+    // with unambiguity margins (fold distortion is far below cell
+    // spacing, so nominal positions match cleanly)
+    val bcEntry = Array.fill(20, 3, 3, 3)(-1)
+    for (f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+        if i == 0 || j == 0 || k == 0) {
+      val c = new IJK(i, j, k)
+      val (la, lo) = faceIjkToGeo(f, c, 0)
+      val v = geoToVec3(la, lo)
+      var bc = 0
+      var best = Double.MaxValue
+      var second = Double.MaxValue
+      var b = 0
+      while (b < NumBaseCells) {
+        val d = sqDist(baseCellCenterV3(b), v)
+        if (d < best) { second = best; best = d; bc = b } else if (d < second) second = d
+        b += 1
+      }
+      val bestAng = 2.0 * math.asin(math.sqrt(best) / 2.0)
+      val secondAng = 2.0 * math.asin(math.sqrt(second) / 2.0)
+      require(bestAng < 0.35 * interCell && secondAng > 0.6 * interCell,
+        s"ambiguous base-cell match at face=$f ijk=($i,$j,$k): " +
+          s"$bestAng vs $secondAng (intercell $interCell)")
+      bcEntry(f)(i)(j)(k) = bc
+    }
+    // pass 2: rotations by BFS over each base cell's entry faces —
+    // anchor the home entry at 0 and propagate through adjacent-face
+    // seam votes; entries no seam can reach are unreachable by
+    // nearest-face indexing (h3lib keeps such entries for traversal
+    // only) and are marked invalid.
+    val lut = Array.fill(20, 3, 3, 3)(-1)
+    val entriesByBc = (for {
+      f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+      if (i == 0 || j == 0 || k == 0) && bcEntry(f)(i)(j)(k) >= 0
+    } yield (bcEntry(f)(i)(j)(k), (f, i, j, k))).groupBy(_._1)
+    for ((bc, tagged) <- entriesByBc) {
+      val entries = tagged.map(_._2)
+      val (hf, hi, hj, hk, _, _, _) = baseCellData(bc)
+      require(entries.contains((hf, hi, hj, hk)),
+        s"base cell $bc home entry missing from pass 1")
+      val solvedRot = scala.collection.mutable.Map[(Int, Int, Int, Int), Int](
+        (hf, hi, hj, hk) -> 0)
+      var progress = true
+      while (progress) {
+        progress = false
+        for (e <- entries if !solvedRot.contains(e)) {
+          val (f, i, j, k) = e
+          val neighbors = entries.filter(g => solvedRot.contains(g) &&
+            angDistV(faceCenterPoint(g._1), faceCenterPoint(f)) < 0.8)
+          val hit = neighbors.iterator
+            .map(g => solvePair(bc, g._1, g._2, g._3, g._4, solvedRot(g), f, i, j, k))
+            .find(_ >= 0)
+          if (hit.isDefined) {
+            solvedRot(e) = hit.get
+            progress = true
+          }
+        }
+      }
+      for (e <- entries) {
+        val (f, i, j, k) = e
+        lut(f)(i)(j)(k) = solvedRot.get(e).map(bc * 8 + _).getOrElse(-1)
+      }
+    }
+    for (f <- 0 until 20; i <- 1 to 2; j <- 1 to 2; k <- 1 to 2) {
+      val m = math.min(i, math.min(j, k))
+      lut(f)(i)(j)(k) = lut(f)(i - m)(j - m)(k - m)
+    }
+    // inverse check: every base cell's home coordinates resolve to
+    // itself with rotation 0
+    for (b <- 0 until NumBaseCells) {
+      val (f, i, j, k, _, _, _) = baseCellData(b)
+      require(lut(f)(i)(j)(k) == b * 8,
+        s"home lookup broken for base cell $b: got ${lut(f)(i)(j)(k)}")
+    }
+    lut
+  }
+
+  /** derived (face)(i)(j)(k) → packed (baseCell * 8 + ccwRot60); the
+    * table h3lib ships, reconstructed from the base-cell homes.
+    * Declared after every helper it uses — vals initialize in order.
+    */
+  private lazy val faceIjkBaseCell: Array[Array[Array[Array[Int]]]] = deriveLookup()
+
+  // init-time validation of the published geometry tables
+  locally {
+    // each face has exactly 3 adjacent faces and one antipode
+    for (f <- 0 until 20) {
+      val ds = (0 until 20).filter(_ != f).map { g =>
+        2.0 * math.asin(math.sqrt(sqDist(faceCenterPoint(f), faceCenterPoint(g))) / 2.0)
+      }
+      require(ds.count(_ < 0.8) == 3, s"face $f adjacency broken")
+      // asin is ill-conditioned near π — chord-space resolution is
+      // ~sqrt(ulp), so antipodality can only be asserted to ~1e-6
+      require(ds.count(d => math.abs(d - math.Pi) < 1e-6) == 1, s"face $f antipode broken")
+    }
+    // axes are exact 2π/3 fans
+    for (f <- 0 until 20) {
+      val (a0, a1, a2) = faceAxesAz(f)
+      require(math.abs(posAngle(a0 - a1) - Pi2 / 3) < 1e-9, s"face $f axes 0/1")
+      require(math.abs(posAngle(a1 - a2) - Pi2 / 3) < 1e-9, s"face $f axes 1/2")
+    }
+    require(baseCellData.length == NumBaseCells)
+    require(baseCellData.count(_._5) == 12, "pentagon count")
+    // pentagons sit at icosahedron vertices: each ~0.6524 rad (the
+    // face-center-to-vertex angle) from exactly five face centers
+    for (b <- 0 until NumBaseCells if baseCellData(b)._5) {
+      val v = baseCellCenterV3(b)
+      val near = (0 until 20).map { f =>
+        2.0 * math.asin(math.sqrt(sqDist(faceCenterPoint(f), v)) / 2.0)
+      }.filter(_ < 0.7)
+      require(near.size == 5 && near.forall(d => d > 0.6),
+        s"pentagon base cell $b is not at an icosahedron vertex: $near")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // H3Index bit layout
+  // ------------------------------------------------------------------
+
+  private val ModeCell = 1L
+  final val InvalidIndex = 0L
+
+  private def setDigit(h: Long, r: Int, digit: Long): Long = {
+    val shift = (15 - r) * 3
+    (h & ~(7L << shift)) | (digit << shift)
+  }
+
+  def getDigit(h: Long, r: Int): Int = ((h >> ((15 - r) * 3)) & 7L).toInt
+
+  def getResolution(h: Long): Int = ((h >> 52) & 0xfL).toInt
+
+  def getBaseCell(h: Long): Int = ((h >> 45) & 0x7fL).toInt
+
+  private def leadingNonZeroDigit(h: Long): Int = {
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) {
+      val d = getDigit(h, r)
+      if (d != 0) return d
+      r += 1
+    }
+    0
+  }
+
+  private def rotate60ccwDigit(d: Int): Int = d match {
+    case 1 => 5; case 5 => 4; case 4 => 6; case 6 => 2; case 2 => 3; case 3 => 1
+    case other => other
+  }
+
+  private def rotate60cwDigit(d: Int): Int = d match {
+    case 1 => 3; case 3 => 2; case 2 => 6; case 6 => 4; case 4 => 5; case 5 => 1
+    case other => other
+  }
+
+  private def rotate60ccw(hIn: Long): Long = {
+    var h = hIn
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) {
+      h = setDigit(h, r, rotate60ccwDigit(getDigit(h, r)).toLong)
+      r += 1
+    }
+    h
+  }
+
+  private def rotate60cw(hIn: Long): Long = {
+    var h = hIn
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) {
+      h = setDigit(h, r, rotate60cwDigit(getDigit(h, r)).toLong)
+      r += 1
+    }
+    h
+  }
+
+  private def rotatePent60ccw(hIn: Long): Long = {
+    var h = hIn
+    val res = getResolution(h)
+    var foundFirst = false
+    var r = 1
+    while (r <= res) {
+      h = setDigit(h, r, rotate60ccwDigit(getDigit(h, r)).toLong)
+      if (!foundFirst && getDigit(h, r) != 0) {
+        foundFirst = true
+        if (leadingNonZeroDigit(h) == 1) h = rotate60ccw(h)
+      }
+      r += 1
+    }
+    h
+  }
+
+  // ------------------------------------------------------------------
+  // public API
+  // ------------------------------------------------------------------
+
+  /** (lat, lon) degrees → H3 cell id at `res` (geo_to_h3). */
+  def latLngToCell(latDeg: Double, lonDeg: Double, res: Int): Long = {
+    require(res >= 0 && res <= 15, s"resolution $res out of [0,15]")
+    if (latDeg.isNaN || lonDeg.isNaN || latDeg.isInfinite || lonDeg.isInfinite)
+      return InvalidIndex
+    val lat = math.toRadians(latDeg)
+    val lon = math.toRadians(lonDeg)
+    val face = nearestFace(lat, lon)
+    val (h0, ijk) = digitsOnFace(face, lat, lon, res)
+    require(ijk.i <= 2 && ijk.j <= 2 && ijk.k <= 2,
+      s"base-cell coords out of range: (${ijk.i},${ijk.j},${ijk.k})")
+    val packed = faceIjkBaseCell(face)(ijk.i.toInt)(ijk.j.toInt)(ijk.k.toInt)
+    require(packed >= 0,
+      s"lookup hole: face=$face ijk=(${ijk.i},${ijk.j},${ijk.k}) was derived unreachable")
+    val baseCell = packed / 8
+    val numRots = packed % 8
+    canonicalize(face, baseCell, numRots, h0 | (baseCell.toLong << 45))
+  }
+
+  /** parent at `parentRes` (h3_to_parent): digit truncation. */
+  def cellToParent(h: Long, parentRes: Int): Long = {
+    val res = getResolution(h)
+    require(parentRes >= 0 && parentRes <= res,
+      s"parent res $parentRes invalid for res $res")
+    if (parentRes == res) return h
+    var p = (h & ~(0xfL << 52)) | (parentRes.toLong << 52)
+    var r = parentRes + 1
+    while (r <= res) { p = setDigit(p, r, 7L); r += 1 }
+    p
+  }
+
+  def isPentagon(h: Long): Boolean =
+    isPentagonBaseCell(getBaseCell(h)) && leadingNonZeroDigit(h) == 0
+
+  def isValidCell(h: Long): Boolean = {
+    if ((h >> 63) != 0L || ((h >> 59) & 0xfL) != ModeCell) return false
+    if (((h >> 56) & 7L) != 0L) return false
+    val res = getResolution(h)
+    val bc = getBaseCell(h)
+    if (bc >= NumBaseCells) return false
+    var r = 1
+    var foundFirst = false
+    while (r <= 15) {
+      val d = getDigit(h, r)
+      if (r <= res) {
+        if (d == 7) return false
+        if (!foundFirst && d != 0) {
+          foundFirst = true
+          if (d == 1 && isPentagonBaseCell(bc)) return false
+        }
+      } else if (d != 7) return false
+      r += 1
+    }
+    true
+  }
+
+  /** lowercase-hex string form ('8928308280fffff'). */
+  def h3ToString(h: Long): String = java.lang.Long.toHexString(h)
+
+  def stringToH3(s: String): Long = java.lang.Long.parseUnsignedLong(s.trim, 16)
+}

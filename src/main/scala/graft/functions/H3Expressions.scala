@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM helpers the generated code calls (static forwarders). */
+object H3ExprHelpers {
+  def index(lat: Double, lon: Double, res: Int): UTF8String =
+    UTF8String.fromString(H3Core.h3ToString(H3Core.latLngToCell(lat, lon, res)))
+  def parent(cell: UTF8String, res: Int): UTF8String =
+    UTF8String.fromString(
+      H3Core.h3ToString(H3Core.cellToParent(H3Core.stringToH3(cell.toString), res)))
+  def resolution(cell: UTF8String): Int =
+    H3Core.getResolution(H3Core.stringToH3(cell.toString))
+  def isPentagon(cell: UTF8String): Boolean =
+    H3Core.isPentagon(H3Core.stringToH3(cell.toString))
+}
+
+/** h3_index(lat, lon, res) → true H3 cell id string (bit-compatible
+  * with the published H3 cell numbering — the reference's geo_to_h3,
+  * /root/reference/src/transforms/NTLTransforms.py:71-72). Codegen'd:
+  * this is the per-ping hot path. Contrast [[HexIndexExpr]], the
+  * engine's SQL-oracle-checkable hex grid with the same string shape.
+  */
+case class H3IndexExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"h3_index expects (double, double, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def nullSafeEval(lat: Any, lon: Any, res: Any): Any =
+    H3ExprHelpers.index(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.H3ExprHelpers.index($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** h3_parent(cell, res) → containing H3 cell at coarser res
+  * (h3_to_parent, NTLTransforms.py:73) — pure digit truncation.
+  */
+case class H3ParentExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(cell: Any, res: Any): Any =
+    H3ExprHelpers.parent(cell.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.parent($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** h3_resolution(cell) → resolution 0..15 encoded in the id. */
+case class H3ResolutionExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(cell: Any): Any =
+    H3ExprHelpers.resolution(cell.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.resolution($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** h3_is_pentagon(cell) → whether the cell is one of the 12 pentagons
+  * at its resolution.
+  */
+case class H3IsPentagonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(cell: Any): Any =
+    H3ExprHelpers.isPentagon(cell.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.isPentagon($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

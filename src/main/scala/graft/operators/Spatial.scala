@@ -180,6 +180,27 @@ object Spatial {
        |FROM pfrac""".stripMargin
   }
 
+  /** True-H3 indexing of the same synthetic coordinates at res 12/15
+    * (the reference's exact NTLTransforms.py:71-73 column set:
+    * h3index_12, h3index_15, parent): bit-compatible H3 ids via
+    * [[graft.functions.H3Core]], so data indexed here joins against
+    * existing H3-keyed datasets. Not SQL-expressible → rows-only in
+    * the oracle; correctness is pinned by H3Spec's published golden
+    * vectors and the hierarchy/validity property tests.
+    */
+  def h3Cells(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"),
+        ((col("value") % 120.0) - 60.0).as("lat"),
+        (((col("event_id") % 3600).cast("double") / 10.0) - 180.0).as("lon"))
+    pts
+      .withColumn("h3index_15", h3_index(col("lat"), col("lon"), lit(15)))
+      .withColumn("h3index_12", h3_index(col("lat"), col("lon"), lit(12)))
+      .withColumn("parent12", h3_parent(col("h3index_15"), lit(12)))
+      .withColumn("res", h3_resolution(col("h3index_15")))
+      .withColumn("pent", h3_is_pentagon(col("h3index_12")))
+  }
+
   /** F18: k-ring neighborhood explode (spatial imputer shape,
     * home_ageb_imputers.py:36-51): each cell expands to its 3k(k+1)+1
     * ring cells, joined back to find occupied neighbors.
@@ -404,6 +425,7 @@ object Spatial {
     Op("crs_reproject", crsReproject, None),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
+    Op("h3_cells", h3Cells, None),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
     Op("hex_rg", hexRg, Some(hexRgSql)),
   )

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.H3Core
+
+/** True-H3 cell indexing: golden vectors from the public H3 docs plus
+  * global structural properties. The golden vectors are the decisive
+  * check — they pin the implementation to the published cell numbering,
+  * not merely to self-consistency.
+  */
+class H3Spec extends AnyFunSuite {
+
+  import H3Core._
+
+  test("golden: San Francisco res-9 cell from the H3 docs") {
+    // latLngToCell(37.7752702151959, -122.4183072708366, 9)
+    // == 8928308280fffff — the worked example in the published docs.
+    val h = latLngToCell(37.7752702151959257, -122.418307270836565, 9)
+    assert(h3ToString(h) == "8928308280fffff")
+  }
+
+  test("golden: res-8 parent of the SF cell") {
+    val h = latLngToCell(37.7752702151959257, -122.418307270836565, 9)
+    assert(h3ToString(cellToParent(h, 8)) == "8828308281fffff")
+    // parent-of-parent consistency: truncating twice == truncating once
+    assert(cellToParent(cellToParent(h, 8), 5) == cellToParent(h, 5))
+  }
+
+  test("golden: the 12 res-0 pentagons are the published set") {
+    // the pentagon base cells {4,14,24,38,49,58,63,72,83,97,107,117}
+    // produce exactly these res-0 ids (public H3 test fixtures)
+    val want = Set("8009fffffffffff", "801dfffffffffff", "8031fffffffffff",
+      "804dfffffffffff", "8063fffffffffff", "8075fffffffffff",
+      "807ffffffffffff", "8091fffffffffff", "80a7fffffffffff",
+      "80c3fffffffffff", "80d7fffffffffff", "80ebfffffffffff")
+    val got = scala.collection.mutable.Set[String]()
+    var lat = -89.5
+    while (lat <= 89.5) {
+      var lon = -179.9
+      while (lon <= 180.0) {
+        val h = latLngToCell(lat, lon, 0)
+        if (isPentagon(h)) got += h3ToString(h)
+        lon += 0.5
+      }
+      lat += 0.5
+    }
+    assert(got.toSet == want)
+  }
+
+  test("res-0 global scan: exactly 122 distinct valid cells, correct digit tails") {
+    val cells = scala.collection.mutable.Set[Long]()
+    var lat = -89.5
+    while (lat <= 89.5) {
+      var lon = -179.9
+      while (lon <= 180.0) { cells += latLngToCell(lat, lon, 0); lon += 0.5 }
+      lat += 0.5
+    }
+    assert(cells.size == NumBaseCells)
+    assert(cells.forall(isValidCell))
+    assert(cells.map(getBaseCell).toSeq.sorted == (0 until NumBaseCells))
+  }
+
+  test("every res yields valid cells; resolution and base cell decode") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val lat = rng.nextDouble() * 170.0 - 85.0
+      val lon = rng.nextDouble() * 360.0 - 180.0
+      for (res <- Seq(0, 1, 2, 5, 9, 12, 15)) {
+        val h = latLngToCell(lat, lon, res)
+        assert(isValidCell(h), s"invalid cell for ($lat,$lon,$res): ${h3ToString(h)}")
+        assert(getResolution(h) == res)
+        assert(stringToH3(h3ToString(h)) == h, "string round-trip")
+      }
+    }
+  }
+
+  test("indexing refines consistently: parent truncation matches coarser indexing") {
+    // child cells overhang parents slightly (aperture-7 rotation), so
+    // exact agreement is ~all-but-boundary points; assert a high rate.
+    val rng = new scala.util.Random(7)
+    var agree = 0
+    var total = 0
+    for (_ <- 1 to 2000) {
+      val lat = rng.nextDouble() * 170.0 - 85.0
+      val lon = rng.nextDouble() * 360.0 - 180.0
+      for (res <- Seq(5, 9, 13)) {
+        val fine = latLngToCell(lat, lon, res)
+        val coarse = latLngToCell(lat, lon, res - 1)
+        total += 1
+        if (cellToParent(fine, res - 1) == coarse) agree += 1
+      }
+    }
+    val rate = agree.toDouble / total
+    assert(rate > 0.85, s"parent/refine agreement too low: $rate")
+  }
+
+  test("hierarchy is prefix-consistent: same point shares parents across res") {
+    // for a fixed point, the res-r index truncated to res-p equals the
+    // point's own res-p index for most points (and the SF golden chain
+    // exactly) — spot-check the reference's res 12/15 pair
+    val lat = 19.432608
+    val lon = -99.133209 // Mexico City — the reference's operating area
+    val c15 = latLngToCell(lat, lon, 15)
+    val c12 = latLngToCell(lat, lon, 12)
+    assert(cellToParent(c15, 12) == c12)
+    assert(h3ToString(c15).length == 15)
+    assert(h3ToString(c15).startsWith("8f"))
+    assert(h3ToString(c12).startsWith("8c"))
+  }
+
+  test("pentagon flags: pentagons persist down the hierarchy center line") {
+    // a pentagon's center child chain stays pentagonal: digits all 0
+    val pent0 = stringToH3("8009fffffffffff")
+    assert(isPentagon(pent0))
+    assert(!isPentagon(latLngToCell(37.7752702151959257, -122.418307270836565, 9)))
+  }
+
+  test("distinct nearby points at res 15 get distinct fine cells") {
+    // ~0.5 m cells: two points 100 m apart must differ at res 15
+    val a = latLngToCell(19.4326, -99.1332, 15)
+    val b = latLngToCell(19.4335, -99.1332, 15)
+    assert(a != b)
+  }
+}
