@@ -41,6 +41,10 @@ object GraftFunctions {
       es => H3IndexExpr(es(0), es(1), es(2))),
     ("h3_parent", "h3_parent(cell, res) - containing H3 cell at coarser res",
       es => H3ParentExpr(es(0), es(1))),
+    ("h3_center_lat", "h3_center_lat(cell) - H3 cell centroid latitude",
+      es => H3CenterExpr(es.head, isLat = true)),
+    ("h3_center_lon", "h3_center_lon(cell) - H3 cell centroid longitude",
+      es => H3CenterExpr(es.head, isLat = false)),
     ("h3_resolution", "h3_resolution(cell) - resolution encoded in an H3 id",
       es => H3ResolutionExpr(es.head)),
     ("h3_is_pentagon", "h3_is_pentagon(cell) - true for the 12 pentagons per res",
@@ -105,6 +109,8 @@ object GraftFunctions {
     call_function("h3_index", lat, lon, res)
   def h3_parent(cell: Column, res: Column): Column =
     call_function("h3_parent", cell, res)
+  def h3_center_lat(cell: Column): Column = call_function("h3_center_lat", cell)
+  def h3_center_lon(cell: Column): Column = call_function("h3_center_lon", cell)
   def h3_resolution(cell: Column): Column = call_function("h3_resolution", cell)
   def h3_is_pentagon(cell: Column): Column = call_function("h3_is_pentagon", cell)
   def st_contains(rings: Column, lon: Column, lat: Column): Column =

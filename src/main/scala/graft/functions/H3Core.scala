@@ -846,6 +846,88 @@ object H3Core {
     canonicalize(face, baseCell, numRots, h0 | (baseCell.toLong << 45))
   }
 
+  /** entries of the derived lookup grouped by base cell — the inverse
+    * map cellToLatLng walks to find a cell's owner face.
+    */
+  private lazy val entriesOfBc: Array[Seq[(Int, Int, Int, Int, Int)]] = {
+    val m = Array.fill(NumBaseCells)(List.empty[(Int, Int, Int, Int, Int)])
+    for (f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+        if i == 0 || j == 0 || k == 0) {
+      val p = faceIjkBaseCell(f)(i)(j)(k)
+      if (p >= 0) m(p / 8) ::= ((f, i, j, k, p % 8))
+    }
+    m.map(_.toSeq)
+  }
+
+  /** cell's FaceIJK center geo on `face`, descending from the base
+    * cell's res-0 coords through the index digits (the spec's
+    * h3ToFaceIjk chain, without overage — valid when `face` owns the
+    * cell, which the caller certifies by round-trip).
+    */
+  private def decodeOnFace(face: Int, i0: Long, j0: Long, k0: Long,
+      h: Long): (Double, Double) = {
+    val res = getResolution(h)
+    val ijk = new IJK(i0, j0, k0)
+    var r = 1
+    while (r <= res) {
+      if (isClassIII(r)) downAp7(ijk) else downAp7r(ijk)
+      val u = unitVecs(getDigit(h, r))
+      ijk.i += u._1; ijk.j += u._2; ijk.k += u._3
+      normalize(ijk)
+      r += 1
+    }
+    faceIjkToGeo(face, ijk, res)
+  }
+
+  /** invert [[canonicalize]] for a candidate (face, rotation): the
+    * frame digit strings that canonicalize to `h` there. Hexagons have
+    * exactly one preimage; pentagons up to two (the conditional
+    * leading-K adjustment), disambiguated by the caller's round-trip.
+    */
+  private def unCanonicalize(h: Long, bc: Int, face: Int, rot: Int): Seq[Long] = {
+    if (isPentagonBaseCell(bc)) {
+      var x = h
+      val back = (5 - rot % 5) % 5 // pentRot^5 is the identity
+      var n = 0
+      while (n < back) { x = rotatePent60ccw(x); n += 1 }
+      val noFix = x
+      val fixed = if (isCwOffset(bc, face)) rotate60ccw(x) else rotate60cw(x)
+      val out = Seq.newBuilder[Long]
+      if (leadingNonZeroDigit(noFix) != 1) out += noFix
+      if (leadingNonZeroDigit(fixed) == 1) out += fixed
+      out.result()
+    } else {
+      var x = h
+      var n = 0
+      while (n < rot) { x = rotate60cw(x); n += 1 }
+      Seq(x)
+    }
+  }
+
+  /** cell id → center (lat, lon) degrees (h3_to_geo). The owner face
+    * is found by ranking the cell's candidate faces by distance to the
+    * home-extension estimate and decoding on each until the center
+    * round-trips (latLngToCell(center) == cell) — bit-exact
+    * self-certification in place of the spec's overage tables.
+    */
+  def cellToLatLng(h: Long): (Double, Double) = {
+    require(isValidCell(h), s"invalid cell ${h3ToString(h)}")
+    val res = getResolution(h)
+    val bc = getBaseCell(h)
+    val (hf, hi, hj, hk, _, _, _) = baseCellData(bc)
+    val (aLat, aLon) = decodeOnFace(hf, hi, hj, hk, h)
+    val av = geoToVec3(aLat, aLon)
+    val cands = entriesOfBc(bc).sortBy(e => sqDist(faceCenterPoint(e._1), av))
+    for ((f, i, j, k, rot) <- cands; hFrame <- unCanonicalize(h, bc, f, rot)) {
+      val (cLat, cLon) = decodeOnFace(f, i, j, k, hFrame)
+      val latDeg = math.toDegrees(cLat)
+      val lonDeg = math.toDegrees(cLon)
+      if (latLngToCell(latDeg, lonDeg, res) == h) return (latDeg, lonDeg)
+    }
+    throw new IllegalStateException(
+      s"cellToLatLng: no owner face round-trips for ${h3ToString(h)}")
+  }
+
   /** parent at `parentRes` (h3_to_parent): digit truncation. */
   def cellToParent(h: Long, parentRes: Int): Long = {
     val res = getResolution(h)

@@ -16,6 +16,10 @@ object H3ExprHelpers {
     H3Core.getResolution(H3Core.stringToH3(cell.toString))
   def isPentagon(cell: UTF8String): Boolean =
     H3Core.isPentagon(H3Core.stringToH3(cell.toString))
+  def centerLat(cell: UTF8String): Double =
+    H3Core.cellToLatLng(H3Core.stringToH3(cell.toString))._1
+  def centerLon(cell: UTF8String): Double =
+    H3Core.cellToLatLng(H3Core.stringToH3(cell.toString))._2
 }
 
 /** h3_index(lat, lon, res) → true H3 cell id string (bit-compatible
@@ -57,6 +61,24 @@ case class H3ParentExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.parent($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/** h3_center_lat/lon(cell) → cell centroid coordinate (h3_to_geo,
+  * home_ageb_imputers.py:36-51 centroid use). Decode self-certifies by
+  * round-trip (H3Core.cellToLatLng).
+  */
+case class H3CenterExpr(child: Expression, isLat: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(cell: Any): Any =
+    if (isLat) H3ExprHelpers.centerLat(cell.asInstanceOf[UTF8String])
+    else H3ExprHelpers.centerLon(cell.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLat) "centerLat" else "centerLon"
+    defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.$m($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** h3_resolution(cell) → resolution 0..15 encoded in the id. */

@@ -199,6 +199,8 @@ object Spatial {
       .withColumn("parent12", h3_parent(col("h3index_15"), lit(12)))
       .withColumn("res", h3_resolution(col("h3index_15")))
       .withColumn("pent", h3_is_pentagon(col("h3index_12")))
+      .withColumn("c_lat", h3_center_lat(col("h3index_15")))
+      .withColumn("c_lon", h3_center_lon(col("h3index_15")))
   }
 
   /** F18: k-ring neighborhood explode (spatial imputer shape,

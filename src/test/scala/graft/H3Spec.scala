@@ -115,6 +115,39 @@ class H3Spec extends AnyFunSuite {
     assert(!isPentagon(latLngToCell(37.7752702151959257, -122.418307270836565, 9)))
   }
 
+  test("golden: decoded SF cell center matches the published value") {
+    // h3_to_geo('8928308280fffff') ≈ (37.77670234943567,
+    // -122.41845932318311) in the public docs
+    val h = stringToH3("8928308280fffff")
+    val (la, lo) = cellToLatLng(h)
+    assert(math.abs(la - 37.77670234943567) < 1e-9, s"lat $la")
+    assert(math.abs(lo - -122.41845932318311) < 1e-9, s"lon $lo")
+  }
+
+  test("cellToLatLng round-trips bit-exactly at every resolution") {
+    val rng = new scala.util.Random(99)
+    for (_ <- 1 to 2000) {
+      val lat = rng.nextDouble() * 170.0 - 85.0
+      val lon = rng.nextDouble() * 360.0 - 180.0
+      val res = rng.nextInt(16)
+      val h = latLngToCell(lat, lon, res)
+      val (cl, cn) = cellToLatLng(h)
+      assert(latLngToCell(cl, cn, res) == h,
+        s"decode of ${h3ToString(h)} does not round-trip")
+      // the center must be inside-cell-close to the query point:
+      // within ~2 cell diameters even at the coarsest scale
+      assert(math.abs(cl - lat) < 25.0)
+    }
+  }
+
+  test("pentagon centers decode to the icosahedron vertices") {
+    // the north Atlantic pentagon sits in the Norwegian Sea near
+    // (64.7, 10.54) — a well-known H3 fact
+    val (la, lo) = cellToLatLng(stringToH3("8009fffffffffff"))
+    assert(math.abs(la - 64.7) < 0.01 && math.abs(lo - 10.536) < 0.01,
+      s"unexpected pentagon position ($la, $lo)")
+  }
+
   test("distinct nearby points at res 15 get distinct fine cells") {
     // ~0.5 m cells: two points 100 m apart must differ at res 15
     val a = latLngToCell(19.4326, -99.1332, 15)
