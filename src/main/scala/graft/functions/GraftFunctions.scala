@@ -45,6 +45,10 @@ object GraftFunctions {
       es => H3CenterExpr(es.head, isLat = true)),
     ("h3_center_lon", "h3_center_lon(cell) - H3 cell centroid longitude",
       es => H3CenterExpr(es.head, isLat = false)),
+    ("h3_grid_distance", "h3_grid_distance(a, b) - hex steps between H3 cells",
+      es => H3GridDistanceExpr(es(0), es(1))),
+    ("h3_kring", "h3_kring(cell, k) - H3 cells within grid distance k",
+      es => H3KRingExpr(es(0), es(1))),
     ("h3_resolution", "h3_resolution(cell) - resolution encoded in an H3 id",
       es => H3ResolutionExpr(es.head)),
     ("h3_is_pentagon", "h3_is_pentagon(cell) - true for the 12 pentagons per res",
@@ -109,6 +113,9 @@ object GraftFunctions {
     call_function("h3_index", lat, lon, res)
   def h3_parent(cell: Column, res: Column): Column =
     call_function("h3_parent", cell, res)
+  def h3_grid_distance(a: Column, b: Column): Column =
+    call_function("h3_grid_distance", a, b)
+  def h3_kring(cell: Column, k: Column): Column = call_function("h3_kring", cell, k)
   def h3_center_lat(cell: Column): Column = call_function("h3_center_lat", cell)
   def h3_center_lon(cell: Column): Column = call_function("h3_center_lon", cell)
   def h3_resolution(cell: Column): Column = call_function("h3_resolution", cell)

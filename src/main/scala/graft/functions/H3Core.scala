@@ -441,7 +441,13 @@ object H3Core {
   private def digitsOnFace(face: Int, lat: Double, lon: Double,
       res: Int): (Long, IJK) = {
     val (x, y) = geoToHex2dOnFace(face, lat, lon, res)
-    val ijk = hex2dToIjk(x, y)
+    digitsFromIjk(hex2dToIjk(x, y), res)
+  }
+
+  /** digit string from res-`res` grid coords (destructive on `ijk`,
+    * which coarsens to the base-cell coords).
+    */
+  private def digitsFromIjk(ijk: IJK, res: Int): (Long, IJK) = {
     var h = (ModeCell << 59) | (res.toLong << 52) | 0x1fffffffffffL
     var r = res - 1
     while (r >= 0) {
@@ -926,6 +932,104 @@ object H3Core {
     }
     throw new IllegalStateException(
       s"cellToLatLng: no owner face round-trips for ${h3ToString(h)}")
+  }
+
+  /** full canonical index from res-`res` coords in `face`'s frame —
+    * the latLngToCell tail, reused to validate frame projections.
+    */
+  private def indexFromFaceIjk(face: Int, ijk: IJK, res: Int): Long = {
+    val (h0, bcIjk) = digitsFromIjk(ijk, res)
+    if (bcIjk.i > 2 || bcIjk.j > 2 || bcIjk.k > 2) return InvalidIndex
+    val packed = faceIjkBaseCell(face)(bcIjk.i.toInt)(bcIjk.j.toInt)(bcIjk.k.toInt)
+    if (packed < 0) return InvalidIndex
+    val bc = packed / 8
+    canonicalize(face, bc, packed % 8, h0 | (bc.toLong << 45))
+  }
+
+  /** hex grid distance between two same-resolution cells
+    * (h3_distance, RadiusOfGyrationHandler.py:139-140). Both cells are
+    * projected into ONE face's grid frame — valid exactly when each
+    * projection re-indexes bit-exactly to its cell, which is checked;
+    * cross-fold pairs at fine resolutions (where no shared frame can
+    * represent both cells) return -1, the same failure surface the
+    * reference implementation's local-IJK distance reports. Within a
+    * face the distance is exact.
+    */
+  def gridDistance(a: Long, b: Long): Long = {
+    require(getResolution(a) == getResolution(b),
+      s"grid distance across resolutions: ${h3ToString(a)} vs ${h3ToString(b)}")
+    if (a == b) return 0L
+    val res = getResolution(a)
+    val (aLat, aLon) = cellToLatLng(a)
+    val (bLat, bLon) = cellToLatLng(b)
+    val aRad = (math.toRadians(aLat), math.toRadians(aLon))
+    val bRad = (math.toRadians(bLat), math.toRadians(bLon))
+    var cand = List(nearestFace(aRad._1, aRad._2), nearestFace(bRad._1, bRad._2))
+    while (cand.nonEmpty) {
+      val f = cand.head
+      cand = cand.tail
+      val (ax, ay) = geoToHex2dOnFace(f, aRad._1, aRad._2, res)
+      val (bx, by) = geoToHex2dOnFace(f, bRad._1, bRad._2, res)
+      val pa = hex2dToIjk(ax, ay)
+      val pb = hex2dToIjk(bx, by)
+      val va = new IJK(pa.i, pa.j, pa.k)
+      val vb = new IJK(pb.i, pb.j, pb.k)
+      if (indexFromFaceIjk(f, va, res) == a && indexFromFaceIjk(f, vb, res) == b) {
+        val d = new IJK(pa.i - pb.i, pa.j - pb.j, pa.k - pb.k)
+        normalize(d)
+        return math.max(d.i, math.max(d.j, d.k))
+      }
+    }
+    -1L
+  }
+
+  /** all cells within grid distance `k` of `origin` (k_ring /
+    * gridDisk, home_ageb_imputers.py:36-39), origin included. Offsets
+    * are enumerated in each nearby face frame where the origin
+    * re-indexes exactly, candidates materialized through the canonical
+    * pipeline, and every member admitted only with a verified center
+    * distance in [1, k] — so no misprojection can smuggle a wrong cell
+    * in. Complete away from pentagon distortion (the reference
+    * implementation also special-cases pentagon-adjacent disks).
+    */
+  def gridDisk(origin: Long, k: Int): Array[Long] = {
+    require(k >= 0, "k must be >= 0")
+    if (k == 0) return Array(origin)
+    val res = getResolution(origin)
+    val (oLatD, oLonD) = cellToLatLng(origin)
+    val oLat = math.toRadians(oLatD)
+    val oLon = math.toRadians(oLonD)
+    val ov = geoToVec3(oLat, oLon)
+    val out = scala.collection.mutable.LinkedHashSet[Long](origin)
+    val faces = (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), ov)).take(4)
+    for (f <- faces) {
+      val (x, y) = geoToHex2dOnFace(f, oLat, oLon, res)
+      val o = hex2dToIjk(x, y)
+      if (indexFromFaceIjk(f, o.copy(), res) == origin) {
+        // offsets a·I + b·J: the I/J axes are 120° apart, so the
+        // radius-k ball is max(|a|,|b|) ≤ k for same-sign (a,b) and
+        // |a|+|b| ≤ k for opposite signs — NOT the axial-coordinate
+        // rhombus
+        var a = -k
+        while (a <= k) {
+          var b = -k
+          while (b <= k) {
+            val inBall = a * b >= 0 || math.abs(a) + math.abs(b) <= k
+            if ((a != 0 || b != 0) && inBall) {
+              val cand = indexFromFaceIjk(f,
+                new IJK(o.i + a, o.j + b, o.k), res)
+              if (cand != InvalidIndex && cand != origin && !out.contains(cand)) {
+                val d = gridDistance(origin, cand)
+                if (d >= 1 && d <= k) out += cand
+              }
+            }
+            b += 1
+          }
+          a += 1
+        }
+      }
+    }
+    out.toArray
   }
 
   /** parent at `parentRes` (h3_to_parent): digit truncation. */

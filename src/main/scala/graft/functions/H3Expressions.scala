@@ -20,6 +20,13 @@ object H3ExprHelpers {
     H3Core.cellToLatLng(H3Core.stringToH3(cell.toString))._1
   def centerLon(cell: UTF8String): Double =
     H3Core.cellToLatLng(H3Core.stringToH3(cell.toString))._2
+  def gridDistance(a: UTF8String, b: UTF8String): Long =
+    H3Core.gridDistance(H3Core.stringToH3(a.toString), H3Core.stringToH3(b.toString))
+  def kRing(cell: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cells = H3Core.gridDisk(H3Core.stringToH3(cell.toString), k)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cells.map(c => UTF8String.fromString(H3Core.h3ToString(c)): Any))
+  }
 }
 
 /** h3_index(lat, lon, res) → true H3 cell id string (bit-compatible
@@ -90,6 +97,38 @@ case class H3ResolutionExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.resolution($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** h3_grid_distance(a, b) → hex steps between same-res H3 cells
+  * (h3_distance, RadiusOfGyrationHandler.py:139-140); -1 when the pair
+  * spans a fold no common frame can represent (the reference
+  * implementation's local-IJK error surface).
+  */
+case class H3GridDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    H3ExprHelpers.gridDistance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.H3ExprHelpers.gridDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** h3_kring(cell, k) → the 3k(k+1)+1 cells within grid distance k
+  * (k_ring, home_ageb_imputers.py:36-39).
+  */
+case class H3KRingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    H3ExprHelpers.kRing(cell.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.kRing($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** h3_is_pentagon(cell) → whether the cell is one of the 12 pentagons

@@ -203,6 +203,33 @@ object Spatial {
       .withColumn("c_lon", h3_center_lon(col("h3index_15")))
   }
 
+  /** Radius of gyration on TRUE H3 grid distances + k-ring
+    * neighborhood occupancy of each home cell — the reference's
+    * RadiusOfGyrationHandler.py:139-140 h3_distance and
+    * home_ageb_imputers.py:36-39 k_ring shapes on bit-compatible H3
+    * ids. Coarse res 7 keeps the per-row distance/k-ring kernels
+    * (center-decode + common-frame projection) cheap. Rows-only;
+    * the kernels are golden/property-verified in H3Spec.
+    */
+  def h3Rg(spark: SparkSession, dir: String): DataFrame = {
+    val visits = Tables.events(spark, dir)
+      .select(col("user_id").as("caid"),
+        h3_index((col("value") % 120.0) - 60.0,
+          ((col("event_id") % 3600).cast("double") / 10.0) - 180.0, lit(7))
+          .as("cell"))
+      .distinct()
+    val homes = visits.groupBy(col("caid")).agg(min(col("cell")).as("home_cell"))
+    val rg = visits.join(homes.hint("shuffle_hash"), Seq("caid"))
+      .select(col("caid"), col("home_cell"),
+        h3_grid_distance(col("cell"), col("home_cell")).as("r_i"))
+      .where(col("r_i") >= 0) // cross-fold pairs are un-rankable (H3 error surface)
+      .groupBy(col("caid"), col("home_cell"))
+      .agg(count(lit(1)).as("n"), sum(col("r_i") * col("r_i")).as("sum_r2"))
+      .select(col("caid"), col("home_cell"), col("n"),
+        sqrt(col("sum_r2").cast("double") / col("n")).as("rg"))
+    rg.withColumn("ring1_size", size(h3_kring(col("home_cell"), lit(1))))
+  }
+
   /** F18: k-ring neighborhood explode (spatial imputer shape,
     * home_ageb_imputers.py:36-51): each cell expands to its 3k(k+1)+1
     * ring cells, joined back to find occupied neighbors.
@@ -428,6 +455,7 @@ object Spatial {
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3Cells, None),
+    Op("h3_rg", h3Rg, None),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
     Op("hex_rg", hexRg, Some(hexRgSql)),
   )

@@ -148,6 +148,45 @@ class H3Spec extends AnyFunSuite {
       s"unexpected pentagon position ($la, $lo)")
   }
 
+  test("golden: k-ring of the SF cell matches the published docs list") {
+    val sf = stringToH3("8928308280fffff")
+    val got = gridDisk(sf, 1).map(h3ToString).toSet
+    val want = Set("8928308280fffff", "8928308280bffff", "89283082873ffff",
+      "89283082877ffff", "8928308283bffff", "89283082807ffff",
+      "89283082803ffff")
+    assert(got == want)
+  }
+
+  test("gridDisk sizes and membership distances hold globally") {
+    val rng = new scala.util.Random(5)
+    for (_ <- 1 to 40) {
+      val lat = rng.nextDouble() * 140.0 - 70.0
+      val lon = rng.nextDouble() * 360.0 - 180.0
+      val res = 6 + rng.nextInt(8)
+      val c = latLngToCell(lat, lon, res)
+      val k = 1 + rng.nextInt(3)
+      val disk = gridDisk(c, k)
+      assert(disk.length == 3 * k * (k + 1) + 1,
+        s"disk size ${disk.length} for k=$k at ($lat,$lon,$res)")
+      assert(disk.contains(c))
+      disk.filter(_ != c).foreach { m =>
+        val d = gridDistance(c, m)
+        assert(d >= 1 && d <= k, s"member at distance $d in k=$k disk")
+        assert(gridDistance(m, c) == d, "distance asymmetric")
+      }
+    }
+  }
+
+  test("gridDistance: zero to self, 1 to neighbors, scales with geo distance") {
+    val a = latLngToCell(19.4326, -99.1332, 12)
+    assert(gridDistance(a, a) == 0)
+    gridDisk(a, 1).filter(_ != a).foreach(n => assert(gridDistance(a, n) == 1))
+    // ~11.1 km at res 12 (~17.6 m pitch) lands in the hundreds of cells
+    val far = latLngToCell(19.5326, -99.1332, 12)
+    val d = gridDistance(a, far)
+    assert(d > 400 && d < 900, s"implausible res-12 distance $d for ~11 km")
+  }
+
   test("distinct nearby points at res 15 get distinct fine cells") {
     // ~0.5 m cells: two points 100 m apart must differ at res 15
     val a = latLngToCell(19.4326, -99.1332, 15)
