@@ -11,10 +11,14 @@ package graft.functions
   * (res 12 ≈ 9 m, res 15 ≈ 0.5 m edge — same magnitudes as H3), cell
   * centroid, grid distance, k-ring, parent.
   *
-  * NOT bit-compatible with Uber H3's cell numbering (offline build —
-  * no H3 jar to validate against; SURVEY §7.4 risk note). The id space
-  * keeps the reference's string shape: 15 lowercase hex chars, with
-  * '000000000000000' remaining an impossible/natural sentinel.
+  * NOT bit-compatible with H3's cell numbering — for that, use
+  * [[H3Core]] (true published-spec H3, golden-verified) via the
+  * h3_* expressions. This grid remains the SQL-oracle-checkable
+  * variant: its axial/centroid/distance math is reproducible in the
+  * DuckDB oracle (operators.Spatial.HexSql), which transcendental
+  * spherical H3 math is not. The id space keeps the reference's
+  * string shape: 15 lowercase hex chars, with '000000000000000'
+  * remaining an impossible/natural sentinel.
   *
   * Geometry: pointy-top axial coordinates (q, r) on an equirectangular
   * lon/lat plane. All hex math is exact Long arithmetic; only the
