@@ -956,11 +956,21 @@ object H3Core {
     * face the distance is exact.
     */
   def gridDistance(a: Long, b: Long): Long = {
-    require(getResolution(a) == getResolution(b),
-      s"grid distance across resolutions: ${h3ToString(a)} vs ${h3ToString(b)}")
+    // mixed resolutions are un-rankable — same -1 error surface as a
+    // cross-fold pair, so callers filter both cases with one predicate
+    if (getResolution(a) != getResolution(b)) return -1L
     if (a == b) return 0L
-    val res = getResolution(a)
     val (aLat, aLon) = cellToLatLng(a)
+    gridDistanceFrom(a, aLat, aLon, b)
+  }
+
+  /** [[gridDistance]] with the origin's center precomputed — gridDisk
+    * validates up to 4(2k+1)² candidates against one origin and must
+    * not re-decode it every time.
+    */
+  private def gridDistanceFrom(a: Long, aLat: Double, aLon: Double,
+      b: Long): Long = {
+    val res = getResolution(a)
     val (bLat, bLon) = cellToLatLng(b)
     val aRad = (math.toRadians(aLat), math.toRadians(aLon))
     val bRad = (math.toRadians(bLat), math.toRadians(bLon))
@@ -1019,7 +1029,7 @@ object H3Core {
               val cand = indexFromFaceIjk(f,
                 new IJK(o.i + a, o.j + b, o.k), res)
               if (cand != InvalidIndex && cand != origin && !out.contains(cand)) {
-                val d = gridDistance(origin, cand)
+                val d = gridDistanceFrom(origin, oLatD, oLonD, cand)
                 if (d >= 1 && d <= k) out += cand
               }
             }

@@ -7,8 +7,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM helpers the generated code calls (static forwarders). */
 object H3ExprHelpers {
-  def index(lat: Double, lon: Double, res: Int): UTF8String =
-    UTF8String.fromString(H3Core.h3ToString(H3Core.latLngToCell(lat, lon, res)))
+  /** null (→ SQL NULL) for non-finite coordinates: a sentinel id would
+    * poison every downstream h3_* call one step later instead.
+    */
+  def index(lat: Double, lon: Double, res: Int): UTF8String = {
+    val h = H3Core.latLngToCell(lat, lon, res)
+    if (h == H3Core.InvalidIndex) null
+    else UTF8String.fromString(H3Core.h3ToString(h))
+  }
   def parent(cell: UTF8String, res: Int): UTF8String =
     UTF8String.fromString(
       H3Core.h3ToString(H3Core.cellToParent(H3Core.stringToH3(cell.toString), res)))
@@ -46,12 +52,14 @@ case class H3IndexExpr(first: Expression, second: Expression, third: Expression)
       s"h3_index expects (double, double, int), got " +
         s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
   }
+  override def nullable: Boolean = true
   override def nullSafeEval(lat: Any, lon: Any, res: Any): Any =
     H3ExprHelpers.index(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
       res.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) =>
-      s"graft.functions.H3ExprHelpers.index($a, $b, $c)")
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""${ev.value} = graft.functions.H3ExprHelpers.index($a, $b, $c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }

@@ -47,12 +47,18 @@ object HexGrid {
     cubeRound(qf, rf)
   }
 
-  /** cube rounding: round fractional axial to the nearest hex center. */
+  /** cube rounding: round fractional axial to the nearest hex center.
+    * Rounding is floor(x + 0.5) — NOT Math.round, whose post-JDK-8
+    * exact-ties contract differs for inputs one ulp below a half
+    * (0.49999999999999994 → 0 vs floor-form 1). The floor form is the
+    * one the DuckDB oracle mirror (operators.Spatial.HexSql) can
+    * express, so the engine adopts it and parity holds by construction.
+    */
   private def cubeRound(qf: Double, rf: Double): (Long, Long) = {
     val sf = -qf - rf
-    var q = math.round(qf)
-    var r = math.round(rf)
-    val s = math.round(sf)
+    var q = math.floor(qf + 0.5).toLong
+    var r = math.floor(rf + 0.5).toLong
+    val s = math.floor(sf + 0.5).toLong
     val dq = math.abs(q - qf)
     val dr = math.abs(r - rf)
     val ds = math.abs(s - sf)

@@ -47,31 +47,40 @@ object Imputation {
       .select(col("caid"), col("partner_home").as("imputed_home"), col("n"))
   }
 
+  /** the NTL-winner home table and interaction pairs as SQL fragments,
+    * shared by BOTH imputer oracles so the home-detection thresholds
+    * can never silently desynchronize between them.
+    */
+  private val homesBodySql =
+    """SELECT caid, home_cell FROM (
+      |    SELECT caid, cell AS home_cell, score,
+      |      ROW_NUMBER() OVER (PARTITION BY caid ORDER BY score DESC, cell ASC) AS rnk
+      |    FROM (
+      |      SELECT caid, cell, SUM(pings_per_day) AS score FROM (
+      |        SELECT * FROM (
+      |          SELECT caid, cell, d, pings_per_day,
+      |            SUM(pings_per_day) OVER (PARTITION BY caid) AS total_pings
+      |          FROM (
+      |            SELECT user_id AS caid, event_type AS cell, CAST(ts AS DATE) AS d,
+      |              count(*) AS pings_per_day
+      |            FROM events WHERE hour(ts) >= 22 OR hour(ts) < 6
+      |            GROUP BY 1, 2, 3))
+      |        WHERE total_pings >= 10 AND pings_per_day >= 2)
+      |      GROUP BY 1, 2))
+      |  WHERE rnk = 1""".stripMargin
+
+  private val pairsBodySql =
+    """WITH p AS (SELECT DISTINCT user_id AS caid, event_type AS cell,
+      |      (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
+      |    FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events))
+      |  SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
+      |  FROM p a JOIN p b
+      |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid""".stripMargin
+
   private val imputeByNeighborsSql =
-    s"""WITH homes AS (
-       |  SELECT caid, home_cell FROM (
-       |    SELECT caid, cell AS home_cell, score,
-       |      ROW_NUMBER() OVER (PARTITION BY caid ORDER BY score DESC, cell ASC) AS rnk
-       |    FROM (
-       |      SELECT caid, cell, SUM(pings_per_day) AS score FROM (
-       |        SELECT * FROM (
-       |          SELECT caid, cell, d, pings_per_day,
-       |            SUM(pings_per_day) OVER (PARTITION BY caid) AS total_pings
-       |          FROM (
-       |            SELECT user_id AS caid, event_type AS cell, CAST(ts AS DATE) AS d,
-       |              count(*) AS pings_per_day
-       |            FROM events WHERE hour(ts) >= 22 OR hour(ts) < 6
-       |            GROUP BY 1, 2, 3))
-       |        WHERE total_pings >= 10 AND pings_per_day >= 2)
-       |      GROUP BY 1, 2))
-       |  WHERE rnk = 1),
+    s"""WITH homes AS ($homesBodySql),
        |pairs AS (
-       |  WITH p AS (SELECT DISTINCT user_id AS caid, event_type AS cell,
-       |      (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
-       |    FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events))
-       |  SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
-       |  FROM p a JOIN p b
-       |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid),
+       |  $pairsBodySql),
        |missing AS (
        |  SELECT DISTINCT user_id AS caid FROM events
        |  WHERE user_id NOT IN (SELECT caid FROM homes)),
@@ -95,31 +104,10 @@ object Imputation {
     */
   private val imputeFixpointSql: String = {
     val base =
-      """homes_0 AS (
-        |  SELECT caid, home_cell FROM (
-        |    SELECT caid, cell AS home_cell, score,
-        |      ROW_NUMBER() OVER (PARTITION BY caid ORDER BY score DESC, cell ASC) AS rnk
-        |    FROM (
-        |      SELECT caid, cell, SUM(pings_per_day) AS score FROM (
-        |        SELECT * FROM (
-        |          SELECT caid, cell, d, pings_per_day,
-        |            SUM(pings_per_day) OVER (PARTITION BY caid) AS total_pings
-        |          FROM (
-        |            SELECT user_id AS caid, event_type AS cell, CAST(ts AS DATE) AS d,
-        |              count(*) AS pings_per_day
-        |            FROM events WHERE hour(ts) >= 22 OR hour(ts) < 6
-        |            GROUP BY 1, 2, 3))
-        |        WHERE total_pings >= 10 AND pings_per_day >= 2)
-        |      GROUP BY 1, 2))
-        |  WHERE rnk = 1),
-        |pairs AS (
-        |  WITH p AS (SELECT DISTINCT user_id AS caid, event_type AS cell,
-        |      (epoch_us(ts) - epoch_us(origin_ts)) // 600000000 AS tw
-        |    FROM events CROSS JOIN (SELECT MIN(ts) AS origin_ts FROM events))
-        |  SELECT DISTINCT a.caid AS a_caid, b.caid AS b_caid
-        |  FROM p a JOIN p b
-        |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid != b.caid),
-        |allusers AS (SELECT DISTINCT user_id AS caid FROM events)""".stripMargin
+      s"""homes_0 AS ($homesBodySql),
+         |pairs AS (
+         |  $pairsBodySql),
+         |allusers AS (SELECT DISTINCT user_id AS caid FROM events)""".stripMargin
     val rounds = (1 to 5).map { i =>
       s"""gained_$i AS (
          |  SELECT caid, partner_home AS home_cell FROM (

@@ -21,7 +21,9 @@ object Joins {
     val rich = Tables.customer(spark, dir)
       .where(col("c_acctbal") > 5000)
       .select(col("c_custkey"), col("c_mktsegment"))
-    o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+    // rich is O(customer) (~45% of a 10⁸-row dimension at 100 TB) —
+    // shuffle join on the customer key, never broadcast
+    o.join(rich.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"),
         coalesce(col("c_mktsegment"), lit("0000000000000")).as("segment"))
   }
@@ -183,7 +185,9 @@ object Joins {
     val l = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // the BUILDING segment is ~1/5 of customer — still dimension-
+      // scale at 100 TB: reach the fact via the custkey shuffle
+      .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast(dec)
         * (lit(BigDecimal("1.00")) - col("l_discount").cast(dec))))

@@ -27,9 +27,10 @@ object Spatial {
     * CAST(... AS DOUBLE) — a bare decimal literal is DECIMAL in DuckDB
     * and would run exact decimal arithmetic instead of IEEE doubles,
     * breaking bit parity (measured: 1-ulp drift on ~1/3 of centroids).
-    * Cube rounding mirrors Java's Math.round as floor(x + 0.5), which
-    * differs from DuckDB's round() (half away from zero) for negative
-    * halves.
+    * Cube rounding is floor(x + 0.5) on BOTH sides (HexGrid.cubeRound
+    * adopts the floor form precisely so this mirror is exact; neither
+    * Java's Math.round nor DuckDB's round() could be matched by the
+    * other engine on half-adjacent inputs).
     */
   private object HexSql {
     import graft.functions.HexGrid
