@@ -840,16 +840,34 @@ object H3Core {
       return InvalidIndex
     val lat = math.toRadians(latDeg)
     val lon = math.toRadians(lonDeg)
-    val face = nearestFace(lat, lon)
+    val first = tryFace(nearestFace(lat, lon), lat, lon, res)
+    if (first != InvalidIndex) return first
+    // rare fallback: the derived lookup marks entries no sampled point
+    // could reach as holes; a real point that still lands in one sits
+    // within ulps of a face seam, and indexing it through the
+    // next-nearest face assigns a defensible boundary cell instead of
+    // crashing the job. H3Spec's boundary stress test bisects to cell
+    // boundaries and hammers them with ulp-scale offsets to keep this
+    // path honest.
+    val v3 = geoToVec3(lat, lon)
+    val order = (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), v3))
+    var fi = 1
+    while (fi < 4) {
+      val h = tryFace(order(fi), lat, lon, res)
+      if (h != InvalidIndex) return h
+      fi += 1
+    }
+    throw new IllegalStateException(
+      s"latLngToCell: no face frame resolves ($latDeg, $lonDeg, $res)")
+  }
+
+  private def tryFace(face: Int, lat: Double, lon: Double, res: Int): Long = {
     val (h0, ijk) = digitsOnFace(face, lat, lon, res)
-    require(ijk.i <= 2 && ijk.j <= 2 && ijk.k <= 2,
-      s"base-cell coords out of range: (${ijk.i},${ijk.j},${ijk.k})")
+    if (ijk.i > 2 || ijk.j > 2 || ijk.k > 2) return InvalidIndex
     val packed = faceIjkBaseCell(face)(ijk.i.toInt)(ijk.j.toInt)(ijk.k.toInt)
-    require(packed >= 0,
-      s"lookup hole: face=$face ijk=(${ijk.i},${ijk.j},${ijk.k}) was derived unreachable")
+    if (packed < 0) return InvalidIndex
     val baseCell = packed / 8
-    val numRots = packed % 8
-    canonicalize(face, baseCell, numRots, h0 | (baseCell.toLong << 45))
+    canonicalize(face, baseCell, packed % 8, h0 | (baseCell.toLong << 45))
   }
 
   /** entries of the derived lookup grouped by base cell — the inverse

@@ -187,6 +187,44 @@ class H3Spec extends AnyFunSuite {
     assert(d > 400 && d < 900, s"implausible res-12 distance $d for ~11 km")
   }
 
+  test("boundary stress: indexing at cell/seam boundaries stays total and valid") {
+    // bisect random point pairs to a res-0 boundary (face seams
+    // included), then hammer the crossing with ulp-to-1e-6 offsets at
+    // random resolutions: indexing must stay total (no lookup-hole
+    // throw) and produce valid cells
+    val rng = new scala.util.Random(2024)
+    var probes = 0
+    for (_ <- 1 to 600) {
+      var aLat = rng.nextDouble() * 170 - 85
+      var aLon = rng.nextDouble() * 360 - 180
+      var bLat = rng.nextDouble() * 170 - 85
+      var bLon = rng.nextDouble() * 360 - 180
+      if (latLngToCell(aLat, aLon, 0) != latLngToCell(bLat, bLon, 0)) {
+        var i = 0
+        while (i < 45) {
+          val mLat = (aLat + bLat) / 2
+          val mLon = (aLon + bLon) / 2
+          if (latLngToCell(mLat, mLon, 0) == latLngToCell(aLat, aLon, 0)) {
+            aLat = mLat; aLon = mLon
+          } else {
+            bLat = mLat; bLon = mLon
+          }
+          i += 1
+        }
+        for (_ <- 1 to 30) {
+          val eps = math.pow(10.0, -12 + rng.nextInt(7))
+          val lat = aLat + (rng.nextDouble() - 0.5) * eps
+          val lon = aLon + (rng.nextDouble() - 0.5) * eps
+          val res = rng.nextInt(16)
+          val h = latLngToCell(lat, lon, res)
+          assert(isValidCell(h), s"invalid at boundary ($lat,$lon,$res)")
+          probes += 1
+        }
+      }
+    }
+    assert(probes > 10000, s"stress generated too few probes: $probes")
+  }
+
   test("distinct nearby points at res 15 get distinct fine cells") {
     // ~0.5 m cells: two points 100 m apart must differ at res 15
     val a = latLngToCell(19.4326, -99.1332, 15)
