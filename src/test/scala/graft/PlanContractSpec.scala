@@ -154,6 +154,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("radius_of_gyration: device-keyed homes join shuffles, never broadcasts") {
+    val p = finalPlan("radius_of_gyration")
+    assert(count(p, "ShuffledHashJoin") >= 1,
+      "the caid-keyed homes join must stay shuffle-side")
+    assert(count(p, "BroadcastHashJoin") == 0,
+      "no device-cardinality relation may broadcast")
+  }
+
+  test("q3_shipping: customer reaches the fact via the custkey shuffle") {
+    val p = finalPlan("q3_shipping")
+    assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
+      "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
+  }
+
   test("knn_classify: corpus never shuffles before top-k; query set broadcasts") {
     val p = finalPlan("knn_classify")
     assert(count(p, "BroadcastExchange") == 1,
