@@ -75,8 +75,12 @@ object CrsHelpers {
     math.toDegrees(theta / n + Lon0)
   }
 
-  /** Inverse: projected (m) → latitude degrees (iterative t⁻¹,
-    * converges in ≤ 5 rounds to < 1e-12 rad).
+  /** Inverse: projected (m) → latitude degrees (iterative t⁻¹).
+    * Exactly 8 fixed-point rounds, no convergence early-exit: the
+    * contraction rate is ~e²/2 ≈ 0.003, so 8 rounds land within an
+    * ulp of the fixed point, and a FIXED count is what lets the
+    * DuckDB oracle unroll the identical iteration (same float ops in
+    * the same order) and hash-match bit-for-bit.
     */
   def lccLat(easting: Double, northing: Double): Double = {
     val x = easting - FalseE
@@ -87,12 +91,28 @@ object CrsHelpers {
     var i = 0
     while (i < 8) {
       val s = math.sin(phi)
-      val next = math.Pi / 2 - 2 * math.atan(
+      phi = math.Pi / 2 - 2 * math.atan(
         t * math.pow((1 - E * s) / (1 + E * s), E / 2))
-      if (math.abs(next - phi) < 1e-13) { phi = next; i = 8 }
-      else { phi = next; i += 1 }
+      i += 1
     }
     math.toDegrees(phi)
+  }
+
+  /** Constants a SQL mirror needs to replay the inverse projection
+    * with zero cross-engine constant drift (injected as literals).
+    */
+  object SqlConsts {
+    val e: Double = E
+    val eHalf: Double = E / 2
+    val nConst: Double = n
+    val invN: Double = 1 / n
+    val aBigF: Double = A * bigF
+    val rho0C: Double = rho0
+    val lon0: Double = Lon0
+    val falseE: Double = FalseE
+    val falseN: Double = FalseN
+    val halfPi: Double = math.Pi / 2
+    val pi: Double = math.Pi
   }
 }
 

@@ -437,22 +437,62 @@ object Spatial {
     * `to_crs("EPSG:4326")` catalog step (RadiusOfGyrationHandler.py:
     * 73-85) as a ONE-pass projected→geographic→hex-index pipeline over
     * synthetic EPSG:6365 coordinates derived from customer. Runs on the
-    * catalog side before any broadcast join — never per ping. Rows-only
-    * (no geodesy in the oracle engine); round-trip and invariants are
-    * spec-verified (R2Spec).
+    * catalog side before any broadcast join — never per ping.
+    *
+    * Oracle-checkable: lon/lat round to 6 dp (0.1 m — beyond the
+    * sub-meter ITRF2008≈WGS84 agreement this stage models) so libm
+    * ulp drift between JVM and DuckDB can't surface, and the hex cell
+    * is indexed from the ROUNDED coordinates so cell parity follows
+    * from coordinate parity. The SQL mirror replays the exact Snyder
+    * inverse with the engine's own constants ([[CrsHelpers.SqlConsts]])
+    * and the same fixed 8-round t⁻¹ iteration. Round-trip and
+    * invariants additionally spec-verified (R2Spec).
     */
   def crsReproject(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_custkey"),
         (lit(2300000.0) + (col("c_custkey") % 4000).cast("double") * 100.0).as("easting"),
         (lit(800000.0) + (abs(col("c_acctbal")) % 9000.0) * 100.0).as("northing"))
-      .withColumn("lon", lcc_lon(col("easting"), col("northing")))
-      .withColumn("lat", lcc_lat(col("easting"), col("northing")))
+      .withColumn("lon", round(lcc_lon(col("easting"), col("northing")), 6))
+      .withColumn("lat", round(lcc_lat(col("easting"), col("northing")), 6))
       .withColumn("cell", hex_index(col("lat"), col("lon"), lit(9)))
+
+  private val crsReprojectSql: String = {
+    import HexSql._
+    import graft.functions.CrsHelpers.{SqlConsts => C}
+    def lit(v: Double): String = s"CAST($v AS DOUBLE)"
+    // One fixed-point round: phi <- pi/2 - 2*atan(t * ((1-e*sin phi)/(1+e*sin phi))^(e/2))
+    def step(phi: String): String =
+      s"${lit(C.halfPi)} - 2 * atan(t * pow((1 - ${lit(C.e)} * sin($phi)) / " +
+        s"(1 + ${lit(C.e)} * sin($phi)), ${lit(C.eHalf)}))"
+    val iters = (1 to 8).map(i =>
+      s"it$i AS (SELECT * REPLACE ((${step("phi")}) AS phi) FROM it${i - 1})")
+      .mkString(",\n")
+    val (qf, rf) = qfRf("lat", "lon", 9)
+    val (q9, r9) = roundQ("qf", "rf")
+    s"""WITH pts AS (SELECT c_custkey,
+       |    CAST(2300000.0 AS DOUBLE) + CAST(c_custkey % 4000 AS DOUBLE) * 100.0 AS easting,
+       |    CAST(800000.0 AS DOUBLE) + (abs(c_acctbal) % 9000.0) * 100.0 AS northing
+       |  FROM customer),
+       |xy AS (SELECT *, easting - ${lit(C.falseE)} AS x,
+       |    ${lit(C.rho0C)} - (northing - ${lit(C.falseN)}) AS y FROM pts),
+       |it0 AS (SELECT *,
+       |    pow(sqrt(x * x + y * y) / ${lit(C.aBigF)}, ${lit(C.invN)}) AS t,
+       |    ${lit(C.halfPi)} - 2 * atan(pow(sqrt(x * x + y * y) / ${lit(C.aBigF)}, ${lit(C.invN)})) AS phi
+       |  FROM xy),
+       |$iters,
+       |geo AS (SELECT c_custkey, easting, northing,
+       |    round((atan2(x, y) / ${lit(C.nConst)} + ${lit(C.lon0)}) * 180.0 / ${lit(C.pi)}, 6) AS lon,
+       |    round(phi * 180.0 / ${lit(C.pi)}, 6) AS lat FROM it8),
+       |frac AS (SELECT *, $qf AS qf, $rf AS rf FROM geo)
+       |SELECT c_custkey, easting, northing, lon, lat,
+       |  ${hexStr(pack(q9, r9, 9))} AS cell
+       |FROM frac""".stripMargin
+  }
 
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
-    Op("crs_reproject", crsReproject, None),
+    Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3Cells, None),
