@@ -407,8 +407,41 @@ object Curation {
        |FROM documents
        |GROUP BY 1, 2""".stripMargin
 
+  /** Percentile-based length trimming per language — the outlier gate
+    * a curation pass runs before tokenization: keep documents inside
+    * the per-lang [p5, p95] character-length band (too-short =
+    * fragments, too-long = concatenation junk).
+    *
+    * Scale shape: exact `percentile` is sort-based per group — fine
+    * while |lang| groups are few and per-group data fits a partition;
+    * the 100 TB path swaps in approx_percentile (see
+    * percentile_approx_sketch) with zero shape change. Bounds are a
+    * lang-count-sized broadcast back onto the corpus scan. Bounds
+    * round at 1e-6 so an interpolation ulp can't flip a keep/drop
+    * decision across engines.
+    */
+  def lengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.groupBy(col("lang")).agg(
+      expr("round(percentile(n_chars, 0.05), 6)").as("lo"),
+      expr("round(percentile(n_chars, 0.95), 6)").as("hi"))
+    docs.join(broadcast(bounds), "lang")
+      .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"))
+  }
+
+  private val lengthTrimSql =
+    """WITH b AS (
+      |  SELECT lang, round(quantile_cont(n_chars, 0.05), 6) AS lo,
+      |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+      |  FROM documents GROUP BY 1)
+      |SELECT doc_id, d.lang, n_chars, lo, hi
+      |FROM documents d JOIN b USING (lang)
+      |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
+    Op("length_trim", lengthTrim, Some(lengthTrimSql)),
     Op("mixture_report", mixtureReport, Some(mixtureReportSql)),
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

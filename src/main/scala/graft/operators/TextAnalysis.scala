@@ -359,6 +359,173 @@ object TextAnalysis {
       |FROM bi JOIN bg USING (w1, w2)
       |GROUP BY 1""".stripMargin
 
+  /** BM25 relevance of every document against a fixed keyword query —
+    * the retrieval scorer a RAG/eval pipeline runs over a curated
+    * corpus (Robertson-Spärck Jones idf, k1=1.2 b=0.75). Candidates =
+    * docs containing ≥1 query term; no LIMIT, so output is order-free.
+    *
+    * Scale shape: token explode filters to the query terms BEFORE the
+    * (doc,term) aggregation, so the shuffle carries only matching
+    * postings; df and the corpus stats are term-/scalar-sized
+    * broadcasts. Float parity: per-term scores round at 1e-9 then
+    * accumulate as DECIMAL — exact, order-insensitive addition (the
+    * Mobility pattern); every double expression is the same SQL text
+    * in both engines.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfRel), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("CAST(tot AS DOUBLE) / n_docs"))
+      .withColumn("s", expr(s"CAST(round($Bm25TermSql, 9) AS DECIMAL(24,9))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("s")).as("sc"))
+      .select(col("doc_id"), col("n_hits"),
+        expr("CAST(sc AS DOUBLE)").as("bm25"))
+  }
+
+  private val Bm25Query = Seq("hash", "join", "scan", "vector")
+
+  /** Per-(doc,term) BM25 contribution — identical text runs in Spark
+    * and DuckDB so the doubles match bit-for-bit before rounding.
+    */
+  private val Bm25TermSql =
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      " * ((CAST(tf AS DOUBLE) * 2.2)" +
+      " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+
+  private val bm25RankSql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dd),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd)
+       |  WHERE tok IN ($terms)
+       |  GROUP BY 1, 2, 3),
+       |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round($Bm25TermSql, 9) AS DECIMAL(24,9)) AS s
+       |  FROM tf JOIN dfr USING (tok)
+       |  CROSS JOIN (SELECT n_docs, tot, CAST(tot AS DOUBLE) / n_docs AS avgdl
+       |              FROM stats))
+       |SELECT doc_id, count(*) AS n_hits, CAST(SUM(s) AS DOUBLE) AS bm25
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
+  /** Per-document token-level Shannon entropy (nats) — the diversity/
+    * repetition quality signal next to gopher_rules: low entropy means
+    * a repetitive or boilerplate document. H = ln(n) − Σ tf·ln(tf) / n
+    * avoids per-term probabilities, so the only floats are ln of small
+    * integers.
+    *
+    * Scale shape: one (doc,token) aggregation with map-side partials,
+    * then a per-doc rollup — the token_count family's shape. The
+    * Σ tf·ln(tf) accumulates as round-9 DECIMAL (exact, order-free).
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(
+          "CAST(round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(24,9))"))
+          .as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("round(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens, 6)")
+          .as("entropy_nats"))
+
+  private val tokenEntropySql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  round(ln(CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE))
+      |    - CAST(SUM(CAST(round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)), 9)
+      |                    AS DECIMAL(24,9))) AS DOUBLE)
+      |      / CAST(SUM(tf) AS BIGINT), 6) AS entropy_nats
+      |FROM tf GROUP BY 1""".stripMargin
+
+  /** Corpus collocations by pointwise mutual information over adjacent
+    * token pairs — the statistic a tokenizer/vocab-merge step ranks
+    * candidate merges with. pmi = ln(p(ab) / (p(a)·p(b))) on corpus
+    * counts; pairs seen < 5 times are noise and drop (so no LIMIT /
+    * order dependence in the output).
+    *
+    * Scale shape: bigrams are zip-sliced per row (lm_perplexity's
+    * shape — no positional shuffle); unigram and bigram counts
+    * aggregate map-side; the two count joins are vocabulary-sized
+    * broadcasts; corpus totals are scalar.
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val uniToks = t.select(explode(col("toks")).as("tok"))
+    val uni = uniToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = t.select(
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    // m (total bigram instances) folds from the pre-filter pair counts:
+    // the same subtree as `big`, so its exchange is reused — never a
+    // second corpus explode.
+    val big0 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val big = big0.where(col("c2") >= 5)
+    val stats = uni.agg(sum(col("c")).as("nt"))
+      .crossJoin(big0.agg(sum(col("c2")).as("m")))
+    big
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("c2"), col("ca"), col("cb"),
+        expr(s"round($PmiSql, 9)").as("pmi"))
+  }
+
+  /** Identical-text PMI double expression (see [[Bm25TermSql]]). */
+  private val PmiSql =
+    "ln(CAST(c2 AS DOUBLE) * nt * nt / ((CAST(m AS DOUBLE) * ca) * cb))"
+
+  private val pmiBigramsSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+       |bi AS (
+       |  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t),
+       |big0 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |big AS (SELECT * FROM big0 WHERE c2 >= 5),
+       |stats AS (
+       |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nt,
+       |         (SELECT CAST(SUM(c2) AS BIGINT) FROM big0) AS m),
+       |j AS (
+       |  SELECT w1, w2, c2, ua.c AS ca, ub.c AS cb
+       |  FROM big
+       |  JOIN uni ua ON big.w1 = ua.tok
+       |  JOIN uni ub ON big.w2 = ub.tok)
+       |SELECT w1, w2, c2, ca, cb, round($PmiSql, 9) AS pmi
+       |FROM j CROSS JOIN stats""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
@@ -370,5 +537,8 @@ object TextAnalysis {
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
     Op("profile_columns", profileColumns, Some(profileColumnsSql)),
+    Op("bm25_rank", bm25Rank, Some(bm25RankSql)),
+    Op("token_entropy", tokenEntropy, Some(tokenEntropySql)),
+    Op("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, TextAnalysis}
+
+/** Round-5 text/curation additions: BM25 ranking, token entropy, PMI
+  * collocations, percentile length trimming. The oracle harness pins
+  * cross-engine hashes; these pin the SEMANTICS on a constructed
+  * corpus where the right answers are known in closed form.
+  */
+class R5OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Writes a documents.parquet fixture; returns its table dir. */
+  private def fixtureDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r5docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("token_entropy: closed-form values on degenerate and uniform docs") {
+    val dir = fixtureDir(Seq(
+      (1L, "a a a a", "en", "s"),            // all same token -> H = 0
+      (2L, "w x y z", "en", "s"),            // uniform over 4 -> H = ln 4
+      (3L, "b b c c", "en", "s")))           // uniform over 2 -> H = ln 2
+    val got = TextAnalysis.tokenEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got(1L)) < 1e-9)
+    assert(math.abs(got(2L) - math.log(4)) < 1e-6)
+    assert(math.abs(got(3L) - math.log(2)) < 1e-6)
+  }
+
+  test("bm25_rank: only matching docs rank; rarer terms outscore common ones") {
+    // "hash" appears in 1 of 4 docs, "join" in 3 -> idf(hash) > idf(join);
+    // doc 4 has no query terms and must be absent.
+    val dir = fixtureDir(Seq(
+      (1L, "hash table lookup", "en", "s"),
+      (2L, "join order join plan join", "en", "s"),
+      (3L, "join scan", "en", "s"),
+      (4L, "nothing relevant here", "en", "s")))
+    val rows = TextAnalysis.bm25Rank(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!rows.contains(4L))
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows.values.forall(_._2 > 0.0))
+    // doc 3 matches two terms -> n_hits 2
+    assert(rows(3L)._1 == 2L)
+  }
+
+  test("pmi_bigrams: an always-adjacent pair beats an independent pair") {
+    // "p q" always adjacent (8 times); filler tokens vary. c2 >= 5 gate
+    // drops every filler bigram (each occurs once).
+    val text = (1 to 8).map(i => s"p q f$i").mkString(" ")
+    val dir = fixtureDir(Seq((1L, text, "en", "s")))
+    val rows = TextAnalysis.pmiBigrams(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == Set(("p", "q")))
+    val pmi = rows.head.getAs[Double]("pmi")
+    assert(pmi > 0.0, s"always-adjacent pair should have positive PMI, got $pmi")
+  }
+
+  test("length_trim: per-lang p5/p95 band drops both extremes") {
+    // en: lengths 1..20 (distinct powers via repeated 'x'); the 1-char
+    // and 20-char docs sit outside the [p5, p95] band. de: uniform
+    // lengths -> degenerate band keeps everything.
+    val en = (1 to 20).map(i => (i.toLong, "x" * i, "en", "s"))
+    val de = (21 to 24).map(i => (i.toLong, "yyyy", "de", "s"))
+    val dir = fixtureDir(en ++ de)
+    val kept = Curation.lengthTrim(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(20L),
+      s"extreme en lengths must trim, kept=$kept")
+    assert((21 to 24).forall(i => kept.contains(i.toLong)),
+      "degenerate de band must keep all docs")
+    assert((3 to 18).forall(i => kept.contains(i.toLong)),
+      "interior en lengths must survive")
+  }
+}
