@@ -245,6 +245,12 @@ object H3Core {
     if (c.i < 0) { c.j -= c.i; c.k -= c.i; c.i = 0 }
     if (c.j < 0) { c.i -= c.j; c.k -= c.j; c.j = 0 }
     if (c.k < 0) { c.i -= c.k; c.j -= c.k; c.k = 0 }
+    // (1,1,1) is degenerate in cube hex coords: canonical form has a
+    // zero component (the spec's _ijkNormalize "remove the min value").
+    // The forward indexing paths produce min=0 by construction; offset
+    // arithmetic (gridDisk candidates, boundary duals) does not.
+    val min = math.min(c.i, math.min(c.j, c.k))
+    if (min > 0) { c.i -= min; c.j -= min; c.k -= min }
   }
 
   /** digits: 0 center, 1 K, 2 J, 3 JK, 4 I, 5 IK, 6 IJ. */
@@ -956,6 +962,9 @@ object H3Core {
     * the latLngToCell tail, reused to validate frame projections.
     */
   private def indexFromFaceIjk(face: Int, ijk: IJK, res: Int): Long = {
+    normalize(ijk) // offset arithmetic hands in raw (possibly negative)
+    // coords; at res 0 digitsFromIjk passes them straight to the base
+    // cell lookup
     val (h0, bcIjk) = digitsFromIjk(ijk, res)
     if (bcIjk.i > 2 || bcIjk.j > 2 || bcIjk.k > 2) return InvalidIndex
     val packed = faceIjkBaseCell(face)(bcIjk.i.toInt)(bcIjk.j.toInt)(bcIjk.k.toInt)
@@ -1070,6 +1079,53 @@ object H3Core {
     var r = parentRes + 1
     while (r <= res) { p = setDigit(p, r, 7L); r += 1 }
     p
+  }
+
+  /** cell boundary vertices (lat, lon degrees), ring-ordered by
+    * azimuth from the cell center (cellToBoundary / h3_to_geo_boundary
+    * analog). DUAL construction, not the spec's substrate projection:
+    * each vertex is the spherical circumcenter of the three mutually
+    * adjacent cell centers meeting there (cell + two consecutive
+    * gridDisk-1 neighbors), i.e. the point equidistant from all three
+    * — the geometric definition of a hexagonal tiling's vertex. The
+    * vertices agree with h3lib's to within the icosahedral projection
+    * distortion (h3lib additionally inserts distortion vertices where
+    * an edge crosses an icosa edge; those are not produced here).
+    * Hexagons yield 6 vertices, pentagons 5. H3Spec pins the
+    * equidistance property and center containment.
+    */
+  def cellToBoundary(h: Long): Array[(Double, Double)] = {
+    val (cLatD, cLonD) = cellToLatLng(h)
+    val cLat = math.toRadians(cLatD)
+    val cLon = math.toRadians(cLonD)
+    val cv = geoToVec3(cLat, cLon)
+    val nbrs = gridDisk(h, 1).filter(_ != h)
+    val ordered = nbrs.map { n =>
+      val (laD, loD) = cellToLatLng(n)
+      val la = math.toRadians(laD); val lo = math.toRadians(loD)
+      (geoToVec3(la, lo), posAngle(azimuth(cLat, cLon, la, lo)))
+    }.sortBy(_._2).map(_._1)
+    val k = ordered.length
+    Array.tabulate(k) { i =>
+      val v = circumcenter(cv, ordered(i), ordered((i + 1) % k))
+      (math.toDegrees(v._1), math.toDegrees(v._2))
+    }
+  }
+
+  /** circumcenter (lat, lon radians) of the spherical triangle abc:
+    * normalize((b − a) × (c − a)), oriented into a's hemisphere —
+    * equidistant from all three by construction.
+    */
+  private def circumcenter(a: (Double, Double, Double),
+      b: (Double, Double, Double), c: (Double, Double, Double)): (Double, Double) = {
+    val (ux, uy, uz) = (b._1 - a._1, b._2 - a._2, b._3 - a._3)
+    val (wx, wy, wz) = (c._1 - a._1, c._2 - a._2, c._3 - a._3)
+    var vx = uy * wz - uz * wy
+    var vy = uz * wx - ux * wz
+    var vz = ux * wy - uy * wx
+    if (vx * a._1 + vy * a._2 + vz * a._3 < 0) { vx = -vx; vy = -vy; vz = -vz }
+    val n = math.sqrt(vx * vx + vy * vy + vz * vz)
+    (math.asin(vz / n), math.atan2(vy / n, vx / n))
   }
 
   def isPentagon(h: Long): Boolean =

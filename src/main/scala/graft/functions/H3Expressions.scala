@@ -33,6 +33,16 @@ object H3ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       cells.map(c => UTF8String.fromString(H3Core.h3ToString(c)): Any))
   }
+  /** WKT POLYGON of the cell boundary ("lon lat" vertex order, ring
+    * closed) — a string, not a nested array, so results survive any
+    * canonizer and feed GIS tools directly.
+    */
+  def boundaryWkt(cell: UTF8String): UTF8String = {
+    val vs = H3Core.cellToBoundary(H3Core.stringToH3(cell.toString))
+    val ring = vs :+ vs.head
+    val pts = ring.map { case (la, lo) => s"$lo $la" }.mkString(", ")
+    UTF8String.fromString(s"POLYGON(($pts))")
+  }
 }
 
 /** h3_index(lat, lon, res) → true H3 cell id string (bit-compatible
@@ -137,6 +147,19 @@ case class H3KRingExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.kRing($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/** h3_boundary_wkt(cell) → the cell's boundary polygon as WKT
+  * (dual-construction vertices — see [[H3Core.cellToBoundary]]).
+  */
+case class H3BoundaryWktExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(cell: Any): Any =
+    H3ExprHelpers.boundaryWkt(cell.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.boundaryWkt($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** h3_is_pentagon(cell) → whether the cell is one of the 12 pentagons

@@ -490,6 +490,69 @@ object Spatial {
        |FROM frac""".stripMargin
   }
 
+  /** Boundary geometry of the distinct H3 cells the events points
+    * occupy (h3_to_geo_boundary analog) — the export step that hands
+    * cell footprints to GIS/viz. WKT strings, not nested arrays, so
+    * the result is canonizer- and sink-friendly.
+    *
+    * Scale shape: cells dedup BEFORE any decode, so the boundary
+    * construction runs once per distinct cell, not per point. Not
+    * SQL-expressible (spherical circumcenters) → rows-only; vertex
+    * equidistance, ring arity (6/5), and neighbor vertex-sharing are
+    * pinned in H3Spec.
+    */
+  def h3Boundary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(h3_index((col("value") % 120.0) - 60.0,
+        ((col("event_id") % 3600).cast("double") / 10.0) - 180.0, lit(7))
+        .as("cell"))
+      .where(col("cell").isNotNull)
+      .distinct()
+      .select(col("cell"),
+        h3_boundary_wkt(col("cell")).as("boundary_wkt"),
+        h3_is_pentagon(col("cell")).as("is_pentagon"))
+
+  /** H3 polyfill (polygonToCells, center-containment mode): the cells
+    * of the municipio-style catalog polygons at res 4 — the step that
+    * turns an admin boundary into a cell allowlist for joins against
+    * H3-keyed pings.
+    *
+    * Scale shape: a sample lattice finer than the res-4 inradius
+    * (0.15° vs ≥0.175°) over each polygon's bbox (+ one circumradius
+    * margin) guarantees every candidate cell is hit; candidates dedup
+    * on (poly, cell) BEFORE the center decode + containment test, so
+    * the expensive decode is per-cell. Lattice explode is per-polygon
+    * parallel; the catalog is broadcast. Rows-only (no H3 in the
+    * oracle engine); coverage/exactness pinned in H3Spec.
+    */
+  def h3Polyfill(spark: SparkSession, dir: String): DataFrame = {
+    val res = 4
+    val step = 0.15
+    val margin = 0.45
+    val polys = polygonCatalog(spark)
+      .select(col("poly_id"),
+        from_json(get_json_object(col("geometry"), "$.coordinates"), ringsType)
+          .as("rings"))
+      .withColumn("pts", flatten(col("rings")))
+      .withColumn("x0", expr("array_min(transform(pts, p -> p[0]))") - margin)
+      .withColumn("x1", expr("array_max(transform(pts, p -> p[0]))") + margin)
+      .withColumn("y0", expr("array_min(transform(pts, p -> p[1]))") - margin)
+      .withColumn("y1", expr("array_max(transform(pts, p -> p[1]))") + margin)
+    val cand = polys
+      .withColumn("i", explode(expr(s"sequence(0, CAST(ceil((x1 - x0) / $step) AS INT))")))
+      .withColumn("j", explode(expr(s"sequence(0, CAST(ceil((y1 - y0) / $step) AS INT))")))
+      .select(col("poly_id"),
+        h3_index(col("y0") + col("j") * step, col("x0") + col("i") * step, lit(res))
+          .as("cell"))
+      .where(col("cell").isNotNull)
+      .distinct()
+    cand.join(broadcast(polys.select(col("poly_id"), col("rings"))), "poly_id")
+      .withColumn("c_lat", h3_center_lat(col("cell")))
+      .withColumn("c_lon", h3_center_lon(col("cell")))
+      .where(st_contains(col("rings"), col("c_lon"), col("c_lat")))
+      .select(col("poly_id"), col("cell"), col("c_lat"), col("c_lon"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
@@ -497,6 +560,8 @@ object Spatial {
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3Cells, None),
     Op("h3_rg", h3Rg, None),
+    Op("h3_boundary", h3Boundary, None),
+    Op("h3_polyfill", h3Polyfill, None),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
     Op("hex_rg", hexRg, Some(hexRgSql)),
   )

@@ -231,4 +231,72 @@ class H3Spec extends AnyFunSuite {
     val b = latLngToCell(19.4335, -99.1332, 15)
     assert(a != b)
   }
+
+  private def vec(latD: Double, lonD: Double): (Double, Double, Double) = {
+    val la = math.toRadians(latD); val lo = math.toRadians(lonD)
+    val c = math.cos(la)
+    (c * math.cos(lo), c * math.sin(lo), math.sin(la))
+  }
+
+  private def chord(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+    val dx = a._1 - b._1; val dy = a._2 - b._2; val dz = a._3 - b._3
+    math.sqrt(dx * dx + dy * dy + dz * dz)
+  }
+
+  test("cellToBoundary: 6 vertices, each equidistant from its three generating centers") {
+    val samples = Seq(
+      stringToH3("8928308280fffff"),                 // SF golden
+      latLngToCell(19.4326, -99.1332, 7),            // CDMX res 7
+      latLngToCell(-33.86, 151.21, 5),               // Sydney res 5
+      latLngToCell(60.17, 24.94, 9))                 // Helsinki res 9
+    for (h <- samples) {
+      val verts = cellToBoundary(h)
+      assert(verts.length == 6, s"hexagon ${h3ToString(h)} must have 6 vertices")
+      val (cLat, cLon) = cellToLatLng(h)
+      val centers = gridDisk(h, 1).filter(_ != h).map(n => vec _ tupled cellToLatLng(n))
+      val cv = vec(cLat, cLon)
+      for (v <- verts) {
+        val vv = vec(v._1, v._2)
+        val dc = chord(vv, cv)
+        // equidistance: distance to the cell center equals the distance
+        // to (at least) two neighbor centers — the dual-vertex property
+        val near = centers.map(chord(vv, _)).count(d => math.abs(d - dc) < dc * 1e-6)
+        assert(near >= 2, s"vertex $v of ${h3ToString(h)} not equidistant (dc=$dc)")
+      }
+    }
+  }
+
+  test("cellToBoundary: pentagons have 5 vertices") {
+    val pent = stringToH3("8009fffffffffff") // res-0 pentagon (base cell 4)
+    assert(isPentagon(pent))
+    assert(cellToBoundary(pent).length == 5)
+  }
+
+  test("cellToBoundary: adjacent cells share exactly two vertices") {
+    val h = latLngToCell(19.4326, -99.1332, 7)
+    val hv = cellToBoundary(h).map(v => vec(v._1, v._2))
+    for (n <- gridDisk(h, 1).filter(_ != h)) {
+      val nv = cellToBoundary(n).map(v => vec(v._1, v._2))
+      val shared = hv.count(a => nv.exists(b => chord(a, b) < 1e-9))
+      assert(shared == 2,
+        s"${h3ToString(h)} and ${h3ToString(n)} share $shared vertices, want 2")
+    }
+  }
+
+  test("cellToBoundary: center is inside the vertex ring (planar winding)") {
+    val h = latLngToCell(19.4326, -99.1332, 7)
+    val (cLat, cLon) = cellToLatLng(h)
+    val ring = cellToBoundary(h)
+    // planar ray-cast is adequate at cell scale away from poles
+    var inside = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val (yi, xi) = ring(i); val (yj, xj) = ring(j)
+      if ((yi > cLat) != (yj > cLat) &&
+        cLon < (xj - xi) * (cLat - yi) / (yj - yi) + xi) inside = !inside
+      j = i; i += 1
+    }
+    assert(inside, s"center ($cLat,$cLon) outside ring ${ring.mkString(";")}")
+  }
 }

@@ -68,6 +68,55 @@ class R5OpsSpec extends AnyFunSuite {
     assert(pmi > 0.0, s"always-adjacent pair should have positive PMI, got $pmi")
   }
 
+  test("h3_polyfill: every center inside its polygon; interior cells covered") {
+    import graft.functions.H3Core
+    val rows = graft.operators.Spatial.h3Polyfill(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 1000, s"16 tiles x ~200 res-4 cells expected, got ${rows.length}")
+    // exactness: the returned center must sit inside the named tile
+    rows.foreach { r =>
+      val Array(_, i, j) = r.getString(0).split("_")
+      val x0 = 5.0 * i.toInt + 0.005
+      val y0 = 5.0 * j.toInt + 0.005
+      val (cLat, cLon) = (r.getDouble(2), r.getDouble(3))
+      assert(cLon >= x0 && cLon <= x0 + 5.0 && cLat >= y0 && cLat <= y0 + 5.0,
+        s"center ($cLat,$cLon) outside ${r.getString(0)}")
+    }
+    // coverage: any random interior point whose res-4 cell center is
+    // in-tile must appear in that tile's fill set
+    val byTile = rows.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val rng = new scala.util.Random(7)
+    var checked = 0
+    for (_ <- 0 until 300) {
+      val ti = rng.nextInt(4); val tj = rng.nextInt(4)
+      val x0 = 5.0 * ti + 0.005; val y0 = 5.0 * tj + 0.005
+      val lon = x0 + rng.nextDouble() * 5.0
+      val lat = y0 + rng.nextDouble() * 5.0
+      val cell = H3Core.latLngToCell(lat, lon, 4)
+      val (cLa, cLo) = H3Core.cellToLatLng(cell)
+      if (cLo >= x0 && cLo <= x0 + 5.0 && cLa >= y0 && cLa <= y0 + 5.0) {
+        assert(byTile(s"P_${ti}_${tj}").contains(H3Core.h3ToString(cell)),
+          s"cell ${H3Core.h3ToString(cell)} with in-tile center missing from P_${ti}_$tj")
+        checked += 1
+      }
+    }
+    assert(checked > 150, s"coverage probe too weak: $checked")
+  }
+
+  test("h3_boundary: WKT rings close and carry 6 (or 5) vertices") {
+    val rows = graft.operators.Spatial.h3Boundary(spark, "/root/testdata/sf0.001")
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wkt = r.getString(1)
+      assert(wkt.startsWith("POLYGON((") && wkt.endsWith("))"))
+      val pts = wkt.stripPrefix("POLYGON((").stripSuffix("))").split(", ")
+      val want = if (r.getBoolean(2)) 6 else 7 // ring closes on first vertex
+      assert(pts.length == want, s"${r.getString(0)}: ${pts.length} points, want $want")
+      assert(pts.head == pts.last, "ring must close")
+    }
+  }
+
   test("length_trim: per-lang p5/p95 band drops both extremes") {
     // en: lengths 1..20 (distinct powers via repeated 'x'); the 1-char
     // and 20-char docs sit outside the [p5, p95] band. de: uniform
