@@ -439,9 +439,61 @@ object Curation {
       |FROM documents d JOIN b USING (lang)
       |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin
 
+  /** Cross-source content overlap: pairwise shared word-3-gram count +
+    * Jaccard between sources — the contamination/provenance diagnostic
+    * a mixture designer reads before weighting sources (two crawls of
+    * the same site show up as a high-Jaccard pair).
+    *
+    * Scale shape: per-source distinct shingles via the codegen'd
+    * hash-set kernel (8-byte keys, no shingle strings in the engine);
+    * the pair relation comes from a shingle-keyed self-join — blocked
+    * on the shingle exactly like the dedup family, never source×source
+    * ×corpus. Per-source totals are a |sources|-sized broadcast. The
+    * oracle mirrors with shingle STRINGS; counts agree because the
+    * 60-bit hash space is collision-free at any plausible vocabulary
+    * (the decontaminate precedent).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_hash_set
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingle_hash_set(col("text"))).as("sh"))
+      .distinct()
+    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n").as("na"))),
+        "source_a")
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")), 9).as("jaccard"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |      i -> array_to_string((string_split(text, ' '))[i + 1:i + 3], ' '))) AS shingle
+      |  FROM documents),
+      |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |pair AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 9) AS jaccard
+      |FROM pair
+      |JOIN tot ta ON source_a = ta.source
+      |JOIN tot tb ON source_b = tb.source""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("length_trim", lengthTrim, Some(lengthTrimSql)),
+    Op("source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Op("mixture_report", mixtureReport, Some(mixtureReportSql)),
     Op("train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Op("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

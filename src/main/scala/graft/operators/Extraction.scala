@@ -269,8 +269,33 @@ object Extraction {
       |        list_filter(string_split(text, ' '), t -> len(t) >= 9) AS l
       |      FROM documents)""".stripMargin
 
+  /** Hash-keyed Bernoulli sampling — the cluster-stable complement to
+    * [[sampleBernoulli]]: `df.sample` draws per-partition, so its
+    * output changes whenever the partitioning does (repartition, AQE,
+    * a 100-TB relayout); keying the keep decision on a portable hash
+    * of the ROW KEY makes the sample a pure row property —
+    * reproducible across engines, cluster sizes, and reruns, and
+    * stable under late-arriving data (the same row always lands the
+    * same way). 0.5% of lineitem by (orderkey, linenumber).
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(graft.functions.CrossHash.hash60(
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))) % 200 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  private val sampleHashSql = {
+    val h = graft.functions.CrossHash.hash60Sql(
+      "CONCAT(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))")
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       |FROM lineitem WHERE $h % 200 = 0""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("extract_project_filter", extractProjectFilter, Some(extractProjectFilterSql), bench = true),
+    Op("sample_hash", sampleHash, Some(sampleHashSql)),
     Op("explode_outer_tokens", explodeOuterTokens, Some(explodeOuterTokensSql)),
     Op("json_props", jsonProps, Some(jsonPropsSql)),
     Op("night_hours", nightHours, Some(nightHoursSql)),

@@ -180,10 +180,68 @@ object GraphMetrics {
        |SELECT node, CAST(min(depth) AS BIGINT) AS depth
        |FROM reach GROUP BY 1""".stripMargin
 
+  /** Synchronous label propagation (3 rounds): community detection the
+    * way a distributed engine actually runs LPA — every node adopts
+    * its neighbors' most frequent label each round, ties broken by the
+    * SMALLEST label so the iteration is deterministic (async LPA's
+    * update order dependence has no stable distributed meaning).
+    * Nodes start as their own label; after the fixed rounds the label
+    * is the community id.
+    *
+    * Scale shape: each round is one (edge ⋈ labels) shuffle on src +
+    * one count aggregation + one per-node argmax (WindowGroupLimit
+    * partials) — the pagerank iteration pattern with an argmax in
+    * place of the weighted sum; the directed-edge relation
+    * materializes once and later rounds read ReusedExchange.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges(spark, dir)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var l = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters)
+      l = e.join(l, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("label").asc)))
+        .where(col("rk") === 1)
+        .select(col("dst").as("node"), col("label"))
+    l.select(col("node"), col("label").as("community"))
+  }
+
+  private def lpaIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT node, label FROM (
+       |    SELECT e.dst AS node, $prev.label, count(*) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY count(*) DESC, $prev.label ASC) AS rk
+       |    FROM e JOIN $prev ON e.src = $prev.node
+       |    GROUP BY 1, 2)
+       |  WHERE rk = 1)""".stripMargin
+
+  private val labelPropagationSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${lpaIterSql("l0", "l1")},
+       |${lpaIterSql("l1", "l2")},
+       |${lpaIterSql("l2", "l3")}
+       |SELECT node, label AS community FROM l3""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_bfs_depth", (s, d) => graphBfsDepth(s, d), Some(graphBfsDepthSql)),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
+    Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
   )
 }

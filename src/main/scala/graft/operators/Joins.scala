@@ -442,6 +442,65 @@ object Joins {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations by supplier nation, customer nation, and ship year.
+    * Exercises the one join mix Q3/Q5 don't: a selective broadcast on
+    * the SUPPLIER side prunes the fact scan early, the fact-fact
+    * lineitem⋈orders rides the orderkey shuffle, and customer (the
+    * big dimension) stays on the custkey shuffle per the locked join
+    * contract. The cross-nation residual (supp ≠ cust) applies after
+    * both enrichments.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .where(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum((col("l_extendedprice").cast(dec)
+        * (lit(1.0).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(38, 4)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q7NationVolumeSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      |    AND nc.n_name IN ('NATION_1', 'NATION_2')
+      |    AND ns.n_name <> nc.n_name
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY 1, 2, 3""".stripMargin
+
   private val q5LocalSupplierSql =
     """SELECT n_name,
       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -512,6 +571,7 @@ object Joins {
   val ops: Seq[Op] = Seq(
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    Op("q7_nation_volume", q7NationVolume, Some(q7NationVolumeSql)),
     Op("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),
