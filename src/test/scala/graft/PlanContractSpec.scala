@@ -23,8 +23,8 @@ class PlanContractSpec extends AnyFunSuite {
     * only (the AdaptiveSparkPlan toString appends the pre-AQE
     * "Initial Plan" section, which would double every count).
     */
-  private def finalPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def finalPlan(name: String, sfDir: String = sf): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
     val s = df.queryExecution.executedPlan.toString
     s.split("== Initial Plan ==")(0)
@@ -166,6 +166,23 @@ class PlanContractSpec extends AnyFunSuite {
     val p = finalPlan("q3_shipping")
     assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
       "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
+  }
+
+  test("q7_nation_volume: supplier side broadcasts; customer stays on the custkey shuffle") {
+    // sf0.01: at sf0.001 the two-nation ship-window filter leaves zero
+    // rows and AQE collapses the whole tree to EmptyRelation
+    val p = finalPlan("q7_nation_volume", "/root/testdata/sf0.01")
+    assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
+      "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "nation x2 + selective supplier enrichments must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("source_overlap: shingle self-join stays a shuffle join; totals broadcast") {
+    val p = finalPlan("source_overlap")
+    assert("ShuffledHashJoin \\[sh".r.findFirstIn(p).isDefined,
+      "the corpus-sized shingle self-join must never broadcast:\n" + p.take(2000))
   }
 
   test("knn_classify: corpus never shuffles before top-k; query set broadcasts") {
