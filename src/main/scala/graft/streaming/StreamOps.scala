@@ -237,10 +237,53 @@ object StreamOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Shared transformation for stream-static enrichment: events joined
+    * to a per-user dimension (customer-keyed segment lookup — the
+    * streaming analog of `region_enrich`), rolled up per segment.
+    * Stream-static joins are STATELESS in Structured Streaming (the
+    * static side re-resolves per micro-batch; broadcast keeps it off
+    * the stream's shuffle path), so the same Column logic runs under
+    * batch and readStream unchanged.
+    */
+  def segmentCounts(events: DataFrame, dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    events
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  /** Per-user segment dimension derived from customer (user ids and
+    * custkeys share the id space in the test data).
+    */
+  def userSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Batch form as an oracle-checked query. */
+  def segmentEnrich(spark: SparkSession, dir: String): DataFrame =
+    segmentCounts(Tables.events(spark, dir), userSegments(spark, dir))
+
+  private val segmentEnrichSql =
+    """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Streaming form: the same enrichment over the file-source stream
+    * (StreamingSpec compares it to the batch form under a complete-
+    * mode memory sink).
+    */
+  def streamingSegmentEnrich(spark: SparkSession, eventsDir: String,
+      staticDir: String): DataFrame =
+    segmentCounts(eventsStream(spark, eventsDir), userSegments(spark, staticDir))
+
   val ops: Seq[Op] = Seq(
     Op("tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Op("sliding_window", slidingWindow, Some(slidingWindowSql)),
     Op("sessionize", sessionize, Some(sessionizeSql)),
     Op("session_window_agg", sessionWindowAgg, Some(sessionWindowAggSql)),
+    Op("segment_enrich", segmentEnrich, Some(segmentEnrichSql)),
   )
 }

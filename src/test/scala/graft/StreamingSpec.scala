@@ -204,6 +204,26 @@ class StreamingSpec extends AnyFunSuite {
       "streamed window aggregates must equal batch")
   }
 
+  test("stream-static enrichment equals the batch segment rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString + "/events"
+    Tables.events(spark, sf).write.parquet(dir)
+    val q = StreamOps.streamingSegmentEnrich(spark, dir, sf)
+      .writeStream
+      .outputMode("complete") // stateless join + global agg: complete re-emits totals
+      .format("memory")
+      .queryName("enrich_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+    val batch = StreamOps.segmentEnrich(spark, sf)
+    assert(streamed.count() == batch.count(), "segment cardinality must match")
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      col("s.segment") === col("b.segment"))
+    assert(joined.where(col("s.n") =!= col("b.n")
+      || col("s.sum_value") =!= col("b.sum_value")).count() == 0,
+      "streamed enrichment must equal batch")
+  }
+
   test("sessionizer merges late in-watermark events into the right session (and bridges)") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
