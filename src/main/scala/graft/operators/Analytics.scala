@@ -118,6 +118,68 @@ object Analytics {
       |WINDOW w AS (PARTITION BY event_type ORDER BY event_id ASC
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Time-RANGE window frame: trailing 1-hour per-user rollup — the
+    * "how much did this user do in the last hour, AS OF each event"
+    * feature every fraud/engagement pipeline derives. ROWS frames
+    * ([[windowMoving]]) count records; RANGE frames bound by VALUE
+    * distance — Spark's rangeBetween is numeric-only, so the frame
+    * runs over epoch seconds (and the oracle mirrors the same integer
+    * frame: unlike a native INTERVAL frame, identical on both engines
+    * by construction).
+    */
+  def windowRangeTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double").as("sum_1h"))
+  }
+
+  private val windowRangeTimeSql =
+    """SELECT event_id, user_id, ts_us, value,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Per-group winsorization: clamp l_extendedprice into its
+    * return-flag group's [p5, p95] band and flag what was clipped —
+    * the outlier treatment a feature pipeline applies before scaling
+    * (trim = drop, winsorize = clamp; [[Curation.lengthTrim]] is the
+    * drop form). Bounds round at 1e-6 so an interpolation ulp cannot
+    * flip a clip decision, and the clamped value is exact either way
+    * (it is either the original double or the rounded bound).
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("round(percentile(l_extendedprice, 0.05), 6)").as("lo"),
+        expr("round(percentile(l_extendedprice, 0.95), 6)").as("hi"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bounds), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+          .as("price_winsor"),
+        (col("l_extendedprice") < col("lo")
+          || col("l_extendedprice") > col("hi")).as("clipped"))
+  }
+
+  private val winsorizeSql =
+    """WITH b AS (
+      |  SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+      |  least(greatest(l_extendedprice, lo), hi) AS price_winsor,
+      |  l_extendedprice < lo OR l_extendedprice > hi AS clipped
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin
+
   /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
     * -preserving variants of [[setOps]] — a customer with three
     * qualifying orders appears min(3, m) times in the intersection,
@@ -685,6 +747,8 @@ object Analytics {
     Op("set_ops", setOps, Some(setOpsSql)),
     Op("set_ops_all", setOpsAll, Some(setOpsAllSql)),
     Op("window_moving", windowMoving, Some(windowMovingSql)),
+    Op("window_range_time", windowRangeTime, Some(windowRangeTimeSql)),
+    Op("winsorize", winsorize, Some(winsorizeSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
