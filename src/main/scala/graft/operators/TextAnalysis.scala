@@ -359,6 +359,65 @@ object TextAnalysis {
       |FROM bi JOIN bg USING (w1, w2)
       |GROUP BY 1""".stripMargin
 
+  /** Declarative data-quality gate (the Deequ/expectations shape): one
+    * row per constraint with the measured metric and a pass verdict —
+    * the validation report a pipeline publishes before letting a batch
+    * into training. Checks: key uniqueness, completeness (non-null
+    * share), domain membership, and a range constraint.
+    *
+    * Scale shape: every metric folds in ONE pass over the table
+    * (conditional aggregation — no per-check scans); the uniqueness
+    * check rides the same pass as approx_count_distinct at 100 TB, or
+    * the exact two-level count used here while the key fits a shuffle.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val metrics = docs.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_keys"),
+      sum(when(col("text").isNotNull, 1L).otherwise(0L)).as("n_text"),
+      sum(when(col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+        .otherwise(0L)).as("n_lang_ok"),
+      sum(when(col("n_chars") > 0 && col("n_chars") <= 100000, 1L)
+        .otherwise(0L)).as("n_len_ok"))
+    val m = metrics.select(
+      array(
+        struct(lit("doc_id_unique").as("check"),
+          col("n_keys").cast("double").as("metric"),
+          (col("n_keys") === col("n_rows")).as("pass")),
+        struct(lit("text_complete").as("check"),
+          (col("n_text").cast("double") / col("n_rows")).as("metric"),
+          (col("n_text") === col("n_rows")).as("pass")),
+        struct(lit("lang_in_domain").as("check"),
+          (col("n_lang_ok").cast("double") / col("n_rows")).as("metric"),
+          (col("n_lang_ok") === col("n_rows")).as("pass")),
+        struct(lit("n_chars_in_range").as("check"),
+          (col("n_len_ok").cast("double") / col("n_rows")).as("metric"),
+          (col("n_len_ok") === col("n_rows")).as("pass"))).as("checks"))
+    m.select(explode(col("checks")).as("c"))
+      .select(col("c.check"), round(col("c.metric"), 9).as("metric"), col("c.pass"))
+  }
+
+  private val dqChecksSql =
+    """WITH m AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(DISTINCT doc_id) AS n_keys,
+      |    CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+      |    CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+      |    CAST(SUM(CASE WHEN n_chars > 0 AND n_chars <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+      |  FROM documents)
+      |SELECT 'doc_id_unique' AS "check", round(CAST(n_keys AS DOUBLE), 9) AS metric,
+      |  n_keys = n_rows AS pass FROM m
+      |UNION ALL
+      |SELECT 'text_complete', round(CAST(n_text AS DOUBLE) / n_rows, 9),
+      |  n_text = n_rows FROM m
+      |UNION ALL
+      |SELECT 'lang_in_domain', round(CAST(n_lang_ok AS DOUBLE) / n_rows, 9),
+      |  n_lang_ok = n_rows FROM m
+      |UNION ALL
+      |SELECT 'n_chars_in_range', round(CAST(n_len_ok AS DOUBLE) / n_rows, 9),
+      |  n_len_ok = n_rows FROM m""".stripMargin
+
   /** BM25 relevance of every document against a fixed keyword query —
     * the retrieval scorer a RAG/eval pipeline runs over a curated
     * corpus (Robertson-Spärck Jones idf, k1=1.2 b=0.75). Candidates =
@@ -537,6 +596,7 @@ object TextAnalysis {
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
     Op("profile_columns", profileColumns, Some(profileColumnsSql)),
+    Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Op("token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Op("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
