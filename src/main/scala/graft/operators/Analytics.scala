@@ -147,6 +147,48 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * row_number-difference idiom (day − rank is constant within a
+    * run) — the engagement-streak / coverage-gap primitive, and the
+    * one classic windowed-SQL shape the W-family didn't exercise yet.
+    * Streaks of one day are noise and drop.
+    *
+    * Scale shape: the (user, day) distinct collapses the fact table
+    * first (map-side partials), so the window and the island rollup
+    * run on ≤ users×days rows; both shuffle on user_id and Catalyst
+    * co-partitions them.
+    */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("streak_len"))
+      .where(col("streak_len") >= 2)
+      .select(col("user_id"), col("streak_start"), col("streak_end"),
+        col("streak_len"))
+  }
+
+  private val gapsIslandsSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |runs AS (
+      |  SELECT user_id, d,
+      |    datediff('day', DATE '1970-01-01', d)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM days)
+      |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+      |  count(*) AS streak_len
+      |FROM runs GROUP BY user_id, grp
+      |HAVING count(*) >= 2""".stripMargin
+
   /** Per-group winsorization: clamp l_extendedprice into its
     * return-flag group's [p5, p95] band and flag what was clipped —
     * the outlier treatment a feature pipeline applies before scaling
@@ -749,6 +791,7 @@ object Analytics {
     Op("window_moving", windowMoving, Some(windowMovingSql)),
     Op("window_range_time", windowRangeTime, Some(windowRangeTimeSql)),
     Op("winsorize", winsorize, Some(winsorizeSql)),
+    Op("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
