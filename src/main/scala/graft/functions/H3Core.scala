@@ -1001,7 +1001,13 @@ object H3Core {
     val (bLat, bLon) = cellToLatLng(b)
     val aRad = (math.toRadians(aLat), math.toRadians(aLon))
     val bRad = (math.toRadians(bLat), math.toRadians(bLon))
-    var cand = List(nearestFace(aRad._1, aRad._2), nearestFace(bRad._1, bRad._2))
+    // a pentagon sits on an icosahedron VERTEX (5 incident faces), so
+    // the shared frame is not always either endpoint's nearest face:
+    // rank the 3 closest to each endpoint and try all distinct ones
+    val av = geoToVec3(aRad._1, aRad._2)
+    val bv = geoToVec3(bRad._1, bRad._2)
+    var cand = ((0 until 20).sortBy(f => sqDist(faceCenterPoint(f), av)).take(3) ++
+      (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), bv)).take(3)).distinct.toList
     while (cand.nonEmpty) {
       val f = cand.head
       cand = cand.tail
@@ -1038,7 +1044,9 @@ object H3Core {
     val oLon = math.toRadians(oLonD)
     val ov = geoToVec3(oLat, oLon)
     val out = scala.collection.mutable.LinkedHashSet[Long](origin)
-    val faces = (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), ov)).take(4)
+    // 5 frames, not 4: a pentagon origin touches five faces, and its
+    // k≥2 ball has members only reachable through the farthest of them
+    val faces = (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), ov)).take(5)
     for (f <- faces) {
       val (x, y) = geoToHex2dOnFace(f, oLat, oLon, res)
       val o = hex2dToIjk(x, y)
