@@ -147,6 +147,57 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Two-proportion z-test between event-type "variants" — the
+    * experiment readout (conversion = value above a threshold): rates,
+    * pooled standard error, z statistic, and a |z| > 1.96 significance
+    * flag per variant pair against the 'view' control.
+    *
+    * Scale shape: per-variant numerators/denominators fold in ONE
+    * conditional-aggregation pass; the pair stats are a |variants|²
+    * driver-small cross of a broadcast relation. All doubles derive
+    * from exact integer counts through identically-written arithmetic;
+    * z rounds at 1e-9 (sqrt is IEEE-exact — no libm drift).
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("conv"))
+    val ctl = rates.where(col("event_type") === "view")
+      .select(col("n").as("n_c"), col("conv").as("conv_c"))
+    rates.where(col("event_type") =!= "view")
+      .crossJoin(broadcast(ctl))
+      .select(col("event_type").as("variant"), col("n"), col("conv"),
+        col("n_c"), col("conv_c"),
+        expr("round(CAST(conv AS DOUBLE) / n, 9)").as("rate"),
+        expr("round(CAST(conv_c AS DOUBLE) / n_c, 9)").as("rate_c"),
+        expr(s"round($AbZSql, 9)").as("z"),
+        expr(s"abs($AbZSql) > 1.96").as("significant"))
+  }
+
+  /** z = (p1 − p2) / sqrt(p(1−p)(1/n1 + 1/n2)), identical text in both
+    * engines; the pooled p is (conv + conv_c)/(n + n_c).
+    */
+  private val AbZSql =
+    "(CAST(conv AS DOUBLE) / n - CAST(conv_c AS DOUBLE) / n_c) / " +
+      "sqrt((CAST(conv + conv_c AS DOUBLE) / (n + n_c)) * " +
+      "(1.0 - CAST(conv + conv_c AS DOUBLE) / (n + n_c)) * " +
+      "(1.0 / n + 1.0 / n_c))"
+
+  private val abTestSql =
+    s"""WITH rates AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1),
+       |ctl AS (SELECT n AS n_c, conv AS conv_c FROM rates WHERE event_type = 'view')
+       |SELECT event_type AS variant, n, conv, n_c, conv_c,
+       |  round(CAST(conv AS DOUBLE) / n, 9) AS rate,
+       |  round(CAST(conv_c AS DOUBLE) / n_c, 9) AS rate_c,
+       |  round($AbZSql, 9) AS z,
+       |  abs($AbZSql) > 1.96 AS significant
+       |FROM rates CROSS JOIN ctl
+       |WHERE event_type <> 'view'""".stripMargin
+
   /** Gaps-and-islands: per-user consecutive-active-day streaks via the
     * row_number-difference idiom (day − rank is constant within a
     * run) — the engagement-streak / coverage-gap primitive, and the
@@ -792,6 +843,7 @@ object Analytics {
     Op("window_range_time", windowRangeTime, Some(windowRangeTimeSql)),
     Op("winsorize", winsorize, Some(winsorizeSql)),
     Op("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
+    Op("ab_test", abTest, Some(abTestSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, None),
