@@ -9,6 +9,10 @@ object Verify {
     // convenience; the driver always passes exactly two).
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet
+    // fail loudly on a typo'd name — a silent no-match would exit 0
+    // with nothing written and let a stale outDir pass vacuously
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = Sessions.build("graft-verify", cpus)

@@ -995,8 +995,31 @@ object H3Core {
     * validates up to 4(2k+1)² candidates against one origin and must
     * not re-decode it every time.
     */
+  /** three nearest faces to a unit vector — one allocation-free scan
+    * (this sits on the k-ring hot path; a sortBy over 0 until 20 costs
+    * boxing + vector allocs per call).
+    */
+  private def nearestFaces3(v: (Double, Double, Double)): Array[Int] = {
+    val best = Array(-1, -1, -1)
+    val bd = Array(Double.MaxValue, Double.MaxValue, Double.MaxValue)
+    var f = 0
+    while (f < 20) {
+      val d = sqDist(faceCenterPoint(f), v)
+      if (d < bd(0)) {
+        bd(2) = bd(1); best(2) = best(1)
+        bd(1) = bd(0); best(1) = best(0)
+        bd(0) = d; best(0) = f
+      } else if (d < bd(1)) {
+        bd(2) = bd(1); best(2) = best(1)
+        bd(1) = d; best(1) = f
+      } else if (d < bd(2)) { bd(2) = d; best(2) = f }
+      f += 1
+    }
+    best
+  }
+
   private def gridDistanceFrom(a: Long, aLat: Double, aLon: Double,
-      b: Long): Long = {
+      b: Long, aFaces: Array[Int] = null): Long = {
     val res = getResolution(a)
     val (bLat, bLon) = cellToLatLng(b)
     val aRad = (math.toRadians(aLat), math.toRadians(aLon))
@@ -1004,10 +1027,12 @@ object H3Core {
     // a pentagon sits on an icosahedron VERTEX (5 incident faces), so
     // the shared frame is not always either endpoint's nearest face:
     // rank the 3 closest to each endpoint and try all distinct ones
-    val av = geoToVec3(aRad._1, aRad._2)
-    val bv = geoToVec3(bRad._1, bRad._2)
-    var cand = ((0 until 20).sortBy(f => sqDist(faceCenterPoint(f), av)).take(3) ++
-      (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), bv)).take(3)).distinct.toList
+    // (the origin's ranking is passed in by gridDisk, which calls this
+    // once per candidate against the same origin)
+    val af = if (aFaces != null) aFaces
+      else nearestFaces3(geoToVec3(aRad._1, aRad._2))
+    val bf = nearestFaces3(geoToVec3(bRad._1, bRad._2))
+    var cand = (af ++ bf).distinct.toList
     while (cand.nonEmpty) {
       val f = cand.head
       cand = cand.tail
@@ -1044,10 +1069,15 @@ object H3Core {
     val oLon = math.toRadians(oLonD)
     val ov = geoToVec3(oLat, oLon)
     val out = scala.collection.mutable.LinkedHashSet[Long](origin)
+    // a hexagon's complete disk has exactly 3k(k+1)+1 members; disks
+    // containing a pentagon are strictly smaller, so hitting the bound
+    // proves completeness and later frames can't add anything
+    val fullSize = 3 * k * (k + 1) + 1
+    val oFaces = nearestFaces3(ov)
     // 5 frames, not 4: a pentagon origin touches five faces, and its
     // k≥2 ball has members only reachable through the farthest of them
     val faces = (0 until 20).sortBy(f => sqDist(faceCenterPoint(f), ov)).take(5)
-    for (f <- faces) {
+    for (f <- faces if out.size < fullSize) {
       val (x, y) = geoToHex2dOnFace(f, oLat, oLon, res)
       val o = hex2dToIjk(x, y)
       if (indexFromFaceIjk(f, o.copy(), res) == origin) {
@@ -1064,7 +1094,7 @@ object H3Core {
               val cand = indexFromFaceIjk(f,
                 new IJK(o.i + a, o.j + b, o.k), res)
               if (cand != InvalidIndex && cand != origin && !out.contains(cand)) {
-                val d = gridDistanceFrom(origin, oLatD, oLonD, cand)
+                val d = gridDistanceFrom(origin, oLatD, oLonD, cand, oFaces)
                 if (d >= 1 && d <= k) out += cand
               }
             }

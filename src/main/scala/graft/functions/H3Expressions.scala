@@ -40,7 +40,11 @@ object H3ExprHelpers {
   def boundaryWkt(cell: UTF8String): UTF8String = {
     val vs = H3Core.cellToBoundary(H3Core.stringToH3(cell.toString))
     val ring = vs :+ vs.head
-    val pts = ring.map { case (la, lo) => s"$lo $la" }.mkString(", ")
+    // plain decimal notation: Double.toString emits 1.2E-4 below 1e-3,
+    // which OGC-strict WKT parsers reject; toPlainString keeps the
+    // exact shortest-repr digits without the exponent
+    def p(d: Double): String = java.math.BigDecimal.valueOf(d).toPlainString
+    val pts = ring.map { case (la, lo) => s"${p(lo)} ${p(la)}" }.mkString(", ")
     UTF8String.fromString(s"POLYGON(($pts))")
   }
 }

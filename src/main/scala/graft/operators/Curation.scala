@@ -450,8 +450,9 @@ object Curation {
     * on the shingle exactly like the dedup family, never source×source
     * ×corpus. Per-source totals are a |sources|-sized broadcast. The
     * oracle mirrors with shingle STRINGS; counts agree because the
-    * 60-bit hash space is collision-free at any plausible vocabulary
-    * (the decontaminate precedent).
+    * kernel's 64-bit xxhash64 space is collision-free at any plausible
+    * shingle vocabulary (birthday bound ~2³² distinct shingles — the
+    * same argument decontaminate's string-vs-hash mirror rests on).
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.shingle_hash_set
