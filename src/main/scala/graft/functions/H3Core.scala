@@ -1166,6 +1166,31 @@ object H3Core {
     (math.asin(vz / n), math.atan2(vy / n, vx / n))
   }
 
+  /** direct + deeper descendants at `childRes` (cellToChildren):
+    * append every digit combination, skipping digit 1 (the deleted K
+    * subsequence) under a pentagon parent — pentagons have 6 children,
+    * hexagons 7. Depth capped so an errant res pair can't explode.
+    */
+  def cellToChildren(h: Long, childRes: Int): Array[Long] = {
+    val res = getResolution(h)
+    require(childRes >= res && childRes <= 15, s"child res $childRes invalid for res $res")
+    require(childRes - res <= 6, s"refusing to expand ${childRes - res} levels (7^n blowup)")
+    var cur = Array(h)
+    var r = res + 1
+    while (r <= childRes) {
+      cur = cur.flatMap { p =>
+        val withRes = (p & ~(0xfL << 52)) | (r.toLong << 52)
+        val digits = if (isPentagon(p)) Seq(0L, 2L, 3L, 4L, 5L, 6L) else (0L to 6L)
+        digits.map(d => setDigit(withRes, r, d))
+      }
+      r += 1
+    }
+    cur
+  }
+
+  /** expected direct-child count of a parent (pentagons lose digit 1). */
+  def childCount(h: Long): Int = if (isPentagon(h)) 6 else 7
+
   def isPentagon(h: Long): Boolean =
     isPentagonBaseCell(getBaseCell(h)) && leadingNonZeroDigit(h) == 0
 

@@ -33,6 +33,11 @@ object H3ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       cells.map(c => UTF8String.fromString(H3Core.h3ToString(c)): Any))
   }
+  def children(cell: UTF8String, res: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cs = H3Core.cellToChildren(H3Core.stringToH3(cell.toString), res)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cs.map(c => UTF8String.fromString(H3Core.h3ToString(c)): Any))
+  }
   /** WKT POLYGON of the cell boundary ("lon lat" vertex order, ring
     * closed) — a string, not a nested array, so results survive any
     * canonizer and feed GIS tools directly.
@@ -149,6 +154,21 @@ case class H3KRingExpr(left: Expression, right: Expression)
     H3ExprHelpers.kRing(cell.asInstanceOf[UTF8String], k.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.kRing($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** h3_children(cell, res) → the cell's descendants at `res`
+  * (uncompact's kernel; pentagons expand to 6 per level, hexagons 7).
+  */
+case class H3ChildrenExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(cell: Any, res: Any): Any =
+    H3ExprHelpers.children(cell.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.H3ExprHelpers.children($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }

@@ -525,10 +525,15 @@ object Spatial {
     * parallel; the catalog is broadcast. Rows-only (no H3 in the
     * oracle engine); coverage/exactness pinned in H3Spec.
     */
-  def h3Polyfill(spark: SparkSession, dir: String): DataFrame = {
-    val res = 4
-    val step = 0.15
-    val margin = 0.45
+  def h3Polyfill(spark: SparkSession, dir: String, res: Int = 4): DataFrame = {
+    // (lattice step, bbox margin) per resolution: step stays under the
+    // cell inradius (÷√2 coverage bound, with slack for hex distortion),
+    // margin covers one circumradius so boundary cells sample fully
+    val (step, margin) = res match {
+      case 4 => (0.15, 0.45)
+      case 5 => (0.055, 0.18)
+      case r => throw new IllegalArgumentException(s"unsupported polyfill res $r")
+    }
     val polys = polygonCatalog(spark)
       .select(col("poly_id"),
         from_json(get_json_object(col("geometry"), "$.coordinates"), ringsType)
@@ -553,6 +558,45 @@ object Spatial {
       .select(col("poly_id"), col("cell"), col("c_lat"), col("c_lon"))
   }
 
+  /** H3 compact: collapse complete sibling sets of the polyfill
+    * covering into their parent, repeatedly — the minimal mixed-res
+    * covering H3 ships as compactCells (the storage/join form of a
+    * polygon allowlist: interior res-2 cells, fine cells only at the
+    * boundary).
+    *
+    * Scale shape: each level is one (poly, parent) count aggregation
+    * + a co-keyed anti-join — full sibling sets fold to the parent row,
+    * partial sets survive unchanged; never a collect. Pentagon parents
+    * fold at 6 children, hexagons at 7 (h3_is_pentagon gates the
+    * count). Rows-only; H3Spec pins compact∘uncompact identity.
+    *
+    * Each round references `cur` three times, so without lineage cuts
+    * the plan triples per level and canonicalization OOMs — eager
+    * localCheckpoint per round, the Clustering.scala iterative idiom.
+    */
+  def h3Compact(spark: SparkSession, dir: String): DataFrame = {
+    val startRes = 5
+    var cur = h3Polyfill(spark, dir, res = startRes)
+      .select(col("poly_id"), col("cell"))
+      .localCheckpoint(true)
+    for (r <- startRes to 1 by -1) {
+      val lvl = cur.where(h3_resolution(col("cell")) === r)
+        .withColumn("parent", h3_parent(col("cell"), lit(r - 1)))
+      val full = lvl.groupBy(col("poly_id"), col("parent"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") === when(h3_is_pentagon(col("parent")), 6).otherwise(7))
+        .select(col("poly_id"), col("parent"))
+      val folded = lvl.join(full, Seq("poly_id", "parent"), "left_anti")
+        .select(col("poly_id"), col("cell"))
+      cur = cur.where(h3_resolution(col("cell")) =!= r)
+        .unionByName(folded)
+        .unionByName(full.select(col("poly_id"), col("parent").as("cell")))
+        .localCheckpoint(true)
+    }
+    cur.select(col("poly_id"), col("cell"),
+      h3_resolution(col("cell")).as("res"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
@@ -561,7 +605,8 @@ object Spatial {
     Op("h3_cells", h3Cells, None),
     Op("h3_rg", h3Rg, None),
     Op("h3_boundary", h3Boundary, None),
-    Op("h3_polyfill", h3Polyfill, None),
+    Op("h3_polyfill", (s, d) => h3Polyfill(s, d), None),
+    Op("h3_compact", h3Compact, None),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
     Op("hex_rg", hexRg, Some(hexRgSql)),
   )

@@ -103,6 +103,33 @@ class R5OpsSpec extends AnyFunSuite {
     assert(checked > 150, s"coverage probe too weak: $checked")
   }
 
+  test("h3_compact: uncompacting the compact covering recovers the res-5 fill exactly") {
+    import graft.functions.GraftFunctions.h3_children
+    val dir = "/root/testdata/sf0.001"
+    val fill = graft.operators.Spatial.h3Polyfill(spark, dir, res = 5)
+      .select(col("poly_id"), col("cell"))
+    val compact = graft.operators.Spatial.h3Compact(spark, dir)
+    val nFill = fill.count()
+    val nCompact = compact.count()
+    assert(nCompact < nFill / 2,
+      s"compaction should fold the interior: $nCompact vs $nFill")
+    assert(compact.where(col("res") < 5).count() > 0, "mixed resolutions expected")
+    // identity: expanding every compact cell back to res 5 gives the fill
+    val un = compact
+      .select(col("poly_id"), explode(h3_children(col("cell"), lit(5))).as("cell"))
+    assert(un.count() == nFill, "uncompact must not add or drop cells")
+    assert(un.exceptAll(fill).isEmpty && fill.exceptAll(un).isEmpty,
+      "uncompact(compact(S)) must equal S")
+    // minimality: no parent may still have a complete sibling set
+    import graft.functions.GraftFunctions.{h3_parent, h3_resolution}
+    val residual = compact
+      .withColumn("p", h3_parent(col("cell"), h3_resolution(col("cell")) - 1))
+    // (grouping by (poly, parent, res) — complete sets only fold within a level)
+    val full = residual.groupBy(col("poly_id"), col("p"), col("res"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 7)
+    assert(full.isEmpty, "a complete sibling set survived compaction")
+  }
+
   test("h3_boundary: WKT rings close and carry 6 (or 5) vertices") {
     val rows = graft.operators.Spatial.h3Boundary(spark, "/root/testdata/sf0.001")
       .limit(500).collect()
