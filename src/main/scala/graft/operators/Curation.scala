@@ -491,8 +491,35 @@ object Curation {
       |JOIN tot ta ON source_a = ta.source
       |JOIN tot tb ON source_b = tb.source""".stripMargin
 
+  /** Canonical text normalization — the step every dedup/quality stage
+    * keys on so that trivial formatting variants hash identically:
+    * lowercase, punctuation → space, whitespace runs collapsed, ends
+    * trimmed. Emits the normalized text, its md5 (the exact-dedup key
+    * over normalized content), and before/after lengths. Pure per-row
+    * string expressions — scan-wide codegen, zero shuffles; identical
+    * regex semantics in both engines (character classes only).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        md5(col("norm_text")).as("norm_hash"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+
+  private val textNormalizeSql =
+    """SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+      |  length(norm_text) AS n_chars_norm
+      |FROM (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS norm_text
+      |FROM documents)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
+    Op("text_normalize", textNormalize, Some(textNormalizeSql)),
     Op("length_trim", lengthTrim, Some(lengthTrimSql)),
     Op("source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Op("mixture_report", mixtureReport, Some(mixtureReportSql)),

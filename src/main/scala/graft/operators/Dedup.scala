@@ -317,8 +317,85 @@ object Dedup {
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
+  /** Exact duplicated-substring spans (the token-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, done relationally): every token 8-gram whose hash occurs
+    * ≥2 times anywhere in the corpus marks its window duplicated;
+    * per-document runs of overlapping/adjacent duplicated windows merge
+    * into spans [span_start, span_end] (token indices, 0-based). The
+    * suffix-array step of the paper becomes a hash-equality corpus
+    * count — exact for 8-gram granularity rather than arbitrary-length
+    * matches, which is the standard scalable relaxation.
+    *
+    * Scale shape: one (corpus-tokens)-row relation of 8-byte gram
+    * hashes; ONE exchange on the hash for the per-hash occurrence
+    * count (window, no join-back relation to build); the span merge is
+    * a per-document window — doc-bounded partitions. Never doc×doc,
+    * never a collect. Boilerplate grams (headers repeated across a
+    * 100 TB corpus) make hot hash partitions: the count-only window
+    * carries no payload beyond (doc, pos), so skew is bandwidth-bounded;
+    * beyond that, [[graft.functions.Skew]] salting applies.
+    */
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val k = 8
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        when(size(split(col("text"), " ")) >= k,
+          expr(s"transform(sequence(0, size(split(text, ' ')) - $k), " +
+            s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        CrossHash.hash60(col("col")).as("h"))
+    val dup = grams
+      .withColumn("n_h", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("n_h") >= 2)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wd))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  private val substringDupSpansSql = {
+    import graft.functions.CrossHash
+    s"""WITH grams AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    ${CrossHash.hash60Sql("gram")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 7, 0)),
+       |        i -> array_to_string((string_split(text, ' '))[i + 1:i + 8], ' '))) AS gram,
+       |      unnest(range(0, greatest(len(string_split(text, ' ')) - 7, 0))) AS pos
+       |    FROM documents)),
+       |dup AS (
+       |  SELECT doc_id, pos
+       |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n_h FROM grams)
+       |  WHERE n_h >= 2),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM dup),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brk)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       |  max(pos) + 7 - min(pos) + 1 AS span_tokens, count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql)),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
     Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),

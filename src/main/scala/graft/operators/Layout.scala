@@ -57,6 +57,88 @@ object Layout {
        |FROM lineitem, mm""".stripMargin
   }
 
+  /** Hilbert-curve clustering key over the same normalized 16-bit
+    * (l_partkey, l_suppkey) grid as [[zorderKey]] — the layout upgrade:
+    * the Hilbert curve has no Z-curve "seams" (adjacent cells are
+    * always curve-adjacent), so file min/max ranges cover tighter
+    * rectangles and range queries touch fewer files at 100 TB.
+    *
+    * The standard xy→d walk (the public-domain bit algorithm: per
+    * level, quadrant digit + conditional reflect/transpose) is
+    * sequential in the bit position, so it unrolls: 16 stacked
+    * projections engine-side (each a small Project over the previous
+    * step's attributes — Catalyst keeps multi-referenced aliases
+    * un-inlined, and codegen fuses the whole stack into the scan span),
+    * and the oracle mirrors the identical arithmetic as 16 chained
+    * CTEs. Integer-exact in both engines; grid coords ride along so
+    * the spec can check the key against an independent reference walk.
+    */
+  def hilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mm = li.agg(
+      min(col("l_partkey")).as("amin"), max(col("l_partkey")).as("amax"),
+      min(col("l_suppkey")).as("bmin"), max(col("l_suppkey")).as("bmax"))
+    def norm(x: String, lo: String, hi: String) =
+      floor((col(x) - col(lo)) * lit(65535.0)
+        / greatest(col(hi) - col(lo), lit(1L)))
+    val keys = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("gx"), col("gy"))
+    var df = li.crossJoin(broadcast(mm))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        norm("l_partkey", "amin", "amax").as("gx"),
+        norm("l_suppkey", "bmin", "bmax").as("gy"))
+      .withColumn("hx", col("gx")).withColumn("hy", col("gy"))
+      .withColumn("hd", lit(0L))
+    var s = 32768L
+    while (s > 0) {
+      df = df
+        .withColumn("rx",
+          when(col("hx").bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
+        .withColumn("ry",
+          when(col("hy").bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
+        .select((keys :+
+          (col("hd") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry"))).as("hd") :+
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
+            .otherwise(col("hx")).as("hx") :+
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
+            .otherwise(col("hy")).as("hy")): _*)
+      s /= 2
+    }
+    df.select((keys :+ col("hd").as("hkey")): _*)
+  }
+
+  private val hilbertKeySql = {
+    def norm(x: String, lo: String, hi: String) =
+      s"CAST(floor(($x - $lo) * 65535.0 / greatest($hi - $lo, 1)) AS BIGINT)"
+    val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey, gx, gy"
+    val stages = (0 until 16).map { i =>
+      val s = 32768L >> i
+      s"""h${i + 1} AS (SELECT $keys,
+         |  d + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS d,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END
+         |       ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END
+         |       ELSE y END AS y
+         |  FROM (SELECT *,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mm AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+       |  min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem),
+       |h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${norm("l_partkey", "amin", "amax")} AS gx,
+       |  ${norm("l_suppkey", "bmin", "bmax")} AS gy,
+       |  ${norm("l_partkey", "amin", "amax")} AS x,
+       |  ${norm("l_suppkey", "bmin", "bmax")} AS y,
+       |  CAST(0 AS BIGINT) AS d
+       |FROM lineitem, mm),
+       |$stages
+       |SELECT $keys, d AS hkey FROM h16""".stripMargin
+  }
+
   /** Bloom-pruned selective dim join: a ~16k-key bloom built over the
     * small side (parts with p_size < 15) drops non-candidate lineitem
     * rows inside the scan's WholeStageCodegen — BEFORE the join
@@ -129,6 +211,7 @@ object Layout {
 
   val ops: Seq[Op] = Seq(
     Op("zorder_key", zorderKey, Some(zorderKeySql)),
+    Op("hilbert_key", hilbertKey, Some(hilbertKeySql)),
     Op("file_provenance", fileProvenance, Some(fileProvenanceSql)),
     Op("bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Op("ping_gen_scan", pingGenScan,

@@ -585,8 +585,55 @@ object TextAnalysis {
        |SELECT w1, w2, c2, ca, cb, round($PmiSql, 9) AS pmi
        |FROM j CROSS JOIN stats""".stripMargin
 
+  /** Per-document n-gram novelty — the marginal-contribution signal a
+    * curation pipeline ranks sources by: of a document's DISTINCT token
+    * 4-grams, how many does it OWN (its doc_id is the minimum over all
+    * docs containing that gram)? Processing docs in id order, novelty
+    * is the fraction of a doc's grams not seen before it — near-dup
+    * tails and boilerplate-heavy sources score low and get downweighted.
+    *
+    * Scale shape: distinct (doc, gram-hash) pairs (map-side combine),
+    * ONE exchange on the 8-byte hash for the min-owner window, then a
+    * per-doc count aggregation. No joins, never doc×doc; same skew
+    * bound as [[substringDupSpans]] (count/min windows carry no
+    * payload).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        when(size(split(col("text"), " ")) >= 4,
+          expr("transform(sequence(0, size(split(text, ' ')) - 4), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), CrossHash.hash60(col("gram")).as("h"))
+      .distinct()
+    grams
+      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("owner") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, ${CrossHash.hash60Sql("gram")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+       |        i -> array_to_string((string_split(text, ' '))[i + 1:i + 4], ' '))) AS gram
+       |    FROM documents)),
+       |owned AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS owner FROM grams)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  count(*) FILTER (WHERE owner = doc_id) AS n_novel,
+       |  CAST(count(*) FILTER (WHERE owner = doc_id) AS DOUBLE) / count(*) AS novelty
+       |FROM owned GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),

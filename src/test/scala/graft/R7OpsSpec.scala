@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Dedup, Layout, TextAnalysis}
+
+/** Round-7 additions: exact duplicated-substring spans, n-gram novelty,
+  * text normalization, Hilbert layout keys. The oracle harness pins
+  * cross-engine hashes; these pin SEMANTICS on constructed corpora
+  * where the right answers are known in closed form, plus an
+  * independent reference walk for the Hilbert curve.
+  */
+class R7OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Writes a documents.parquet fixture; returns its table dir. */
+  private def fixtureDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r7docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("substring_dup_spans: a shared 10-token substring yields one merged span per doc") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val dir = fixtureDir(Seq(
+      (1L, s"u1 u2 $shared u3", "en", "s"),   // shared at token offset 2
+      (2L, s"$shared u4 u5", "en", "s"),      // shared at token offset 0
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9", "en", "s"))) // all-unique: no dup
+    val got = Dedup.substringDupSpans(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // 3 dup windows (8-grams fully inside the shared region) merge to one span
+    assert(got.toSeq == Seq(
+      (1L, 2L, 11L, 10L, 3L),
+      (2L, 0L, 9L, 10L, 3L)))
+  }
+
+  test("substring_dup_spans: a doc-internal repeat splits into two spans (gap > k)") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = fixtureDir(Seq(
+      (1L, s"$rep z1 z2 z3 $rep", "en", "s"))) // repeat at offsets 0 and 11
+    val got = Dedup.substringDupSpans(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 7L, 1L), (11L, 18L, 1L)))
+  }
+
+  test("ngram_novelty: owner-by-min-doc-id semantics in closed form") {
+    val dir = fixtureDir(Seq(
+      (1L, "a b c d e", "en", "s"), // 2 grams, owns both -> 1.0
+      (2L, "a b c d x", "en", "s"), // 'a b c d' owned by doc 1 -> 0.5
+      (3L, "a b c d e", "en", "s"), // identical to doc 1 -> 0.0
+      (4L, "q r", "en", "s")))      // < 4 tokens: no grams, drops out
+    val got = TextAnalysis.ngramNovelty(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+
+  test("text_normalize: lowercase, punct->space, collapsed runs, trimmed, md5-keyed") {
+    val dir = fixtureDir(Seq(
+      (1L, "  Hello, World!!  ", "en", "s"),
+      (2L, "a   b", "en", "s"),
+      (3L, "hello world", "en", "s"))) // already canonical: same hash as 1
+    val rows = Curation.textNormalize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "hello world")
+    assert(rows(1L).getLong(3) == 11L)
+    assert(rows(2L).getString(1) == "a b")
+    // normalized variants of the same content share the dedup key
+    assert(rows(1L).getString(2) == rows(3L).getString(2))
+    // invariant: output never has doubled spaces or edge whitespace
+    val bad = Curation.textNormalize(spark, "/root/testdata/sf0.001")
+      .where(col("norm_text").rlike("  ")
+        || col("norm_text").rlike("^ ")
+        || col("norm_text").rlike(" $")
+        || col("norm_text").rlike("[^a-z0-9 ]"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  /** Independent reference walk of the public xy2d Hilbert algorithm. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert_key: matches an independent reference walk and is injective on the grid") {
+    val df = Layout.hilbertKey(spark, "/root/testdata/sf0.001")
+    val sample = df.select(col("gx"), col("gy"), col("hkey")).limit(500).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val (gx, gy, hk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(hk == hilbertRef(gx, gy), s"hkey mismatch at ($gx,$gy)")
+    }
+    val nCells = df.select(col("gx"), col("gy")).distinct().count()
+    val nKeys = df.select(col("hkey")).distinct().count()
+    assert(nCells == nKeys, "distinct grid cells must map to distinct keys")
+    // locality: the four curve-adjacent corner cases of the 2x2 base grid
+    assert(hilbertRef(0, 0) == 0L)
+    assert(hilbertRef(65535, 0) == (1L << 32) - 1, "curve must end at (65535,0)")
+  }
+}
