@@ -65,6 +65,10 @@ object GraftFunctions {
       es => ShingleHashSetExpr(es.head)),
     ("minhash_sig", "minhash_sig(text, k) - k-value md5 minhash signature",
       es => MinHashSigExpr(es(0), es(1))),
+    ("gram_hash_seq", "gram_hash_seq(text, k) - all word-k-gram hashes in position order",
+      es => GramHashSeqExpr(es(0), es(1))),
+    ("gram_hash_set", "gram_hash_set(text, k) - distinct word-k-gram hashes",
+      es => GramHashSetExpr(es(0), es(1))),
     ("lcc_easting", "lcc_easting(lon, lat) - EPSG:6365 forward easting (m)",
       es => LccEastingExpr(es(0), es(1))),
     ("lcc_northing", "lcc_northing(lon, lat) - EPSG:6365 forward northing (m)",
@@ -134,6 +138,10 @@ object GraftFunctions {
     call_function("shingle_hash_set", text)
   def minhash_sig(text: Column, k: Column): Column =
     call_function("minhash_sig", text, k)
+  def gram_hash_seq(text: Column, k: Column): Column =
+    call_function("gram_hash_seq", text, k)
+  def gram_hash_set(text: Column, k: Column): Column =
+    call_function("gram_hash_set", text, k)
   def lcc_easting(lon: Column, lat: Column): Column =
     call_function("lcc_easting", lon, lat)
   def lcc_northing(lon: Column, lat: Column): Column =

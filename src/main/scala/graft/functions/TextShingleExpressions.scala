@@ -132,6 +132,55 @@ object TextShingleHelpers {
     }
     new GenericArrayData(mins.map(x => x: Any))
   }
+
+  /** ALL word-k-gram hashes in position order (index i = gram starting
+    * at token i) — the front end of positional dup-span detection.
+    * Join-key-only hashes (never output): same collision bound as
+    * [[shingleHashSet]].
+    */
+  def gramHashSeq(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends) = tokenBounds(bytes)
+    val n = starts.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val from = starts(i)
+      val len = ends(i + k - 1) - from
+      out(i) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** DISTINCT word-k-gram hashes ([[shingleHashSet]] generalized to
+    * any k): the row-local dedup that replaces a corpus-wide
+    * `.distinct()` exchange in per-doc gram-set operators.
+    */
+  def gramHashSet(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends) = tokenBounds(bytes)
+    val n = starts.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long](math.max(8, (n - k + 1) * 2))
+    val out = new java.util.ArrayList[java.lang.Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val from = starts(i)
+      val len = ends(i + k - 1) - from
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+      val boxed = java.lang.Long.valueOf(h)
+      if (seen.add(boxed)) out.add(boxed)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** shingle_hash_set(text) → array<long>: distinct 64-bit hashes of the
@@ -150,6 +199,46 @@ case class ShingleHashSetExpr(child: Expression) extends UnaryExpression {
       s"graft.functions.TextShingleHelpers.shingleHashSet($t)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** gram_hash_seq(text, k) → array<long>: ALL word-k-gram hashes in
+  * position order (empty when the doc has < k tokens). Codegen'd.
+  */
+case class GramHashSeqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hash_seq expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextShingleHelpers.gramHashSeq(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.TextShingleHelpers.gramHashSeq($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** gram_hash_set(text, k) → array<long>: DISTINCT word-k-gram hashes
+  * (empty when the doc has < k tokens). Codegen'd.
+  */
+case class GramHashSetExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hash_set expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextShingleHelpers.gramHashSet(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.TextShingleHelpers.gramHashSet($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** minhash_sig(text, k) → array<long> of k MD5-double-hashed minhash

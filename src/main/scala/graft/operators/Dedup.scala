@@ -337,16 +337,15 @@ object Dedup {
     * beyond that, [[graft.functions.Skew]] salting applies.
     */
   def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.CrossHash
+    import graft.functions.GraftFunctions.gram_hash_seq
     val k = 8
+    // positional gram hashes come from one codegen'd byte-scan pass
+    // ([[graft.functions.GramHashSeqExpr]]); the hashes are internal
+    // join keys only (positions are the output), so the oracle's
+    // string-equality grams match without sharing the hash function
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(
-        when(size(split(col("text"), " ")) >= k,
-          expr(s"transform(sequence(0, size(split(text, ' ')) - $k), " +
-            s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))"))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        CrossHash.hash60(col("col")).as("h"))
+      .select(col("doc_id"), posexplode(gram_hash_seq(col("text"), lit(k))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val dup = grams
       .withColumn("n_h", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("n_h") >= 2)
@@ -395,7 +394,7 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
-    Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql)),
+    Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql), bench = true),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
     Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),

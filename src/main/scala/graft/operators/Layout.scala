@@ -211,7 +211,7 @@ object Layout {
 
   val ops: Seq[Op] = Seq(
     Op("zorder_key", zorderKey, Some(zorderKeySql)),
-    Op("hilbert_key", hilbertKey, Some(hilbertKeySql)),
+    Op("hilbert_key", hilbertKey, Some(hilbertKeySql), bench = true),
     Op("file_provenance", fileProvenance, Some(fileProvenanceSql)),
     Op("bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Op("ping_gen_scan", pingGenScan,

@@ -592,21 +592,21 @@ object TextAnalysis {
     * is the fraction of a doc's grams not seen before it — near-dup
     * tails and boilerplate-heavy sources score low and get downweighted.
     *
-    * Scale shape: distinct (doc, gram-hash) pairs (map-side combine),
-    * ONE exchange on the 8-byte hash for the min-owner window, then a
-    * per-doc count aggregation. No joins, never doc×doc; same skew
-    * bound as [[substringDupSpans]] (count/min windows carry no
-    * payload).
+    * Scale shape: per-doc distinct gram hashes built row-locally (zero
+    * dedup exchange), ONE exchange on the 8-byte hash for the
+    * min-owner window, then a per-doc count aggregation. No joins,
+    * never doc×doc; same skew bound as [[substringDupSpans]]
+    * (count/min windows carry no payload).
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.gram_hash_set
+    // per-doc DISTINCT gram hashes are built row-locally in one
+    // codegen'd byte-scan ([[graft.functions.GramHashSetExpr]]) — no
+    // corpus-wide distinct exchange at all; hashes are internal group
+    // keys only, so the oracle's string grams match without sharing
+    // the hash function
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(
-        when(size(split(col("text"), " ")) >= 4,
-          expr("transform(sequence(0, size(split(text, ' ')) - 4), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"), CrossHash.hash60(col("gram")).as("h"))
-      .distinct()
+      .select(col("doc_id"), explode(gram_hash_set(col("text"), lit(4))).as("h"))
     grams
       .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
@@ -633,7 +633,7 @@ object TextAnalysis {
 
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
-    Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql), bench = true),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
