@@ -223,4 +223,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
     assert(!p.contains("PushedFilters: []"), "no scan may read unfiltered")
   }
+
+  test("substring_dup_spans: window-count on the hash, no join, no broadcast") {
+    val p = finalPlan("substring_dup_spans")
+    // per-hash occurrence counts come from a WINDOW over the gram
+    // relation — there is no dup-hash relation to build and join back,
+    // so the corpus of gram hashes crosses the wire exactly twice
+    // (once on h for the count, once on doc_id for the span merge)
+    assert(count(p, "ShuffledHashJoin") == 0 && count(p, "SortMergeJoin") == 0
+      && count(p, "BroadcastHashJoin") == 0, "span detection must be join-free")
+    assert(count(p, "Exchange hashpartitioning(h") == 1,
+      "exactly one exchange keyed on the gram hash")
+    assert(count(p, "Exchange hashpartitioning(doc_id") == 1,
+      "exactly one exchange keyed on the document")
+    assert(!p.contains("CodegenFallback"), "gram kernel must stay codegen'd")
+  }
+
+  test("ngram_novelty: row-local distinct set — zero dedup exchange") {
+    val p = finalPlan("ngram_novelty")
+    // the per-doc distinct gram set is built INSIDE the scan's codegen
+    // span (gram_hash_set); the only exchanges are the min-owner window
+    // on h and the per-doc aggregation
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"exactly two exchanges (h window + doc agg): ${count(p, "Exchange hashpartitioning")}")
+    assert(count(p, "ShuffledHashJoin") + count(p, "SortMergeJoin")
+      + count(p, "BroadcastHashJoin") == 0, "novelty must be join-free")
+  }
+
+  test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
+    val p = finalPlan("hilbert_key")
+    // the 16-level unrolled walk is pure per-row arithmetic: the fact
+    // table must never hash-shuffle; the only exchange is the 1-row
+    // min/max normalization bounds broadcast (the zorder_key contract)
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      "the fact table must not shuffle for a layout-key projection")
+    assert(count(p, "BroadcastExchange") == 1
+      && p.contains("BroadcastNestedLoopJoin"),
+      "only the scalar bounds row may broadcast")
+    assert(!p.contains("CodegenFallback"), "curve walk must stay codegen'd")
+  }
 }
