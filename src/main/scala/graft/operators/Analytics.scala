@@ -827,8 +827,128 @@ object Analytics {
       |  WHERE n >= 5)
       |WHERE abs(z) > 2.5""".stripMargin
 
+  /** Spearman rank correlation per group (Pearson over average ranks —
+    * the robust complement to corr_covar's Pearson): monotone
+    * association between quantity and price within each return flag.
+    *
+    * Exactness: average ranks are kept as the INTEGER 2·avg_rank =
+    * rank_asc − rank_desc + n + 1 (a tie block spanning [r, r+c−1] has
+    * avg rank r + (c−1)/2; the desc-rank identity avoids a per-value
+    * count window), so every sum is an exact DECIMAL fold and the
+    * doubling cancels in the correlation ratio. One double division +
+    * sqrt at the end, rounded 1e-9 — the corr_covar discipline.
+    *
+    * Scale shape: ONE exchange on the group key; the three windows
+    * (two rank sorts + the partition count) share it. The rank sort is
+    * the unavoidable cost of rank statistics; everything after is a
+    * grouped aggregation with map-side partials.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    def r2(c: String) =
+      s"CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY $c ASC) " +
+        s"- rank() OVER (PARTITION BY l_returnflag ORDER BY $c DESC) " +
+        s"+ count(*) OVER (PARTITION BY l_returnflag) + 1 AS BIGINT)"
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .selectExpr("l_returnflag",
+        s"${r2("l_quantity")} AS r2q", s"${r2("l_extendedprice")} AS r2p")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(r2q AS DECIMAL(38,0))) AS DOUBLE)").as("sx"),
+        expr("CAST(SUM(CAST(r2p AS DECIMAL(38,0))) AS DOUBLE)").as("sy"),
+        expr("CAST(SUM(CAST(r2q * r2q AS DECIMAL(38,0))) AS DOUBLE)").as("sxx"),
+        expr("CAST(SUM(CAST(r2p * r2p AS DECIMAL(38,0))) AS DOUBLE)").as("syy"),
+        expr("CAST(SUM(CAST(r2q * r2p AS DECIMAL(38,0))) AS DOUBLE)").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)")
+          .as("spearman_qty_price"))
+  }
+
+  private val spearmanCorrSql = {
+    def r2(c: String) =
+      s"CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY $c ASC) " +
+        s"- rank() OVER (PARTITION BY l_returnflag ORDER BY $c DESC) " +
+        s"+ count(*) OVER (PARTITION BY l_returnflag) + 1 AS BIGINT)"
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    ${r2("l_quantity")} AS r2q, ${r2("l_extendedprice")} AS r2p
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    CAST(SUM(CAST(r2q AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(r2p AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(r2q * r2q AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(r2p * r2p AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(r2q * r2p AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+       |  FROM r GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  round((n * sxy - sx * sy)
+       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+       |    AS spearman_qty_price
+       |FROM m""".stripMargin
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test: D = max over the merged
+    * support of |CDF₀ − CDF₁| between two sources' document-length
+    * distributions — the standard distribution-drift gate between two
+    * ingest sources (did src1's length profile shift vs src0?).
+    *
+    * Exactness: the CDF difference is kept CROSS-MULTIPLIED —
+    * |c₀·n₁ − c₁·n₀| in integers — so the argmax and maximum are exact
+    * in both engines; the single division happens once on the final
+    * 1-row result (round 1e-9). Tie on the max: smallest length wins
+    * (deterministic in both engines).
+    *
+    * Scale shape: lengths collapse to their distinct values FIRST
+    * (map-side combine), so the cumulative window runs over the
+    * |support| relation — value-domain-sized, like a catalog; the
+    * global window is a deliberate single-partition pass over that
+    * tiny relation, and the scalar totals/max broadcast back.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(spark, dir)
+      .where(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(when(col("source") === "src0", 1)).as("a"),
+        count(when(col("source") === "src1", 1)).as("b"))
+    val c = g.select(col("v"),
+      sum(col("a")).over(Window.orderBy(col("v"))).as("ca"),
+      sum(col("b")).over(Window.orderBy(col("v"))).as("cb"))
+    val tot = g.agg(sum(col("a")).as("n0"), sum(col("b")).as("n1"))
+    val j = c.crossJoin(broadcast(tot))
+      .select(col("v"), col("n0"), col("n1"),
+        abs(col("ca") * col("n1") - col("cb") * col("n0")).as("diff"))
+    val m = j.agg(max(col("diff")).as("md"))
+    j.crossJoin(broadcast(m))
+      .where(col("diff") === col("md"))
+      .groupBy(col("n0"), col("n1"), col("md"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("n0"), col("n1"),
+        expr("round(CAST(md AS DOUBLE) / (n0 * n1), 9)").as("d_stat"),
+        col("ks_at"))
+  }
+
+  private val ksTestSql =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    count(*) FILTER (WHERE source = 'src0') AS a,
+      |    count(*) FILTER (WHERE source = 'src1') AS b
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |c AS (SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+      |             SUM(b) OVER (ORDER BY v) AS cb FROM g),
+      |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n0,
+      |               CAST(SUM(b) AS BIGINT) AS n1 FROM g),
+      |j AS (SELECT v, n0, n1, abs(ca * n1 - cb * n0) AS diff FROM c, tot),
+      |m AS (SELECT max(diff) AS md FROM j)
+      |SELECT n0, n1, round(CAST(md AS DOUBLE) / (n0 * n1), 9) AS d_stat,
+      |  min(v) AS ks_at
+      |FROM j, m WHERE diff = md GROUP BY n0, n1, md""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("array_hof", arrayHof, Some(arrayHofSql)),
+    Op("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
+    Op("ks_test", ksTest, Some(ksTestSql)),
     Op("anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     Op("topk_ties", topkTies, Some(topkTiesSql)),
     Op("robust_stats", robustStats, Some(robustStatsSql)),

@@ -94,6 +94,37 @@ class R7OpsSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("spearman_corr: +1 / -1 / tied-rank closed forms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r7li").toString
+    Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0), ("A", 4.0, 40.0),
+      ("B", 1.0, 40.0), ("B", 2.0, 30.0), ("B", 3.0, 20.0), ("B", 4.0, 10.0),
+      ("C", 1.0, 1.0), ("C", 1.0, 2.0), ("C", 2.0, 3.0), ("C", 2.0, 4.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Analytics.spearmanCorr(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == 1.0)
+    assert(got("B") == -1.0)
+    // tied x-ranks (1.5,1.5,3.5,3.5) vs (1,2,3,4): rho = 2/sqrt(5)
+    assert(math.abs(got("C") - 2.0 / math.sqrt(5.0)) < 1e-9)
+  }
+
+  test("ks_test: hand-computed D and argmax on a 4-doc fixture") {
+    // src0 lengths {1,2}, src1 lengths {2,3}: support (1,2,3) gives
+    // |c0*n1 - c1*n0| = (2,2,0) -> D = 2/(2*2) = 0.5, first at v=1
+    val dir = fixtureDir(Seq(
+      (1L, "a", "en", "src0"), (2L, "ab", "en", "src0"),
+      (3L, "xy", "en", "src1"), (4L, "xyz", "en", "src1"),
+      (5L, "ignored middle", "en", "src2")))
+    val r = graft.operators.Analytics.ksTest(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L && r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) == 0.5)
+    assert(r(0).getLong(3) == 1L)
+  }
+
   /** Independent reference walk of the public xy2d Hilbert algorithm. */
   private def hilbertRef(x0: Long, y0: Long): Long = {
     var x = x0; var y = y0; var d = 0L
