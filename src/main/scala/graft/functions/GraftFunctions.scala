@@ -91,6 +91,14 @@ object GraftFunctions {
           items.asInstanceOf[Number].longValue(),
           fpp.asInstanceOf[Number].doubleValue()).toAggregateExpression()
       }),
+    ("heavy_hitters", "heavy_hitters(token, capacity) - Misra-Gries frequent-items summary",
+      es => {
+        require(es(1).foldable, "heavy_hitters: capacity must be a literal")
+        val cap = es(1).eval()
+        require(cap != null, "heavy_hitters: capacity must be non-null")
+        MisraGriesAgg(es(0), cap.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("ngram_explode", "ngram_explode(text, n) - lazy (pos, ngram) rows per word n-gram",
       es => NgramExplodeExpr(es(0), es(1))),
     ("bloom_might_contain", "bloom_might_contain(key, bloom) - probe a build-time bloom filter",

@@ -631,8 +631,38 @@ object TextAnalysis {
        |  CAST(count(*) FILTER (WHERE owner = doc_id) AS DOUBLE) / count(*) AS novelty
        |FROM owned GROUP BY 1""".stripMargin
 
+  /** Top-20 corpus tokens via the Misra–Gries heavy-hitters sketch
+    * ([[graft.functions.MisraGriesAgg]]) — the sketch form of
+    * vocab_top_tokens: map-side partials carry ONE ≤capacity-entry
+    * summary per partition through the exchange instead of the full
+    * token-count relation, the property that matters when the
+    * vocabulary (not just the corpus) outgrows memory at 100 TB.
+    *
+    * Capacity 4096 far exceeds this corpus's vocabulary, so the
+    * summary degenerates to the exact count map (order-independent —
+    * see the aggregate's determinism note) and the oracle checks it
+    * exactly; the sub-capacity approximate regime is bound-checked in
+    * R7OpsSpec.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .agg(call_function("heavy_hitters", col("token"), lit(4096)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(20)
+
+  private val heavyHittersSql =
+    """SELECT token, count(*) AS est
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token != ''
+      |GROUP BY 1 ORDER BY est DESC, token ASC LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql), bench = true),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),

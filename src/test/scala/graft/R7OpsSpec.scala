@@ -125,6 +125,30 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 1L)
   }
 
+  test("heavy_hitters: Misra-Gries bounds hold in the sub-capacity approximate regime") {
+    import spark.implicits._
+    // N = 100 tokens, capacity 4: error bound N/(cap+1) = 20, so both
+    // items with true count > 20 are guaranteed to survive, and every
+    // estimate e satisfies true - 20 <= e <= true
+    val toks = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 20).map(i => s"one$i")
+    val got = toks.toDF("token")
+      .agg(call_function("heavy_hitters", col("token"), lit(4)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 4, s"capacity bound violated: $got")
+    assert(got.contains("a") && got("a") <= 50 && got("a") >= 30, got.toString)
+    assert(got.contains("b") && got("b") <= 30 && got("b") >= 10, got.toString)
+    // exact regime: capacity above distinct count -> exact counts
+    val exact = toks.toDF("token")
+      .agg(call_function("heavy_hitters", col("token"), lit(100)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact("a") == 50 && exact("b") == 30 && exact.size == 22)
+  }
+
   /** Independent reference walk of the public xy2d Hilbert algorithm. */
   private def hilbertRef(x0: Long, y0: Long): Long = {
     var x = x0; var y = y0; var d = 0L
