@@ -240,8 +240,103 @@ object Temporal {
       |  AND h.valid_from <= o.o_orderdate
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin
 
+  /** Interval×interval overlap join: each event spans
+    * [ts, ts + value seconds); count, per event, the same-type
+    * intervals it overlaps and the total overlapped microseconds —
+    * the genomics/time-range workhorse neither equi- nor as-of joins
+    * express.
+    *
+    * Scale shape: intervals replicate into the 128 s buckets they
+    * touch (≤ 2 — interval width is bounded by 100 s) and candidates
+    * meet through a (type, bucket) equi-join, so candidate volume is
+    * bucket occupancy², never |intervals|². Each overlapping pair
+    * falls into MULTIPLE shared buckets; it is counted exactly once
+    * via the owner-bucket rule — only the bucket containing the
+    * overlap's start (greatest of the two starts) emits the pair — so
+    * no distinct-pair exchange exists at all. The oracle runs the
+    * plain inequality join; results must agree exactly.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = 128000000L // bucket width (µs); > max interval width (100 s)
+    val iv = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("s"),
+        // explicit round before the integer cast: Spark's double→long
+        // cast truncates while DuckDB's rounds, and value*1e6 lands a
+        // hair under its integer (16.74 → 16739999.999…)
+        (unix_micros(col("ts"))
+          + round(col("value") * 1000000.0, 0).cast("long")).as("e"))
+    val a = iv.select(col("event_type"), col("event_id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"),
+      explode(sequence(floor(col("s") / W), floor(col("e") / W))).as("tb"))
+    val b = iv.select(col("event_type"), col("event_id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"),
+      explode(sequence(floor(col("s") / W), floor(col("e") / W))).as("tb"))
+    a.join(b, Seq("event_type", "tb"))
+      .where(col("a_id") =!= col("b_id")
+        && col("a_s") < col("b_e") && col("b_s") < col("a_e")
+        && floor(greatest(col("a_s"), col("b_s")) / W) === col("tb"))
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(least(col("a_e"), col("b_e"))
+          - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+  }
+
+  private val intervalOverlapSql =
+    """WITH iv AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(round(value * 1000000.0, 0) AS BIGINT) AS e
+      |  FROM events)
+      |SELECT a.event_id, count(*) AS n_overlap,
+      |  CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.event_type = b.event_type AND a.event_id != b.event_id
+      | AND a.s < b.e AND b.s < a.e
+      |GROUP BY 1""".stripMargin
+
+  /** Time-weighted average of `value` per (user, day) — the TWAP/
+    * sensor-mean primitive: each reading holds until the next one, so
+    * its weight is the microseconds to the successor (the day's last
+    * reading carries no weight and drops, identically in both
+    * engines). The (value × Δt) products fold as exact decimal×integer
+    * sums; one division at the end, rounded 1e-9.
+    *
+    * Scale shape: one exchange on user_id; the per-(user, day) window
+    * and the aggregation co-partition on it.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("dt", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .where(col("dt").isNotNull)
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("dt")).as("dur_us"),
+        round((sum(col("value").cast(dec) * col("dt")).cast("double")
+          / sum(col("dt"))), 9).as("twap"))
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH h AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, value,
+      |    epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+      |  FROM events)
+      |SELECT user_id, d, count(*) AS n_holds,
+      |  CAST(SUM(dt) AS BIGINT) AS dur_us,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+      |    / CAST(SUM(dt) AS BIGINT), 9) AS twap
+      |FROM h WHERE dt IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("resample_ffill", resampleFfill, Some(resampleFfillSql)),
+    Op("interval_overlap", intervalOverlap, Some(intervalOverlapSql)),
+    Op("time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     Op("as_of_lookup", asOfLookup, Some(asOfLookupSql)),
     Op("asof_join", asofJoin, Some(asofJoinSql)),
     Op("asof_join_native", asofJoinNative, Some(asofJoinSql)),

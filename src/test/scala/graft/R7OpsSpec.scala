@@ -149,6 +149,43 @@ class R7OpsSpec extends AnyFunSuite {
     assert(exact("a") == 50 && exact("b") == 30 && exact.size == 22)
   }
 
+  /** Writes an events.parquet fixture; returns its table dir. */
+  private def eventsFixture(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r7ev").toString
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("interval_overlap: hand-computed pair counts across bucket boundaries") {
+    // intervals (s, s+value): A[0,100) B[50,150) C[200,300) D[120,220)
+    // overlaps: A-B 50s, B-D 30s, C-D 20s; B and D each cross the
+    // 128 s bucket boundary, so the owner-bucket rule is exercised
+    val dir = eventsFixture(Seq(
+      (1L, 0L, 1L, "x", 100.0), (2L, 50L, 1L, "x", 100.0),
+      (3L, 200L, 1L, "x", 100.0), (4L, 120L, 1L, "x", 100.0)))
+    val got = graft.operators.Temporal.intervalOverlap(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 50000000L)))
+    assert(got(2L) == ((2L, 80000000L)))
+    assert(got(3L) == ((1L, 20000000L)))
+    assert(got(4L) == ((2L, 50000000L)))
+  }
+
+  test("time_weighted_avg: closed-form hold-weighted mean; last reading drops") {
+    val dir = eventsFixture(Seq(
+      (1L, 0L, 7L, "x", 10.0), (2L, 10L, 7L, "x", 20.0),
+      (3L, 30L, 7L, "x", 99.0)))
+    val r = graft.operators.Temporal.timeWeightedAvg(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 2L)           // n_holds (99.0 never holds)
+    assert(r(0).getLong(3) == 30000000L)    // dur_us
+    assert(r(0).getDouble(4) == 16.666666667) // (10*10 + 20*20)/30 @ 1e-9
+  }
+
   /** Independent reference walk of the public xy2d Hilbert algorithm. */
   private def hilbertRef(x0: Long, y0: Long): Long = {
     var x = x0; var y = y0; var d = 0L
