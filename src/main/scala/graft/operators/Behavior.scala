@@ -25,6 +25,106 @@ object Behavior {
     * self-join — the join-back spelling would shuffle raw events by
     * user twice.
     */
+  /** Daily growth curve: active users, NEW users (first-ever
+    * appearance), and the cumulative registered-user total per day —
+    * the adoption dashboard every event stream feeds.
+    *
+    * Scale shape: the fact collapses to distinct (user, day) map-side,
+    * first-seen is a per-user min (same user_id exchange), and only
+    * the days-sized relation reaches the cumulative window (global
+    * window over a calendar-bounded relation — deliberate, like the
+    * KS support walk).
+    */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstSeen = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val daily = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"))
+    val news = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily.join(news, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("total_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))))
+  }
+
+  private val userGrowthSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+      |daily AS (SELECT day, count(*) AS active_users FROM ud GROUP BY 1),
+      |news AS (SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT daily.day, active_users,
+      |  coalesce(new_users, 0) AS new_users,
+      |  CAST(SUM(coalesce(new_users, 0)) OVER (ORDER BY daily.day) AS BIGINT)
+      |    AS total_users
+      |FROM daily LEFT JOIN news ON daily.day = news.day""".stripMargin
+
+  /** Pareto / ABC contribution analysis: customers ranked by total
+    * order revenue, each with its exact share of the grand total, the
+    * running cumulative share, and the A/B/C class (top-80% of
+    * revenue → A, next 15% → B, tail → C — classic inventory ABC).
+    *
+    * Exactness: revenue folds as DECIMAL; shares divide the decimal
+    * sums as doubles rounded 1e-9; the class comes from comparing the
+    * PREVIOUS cumulative decimal (strictly-before revenue) so the
+    * boundary row lands in A deterministically in both engines.
+    *
+    * Scale shape: one exchange on custkey for the revenue rollup; the
+    * ranked cumulative walk runs over the customers-sized relation
+    * (the decile_lift / KS global-window shape), and the 1-row grand
+    * total broadcasts.
+    */
+  def paretoContribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("revenue"))
+    val tot = rev.agg(sum(col("revenue")).as("grand"))
+    val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
+    // every ratio divides the exact decimal sums AS DOUBLES — Spark's
+    // decimal/decimal division truncates the result scale (≈6 digits)
+    // while DuckDB keeps more, so the quotient must be IEEE on both
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_before",
+        coalesce(sum(col("revenue")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec)))
+      .select(col("o_custkey"),
+        col("revenue").cast("double").as("revenue"),
+        round(col("revenue").cast("double") / col("grand").cast("double"), 9)
+          .as("share"),
+        round((col("cum_before") + col("revenue")).cast("double")
+          / col("grand").cast("double"), 9).as("cum_share"),
+        when(col("cum_before").cast("double") / col("grand").cast("double") < 0.80, "A")
+          .when(col("cum_before").cast("double") / col("grand").cast("double") < 0.95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  private val paretoContributionSql =
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(revenue) AS grand FROM rev),
+      |c AS (SELECT o_custkey, revenue, grand,
+      |    coalesce(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      CAST(0 AS DECIMAL(18,2))) AS cum_before
+      |  FROM rev, tot)
+      |SELECT o_custkey,
+      |  CAST(revenue AS DOUBLE) AS revenue,
+      |  round(CAST(revenue AS DOUBLE) / CAST(grand AS DOUBLE), 9) AS share,
+      |  round(CAST(cum_before + revenue AS DOUBLE) / CAST(grand AS DOUBLE), 9)
+      |    AS cum_share,
+      |  CASE WHEN CAST(cum_before AS DOUBLE) / CAST(grand AS DOUBLE) < 0.80 THEN 'A'
+      |       WHEN CAST(cum_before AS DOUBLE) / CAST(grand AS DOUBLE) < 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c""".stripMargin
+
   def cohortRetention(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -215,6 +315,8 @@ object Behavior {
 
   // declared LAST: object vals initialize in declaration order
   val ops: Seq[Op] = Seq(
+    Op("user_growth", userGrowth, Some(userGrowthSql)),
+    Op("pareto_contribution", paretoContribution, Some(paretoContributionSql)),
     Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Op("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Op("funnel_steps", funnelSteps, Some(funnelStepsSql)),
