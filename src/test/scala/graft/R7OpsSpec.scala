@@ -186,6 +186,30 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r(0).getDouble(4) == 16.666666667) // (10*10 + 20*20)/30 @ 1e-9
   }
 
+  test("user_growth: new/active/cumulative in closed form") {
+    // u1 on d1,d2; u2 on d2: active (1,2), new (1,1), total (1,2)
+    val dir = eventsFixture(Seq(
+      (1L, 0L, 1L, "x", 1.0), (2L, 86400L, 1L, "x", 1.0),
+      (3L, 86400L, 2L, "x", 1.0)))
+    val got = graft.operators.Behavior.userGrowth(spark, dir)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("pareto_contribution: shares sum to 1 and classes split on the running share") {
+    val df = graft.operators.Behavior.paretoContribution(spark, "/root/testdata/sf0.001")
+    val rows = df.orderBy(col("cum_share")).collect()
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+    assert(rows.last.getDouble(3) == 1.0, "cumulative share must end at 1")
+    // class boundaries: every A precedes every B precedes every C in
+    // cum_share order, and all three classes exist on real data
+    val classes = rows.map(_.getString(4)).toSeq
+    assert(classes.toSet == Set("A", "B", "C"))
+    assert(classes.mkString == classes.sorted.mkString,
+      "A/B/C must be contiguous in ranked order")
+  }
+
   /** Independent reference walk of the public xy2d Hilbert algorithm. */
   private def hilbertRef(x0: Long, y0: Long): Long = {
     var x = x0; var y = y0; var d = 0L
