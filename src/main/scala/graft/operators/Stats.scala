@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Op, Tables}
+
+/** Inferential statistics over the test tables — the experiment-readout
+  * family next to ab_test / spearman_corr / ks_test: independence
+  * (chi-square), rank-sum location shift (Mann-Whitney), per-group OLS,
+  * CUSUM drift detection, and equi-depth histograms.
+  *
+  * Cross-engine exactness discipline (the corr_covar / spearman_corr
+  * playbook): every sum rides an exact DECIMAL accumulator (order-free),
+  * counts stay integer, and the handful of final divisions/sqrts are
+  * spelled as the IDENTICAL operation tree on both engines, rounded
+  * 1e-9. DuckDB bare decimal literals are DECIMAL (exact arithmetic),
+  * so oracle SQL only uses integer literals or CAST(... AS DOUBLE) —
+  * the Spatial.HexSql lesson.
+  */
+object Stats {
+
+  // ---------------------------------------------------------------- chi²
+
+  /** Chi-square test of independence between document `lang` and
+    * `source` (is the language mix the same across ingest sources? —
+    * the mixture-drift gate next to ks_test's length drift).
+    *
+    * Zero cells matter: the contingency table is the CROSS JOIN of the
+    * two margins (|langs| × |sources| — catalog-sized, broadcast), left
+    * joined against observed counts, so an absent (lang, source) cell
+    * contributes its full expected count. Per-cell terms use the
+    * cross-multiplied integer numerator d = O·N − rowtot·coltot (exact
+    * BIGINT), one fixed double sequence (d/rt)·(d/ct)/N per cell, then
+    * terms are quantized to DECIMAL(32,12) so the cross-cell sum is
+    * order-free. One row out: chi2, dof, n.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    rt.crossJoin(ct)
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("rt"), col("ct"), col("n"),
+        (coalesce(col("o"), lit(0L)) * col("n") - col("rt") * col("ct"))
+          .as("d"))
+      .select(col("lang"), col("source"), col("n"),
+        ((col("d").cast("double") / col("rt"))
+          * (col("d").cast("double") / col("ct")) / col("n")).as("term"))
+      .agg(
+        round(sum(round(col("term"), 12).cast(DecimalType(32, 12)))
+          .cast("double"), 9).as("chi2"),
+        ((countDistinct(col("lang")) - 1)
+          * (countDistinct(col("source")) - 1)).as("dof"),
+        first(col("n")).as("n"))
+  }
+
+  private val chiSquareSql =
+    """WITH rt AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+      |ct AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+      |obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS n FROM documents),
+      |cells AS (
+      |  SELECT rt.lang, ct.source, rt.rt, ct.ct, tot.n,
+      |    coalesce(obs.o, 0) * tot.n - rt.rt * ct.ct AS d
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+      |terms AS (
+      |  SELECT lang, source, n,
+      |    (CAST(d AS DOUBLE) / rt) * (CAST(d AS DOUBLE) / ct) / n AS term
+      |  FROM cells)
+      |SELECT
+      |  round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(32,12))) AS DOUBLE), 9)
+      |    AS chi2,
+      |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+      |    AS BIGINT) AS dof,
+      |  any_value(n) AS n
+      |FROM terms""".stripMargin
+
+  // ------------------------------------------------------ Mann-Whitney U
+
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) between src0 and
+    * src1 document lengths — the location-shift complement to ks_test's
+    * whole-distribution D statistic, with tie-corrected normal
+    * approximation (no continuity correction; documented).
+    *
+    * Rank sums never touch a per-row window: lengths collapse to their
+    * distinct values first (ks_test's trick), and a value with c
+    * occurrences after `cb` earlier rows has 2·avgrank = 2·cb + c + 1 —
+    * so 2R₀ = Σ a_v·(2·cb_v + c_v + 1) is EXACT integer arithmetic, as
+    * is the tie term T = Σ(c³−c). The cumulative window runs over the
+    * |support| relation (value-domain-sized, deliberately
+    * single-partition, like ks_test). One division chain at the end on
+    * the 1-row result, identical on both engines, rounded 1e-9.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .where(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(when(col("source") === "src0", 1)).as("a"),
+        count(when(col("source") === "src1", 1)).as("b"))
+      .select(col("v"), col("a"), col("b"), (col("a") + col("b")).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col("v"), col("a"), col("b"), col("c"),
+        coalesce(sum(col("c")).over(w), lit(0L)).as("cb"))
+      .agg(
+        sum(col("a")).cast("long").as("n0"),
+        sum(col("b")).cast("long").as("n1"),
+        sum(col("a") * (lit(2) * col("cb") + col("c") + 1)).cast("long")
+          .as("r20"),
+        sum(col("c") * col("c") * col("c") - col("c")).cast("long").as("t"))
+      .select(col("n0"), col("n1"),
+        (col("r20") - col("n0") * (col("n0") + 1)).as("u2"),
+        (col("n0") + col("n1")).as("nn"), col("t"))
+      .select(col("n0"), col("n1"),
+        round(col("u2").cast("double") / 2, 9).as("u_stat"),
+        round((col("u2").cast("double") - (col("n0") * col("n1")).cast("double"))
+          / (lit(2) * sqrt((col("n0").cast("double") * col("n1") / 12)
+            * ((col("nn") + 1).cast("double")
+              - col("t").cast("double")
+                / (col("nn").cast("double") * (col("nn") - 1).cast("double"))))),
+          9).as("z"))
+  }
+
+  private val mannWhitneyUSql =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    count(*) FILTER (WHERE source = 'src0') AS a,
+      |    count(*) FILTER (WHERE source = 'src1') AS b,
+      |    count(*) AS c
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |cum AS (
+      |  SELECT v, a, b, c,
+      |    coalesce(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM g),
+      |s AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS n0, CAST(SUM(b) AS BIGINT) AS n1,
+      |    CAST(SUM(a * (2 * cb + c + 1)) AS BIGINT) AS r20,
+      |    CAST(SUM(c * c * c - c) AS BIGINT) AS t
+      |  FROM cum),
+      |u AS (
+      |  SELECT n0, n1, r20 - n0 * (n0 + 1) AS u2, n0 + n1 AS nn, t FROM s)
+      |SELECT n0, n1,
+      |  round(CAST(u2 AS DOUBLE) / 2, 9) AS u_stat,
+      |  round((CAST(u2 AS DOUBLE) - CAST(n0 * n1 AS DOUBLE))
+      |    / (2 * sqrt((CAST(n0 AS DOUBLE) * n1 / 12)
+      |      * (CAST(nn + 1 AS DOUBLE)
+      |        - CAST(t AS DOUBLE)
+      |          / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))), 9) AS z
+      |FROM u""".stripMargin
+
+  // ------------------------------------------------------ per-group OLS
+
+  /** Per-return-flag ordinary least squares of extendedprice on
+    * quantity: slope, intercept, R² — the regression readout next to
+    * corr_covar's correlation. One exchange on the group key; the five
+    * moment sums ride exact DECIMAL accumulators ((18,6)² products are
+    * DECIMAL(37,12) — fully representable, the anomaly_zscore
+    * quantization contract; the ORACLE spells the same products at
+    * width 19 because DuckDB multiplies width-18 decimals in int64
+    * storage, which overflows on price² — int128 kicks in at 19, and
+    * the VALUES are identical either way), and slope/intercept/R²
+    * derive from the exact moments through one shared division
+    * (sl = dxy/dxx) spelled identically on both engines, rounded 1e-9.
+    */
+  def olsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(d6).as("x"),
+        col("l_extendedprice").cast(d6).as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("dxy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dxx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("dyy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        (col("dxy") / col("dxx")).as("sl"), col("dxy"), col("dyy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sl"), 9).as("slope"),
+        round((col("sy") - col("sl") * col("sx")) / col("n"), 9)
+          .as("intercept"),
+        round(col("sl") * (col("dxy") / col("dyy")), 9).as("r2"))
+  }
+
+  private val olsRegressionSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+      |      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+      |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+      |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n, sx, sy,
+      |    n * sxy - sx * sy AS dxy,
+      |    n * sxx - sx * sx AS dxx,
+      |    n * syy - sy * sy AS dyy
+      |  FROM m),
+      |sl AS (
+      |  SELECT l_returnflag, n, sx, sy, dxy / dxx AS sl, dxy, dyy FROM d)
+      |SELECT l_returnflag, n,
+      |  round(sl, 9) AS slope,
+      |  round((sy - sl * sx) / n, 9) AS intercept,
+      |  round(sl * (dxy / dyy), 9) AS r2
+      |FROM sl""".stripMargin
+
+  // ------------------------------------------------------------- CUSUM
+
+  /** One-sided CUSUM drift detector per event type: flag events where
+    * the cumulative positive deviation from the type mean exceeds
+    * 20·stddev. The textbook recursion S_i = max(0, S_{i-1} + d_i) is
+    * not a window aggregate — but its closed form IS: S_i = P_i −
+    * min_{j≤i} P_j over the deviation prefix sum P, which makes CUSUM
+    * two frame-bounded windows on one event_type exchange.
+    *
+    * Exactness: deviations are quantized to DECIMAL(18,6) BEFORE the
+    * cumulative sum (DuckDB's windowed double sum runs on a segment
+    * tree whose addition ORDER differs from Spark's sequential frame —
+    * decimal accumulation is order-free, so the prefix sums match
+    * exactly); the mean/threshold derive from exact decimal moments,
+    * are rounded to 6 dp, and the final comparison is decimal-exact on
+    * both engines.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(d6)).cast("double").as("s"),
+        sum(col("value").cast(d6) * col("value").cast(d6)).cast("double")
+          .as("ss"))
+      .select(col("event_type"),
+        round(col("s") / col("n"), 6).as("m6"),
+        round(lit(20) * sqrt((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)), 6).cast(d6).as("h"))
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("h"),
+        round(col("value") - col("m6"), 6).cast(d6).as("d"))
+      .withColumn("p", sum(col("d")).over(wp))
+      .withColumn("cus", col("p") - min(col("p")).over(wp))
+      .where(col("cus") > col("h"))
+      .select(col("event_type"), col("event_id"),
+        col("cus").cast("double").as("cusum"))
+  }
+
+  private val cusumChangepointSql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))
+      |      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      |  FROM events GROUP BY 1),
+      |th AS (
+      |  SELECT event_type, round(s / n, 6) AS m6,
+      |    CAST(round(20 * sqrt((ss - s * s / n) / (n - 1)), 6)
+      |      AS DECIMAL(18,6)) AS h
+      |  FROM m),
+      |d AS (
+      |  SELECT e.event_type, e.event_id, e.ts, th.h,
+      |    CAST(round(e.value - th.m6, 6) AS DECIMAL(18,6)) AS d
+      |  FROM events e JOIN th ON e.event_type = th.event_type),
+      |pre AS (
+      |  SELECT event_type, event_id, ts, h,
+      |    SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM d),
+      |c AS (
+      |  SELECT event_type, event_id, h,
+      |    p - MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
+      |  FROM pre)
+      |SELECT event_type, event_id, CAST(cus AS DOUBLE) AS cusum
+      |FROM c WHERE cus > h""".stripMargin
+
+  // ------------------------------------------------- equi-depth buckets
+
+  /** Equi-depth decile histogram of extendedprice per return flag —
+    * the frequency-balanced complement to histogram_bins' equi-width
+    * buckets (what an optimizer's depth histogram or a feature
+    * quantizer computes). ntile over a FULLY deterministic order
+    * (price, orderkey, linenumber breaks ties identically on both
+    * engines); bucket stats are integer counts, exact min/max, and a
+    * DECIMAL-summed mean. One group-key exchange + the per-group sort.
+    */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("p").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("p"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).as("lo"), max(col("p")).as("hi"),
+        round(sum(col("p").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)), 9).as("avg_price"))
+  }
+
+  private val equiDepthHistogramSql =
+    """SELECT l_returnflag, bucket, count(*) AS n_rows,
+      |  min(p) AS lo, max(p) AS hi,
+      |  round(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / count(*), 9)
+      |    AS avg_price
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice AS p,
+      |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+      |      AS bucket
+      |  FROM lineitem)
+      |GROUP BY 1, 2""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("chi_square", chiSquare, Some(chiSquareSql)),
+    Op("mann_whitney_u", mannWhitneyU, Some(mannWhitneyUSql)),
+    Op("ols_regression", olsRegression, Some(olsRegressionSql)),
+    Op("cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
+    Op("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
+  )
+}
