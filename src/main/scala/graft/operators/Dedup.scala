@@ -392,7 +392,65 @@ object Dedup {
        |FROM isl GROUP BY doc_id, island""".stripMargin
   }
 
+  /** Sorted-neighborhood dedup (Hernández–Stolfo SNM): sort by a
+    * blocking key, slide a w=3 window, compare only adjacent docs —
+    * the LINEAR-candidate entity-resolution complement to the LSH
+    * family (catches near-dups whose shingles drift but whose sort key
+    * lands them adjacent; misses pairs the key separates — that
+    * recall/cost trade IS the method). Key = (lang, length-block,
+    * length, doc_id); candidates at offsets 1 and 2 match when the
+    * 40-char-prefix edit distance ≤ 10 (true dups sit at 0–10, the
+    * word-salad noise floor starts ~20 on this corpus).
+    *
+    * Scale shape: windows run INSIDE (lang, n_chars div 64) blocks —
+    * partitioned lead(), no global sort; cross-block neighbors are
+    * forfeited (documented SNM blocking), and the DP cost is
+    * 2 comparisons per row, not a blocked quadratic.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("lang"), expr("n_chars div 64"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        lead(col("doc_id"), 1).over(w).as("n1id"),
+        lead(col("text"), 1).over(w).as("n1text"),
+        lead(col("doc_id"), 2).over(w).as("n2id"),
+        lead(col("text"), 2).over(w).as("n2text"))
+    def pairs(off: Int, nid: String, ntext: String) =
+      s.where(col(nid).isNotNull)
+        .select(col("doc_id").as("doc_a"), col(nid).as("doc_b"),
+          lit(off.toLong).as("offset"),
+          levenshtein(substring(col("text"), 1, 40),
+            substring(col(ntext), 1, 40)).cast("long").as("dist"))
+    pairs(1, "n1id", "n1text")
+      .unionByName(pairs(2, "n2id", "n2text"))
+      .where(col("dist") <= 10)
+  }
+
+  private val sortedNeighborhoodSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    lead(doc_id, 1) OVER w AS n1id, lead(text, 1) OVER w AS n1text,
+      |    lead(doc_id, 2) OVER w AS n2id, lead(text, 2) OVER w AS n2text
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY lang, n_chars // 64
+      |    ORDER BY n_chars ASC, doc_id ASC)),
+      |cand AS (
+      |  SELECT doc_id AS doc_a, n1id AS doc_b, CAST(1 AS BIGINT) AS "offset",
+      |    CAST(levenshtein(substr(text, 1, 40), substr(n1text, 1, 40))
+      |      AS BIGINT) AS dist
+      |  FROM s WHERE n1id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, n2id, CAST(2 AS BIGINT),
+      |    CAST(levenshtein(substr(text, 1, 40), substr(n2text, 1, 40))
+      |      AS BIGINT)
+      |  FROM s WHERE n2id IS NOT NULL)
+      |SELECT doc_a, doc_b, "offset", dist FROM cand WHERE dist <= 10""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql), bench = true),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),

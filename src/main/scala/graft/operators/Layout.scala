@@ -209,7 +209,44 @@ object Layout {
       |UNION ALL
       |SELECT 'orders', 'orders.parquet', count(*) FROM orders""".stripMargin
 
+  /** Geohash-8 proximity keys over the customer-derived point set (the
+    * point_in_polygon derivation: 2-decimal coords in [0, 20)²) — the
+    * string-prefix layout key next to zorder/hilbert: truncating to 4
+    * chars coarsens the cell, so equality on gh4 is a proximity
+    * blocking join key and a balanced spatial partition key. One
+    * projection, all built-in bit arithmetic ([[graft.functions.GeoHash]]),
+    * codegen'd, oracle-identical.
+    */
+  def geohashEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoHash
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("pt_id"),
+        (abs(col("c_acctbal")) % 20.0).as("lon"),
+        ((col("c_custkey") % 2000).cast("double") / 100.0).as("lat"))
+      .withColumn("n", GeoHash.interleaved(col("lat"), col("lon")))
+      .select(col("pt_id"), col("lon"), col("lat"),
+        GeoHash.encode8(col("n")).as("gh8"))
+      .withColumn("gh4", substring(col("gh8"), 1, 4))
+  }
+
+  private val geohashEncodeSql = {
+    import graft.functions.GeoHash
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS pt_id,
+       |    abs(c_acctbal) % 20.0 AS lon,
+       |    CAST(c_custkey % 2000 AS DOUBLE) / 100.0 AS lat
+       |  FROM customer),
+       |iv AS (
+       |  SELECT pt_id, lon, lat,
+       |    ${GeoHash.interleavedSql("lat", "lon")} AS n
+       |  FROM pts)
+       |SELECT pt_id, lon, lat, ${GeoHash.encode8Sql("n")} AS gh8,
+       |  substr(${GeoHash.encode8Sql("n")}, 1, 4) AS gh4
+       |FROM iv""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("geohash_encode", geohashEncode, Some(geohashEncodeSql)),
     Op("zorder_key", zorderKey, Some(zorderKeySql)),
     Op("hilbert_key", hilbertKey, Some(hilbertKeySql), bench = true),
     Op("file_provenance", fileProvenance, Some(fileProvenanceSql)),

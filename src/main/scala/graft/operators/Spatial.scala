@@ -597,7 +597,79 @@ object Spatial {
       h3_resolution(col("cell")).as("res"))
   }
 
+  /** The 16 tile centers of [[polygonCatalog]] as a facility catalog
+    * (id, cx, cy) — the nearest-facility dimension for [[geoKnnJoin]].
+    */
+  private val facilities: Seq[(String, Double, Double)] =
+    for { i <- 0 until 4; j <- 0 until 4 }
+      yield (f"F_${i}%d_${j}%d", 5.0 * i + 2.505, 5.0 * j + 2.505)
+
+  /** k-nearest-facility join: each customer-derived point matched to
+    * its 3 closest tile centers by squared Euclidean distance (planar
+    * coords by construction; products only, so distances are
+    * deterministic cross-engine with NO trig in the hot path — a
+    * haversine variant would rank on libm values that differ by ulps
+    * between engines. The ranking runs on the 1e-9-ROUNDED distance:
+    * DuckDB contracts the mul-add chain into FMAs, so RAW last-ulp
+    * doubles differ from the JVM's unfused sequence — measured here as
+    * a rank-2/3 flip on a near-tie; rounding first restores a shared
+    * total order, ties then break on fac_id). Broadcast NL against the 16-row catalog + one
+    * per-point WindowGroupLimit top-k — the right plan while the
+    * catalog is broadcastable; a large facility set would switch to
+    * hex/geohash cell blocking with ring expansion (the
+    * impute_by_kring machinery).
+    */
+  def geoKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
+    val fac = spark.createDataFrame(
+      facilities.map { case (id, cx, cy) =>
+        org.apache.spark.sql.Row(id, cx, cy) }.asJava,
+      StructType(Seq(
+        StructField("fac_id", StringType, nullable = false),
+        StructField("cx", DoubleType, nullable = false),
+        StructField("cy", DoubleType, nullable = false))))
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("pt_id"),
+        (abs(col("c_acctbal")) % 20.0).as("x"),
+        ((col("c_custkey") % 2000).cast("double") / 100.0).as("y"))
+    pts.crossJoin(broadcast(fac))
+      .select(col("pt_id"), col("fac_id"),
+        round((col("x") - col("cx")) * (col("x") - col("cx"))
+          + (col("y") - col("cy")) * (col("y") - col("cy")), 9).as("dist2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pt_id"))
+          .orderBy(col("dist2").asc, col("fac_id").asc)).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("pt_id"), col("fac_id"), col("rk"), col("dist2"))
+  }
+
+  private val geoKnnJoinSql = {
+    val vals = facilities
+      .map { case (id, cx, cy) =>
+        s"('$id', CAST($cx AS DOUBLE), CAST($cy AS DOUBLE))" }
+      .mkString(",\n|    ")
+    s"""WITH fac(fac_id, cx, cy) AS (VALUES
+       |    $vals),
+       |pts AS (
+       |  SELECT c_custkey AS pt_id, abs(c_acctbal) % 20.0 AS x,
+       |    CAST(c_custkey % 2000 AS DOUBLE) / 100.0 AS y
+       |  FROM customer),
+       |d AS (
+       |  SELECT pt_id, fac_id,
+       |    round((x - cx) * (x - cx) + (y - cy) * (y - cy), 9) AS dist2
+       |  FROM pts CROSS JOIN fac),
+       |r AS (
+       |  SELECT pt_id, fac_id, dist2,
+       |    CAST(row_number() OVER (PARTITION BY pt_id
+       |      ORDER BY dist2 ASC, fac_id ASC) AS BIGINT) AS rk
+       |  FROM d)
+       |SELECT pt_id, fac_id, rk, dist2
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("geo_knn_join", geoKnnJoin, Some(geoKnnJoinSql)),
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
