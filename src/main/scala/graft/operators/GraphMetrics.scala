@@ -237,7 +237,120 @@ object GraphMetrics {
        |${lpaIterSql("l2", "l3")}
        |SELECT node, label AS community FROM l3""".stripMargin
 
+  /** 3-core membership after 3 synchronous peeling rounds: drop nodes
+    * with degree < 3, recompute degrees over surviving edges, repeat —
+    * the cohesion filter that separates a dense social core from
+    * incidental contacts. Each round is the SAME shape (two semi-joins
+    * of the edge relation against the survivor set + one degree
+    * aggregation), so the edge exchange materializes once and
+    * subsequent rounds read ReusedExchange — the [[pagerank]]
+    * iteration discipline. A fixed round count is the distributed
+    * form: full peeling converges in O(peeling-depth) rounds and each
+    * is this plan.
+    */
+  def kcoreMembership(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    val e0 = edges(spark, dir)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var alive = e.select(col("src").as("node")).distinct()
+    var deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+    for (_ <- 1 to rounds) {
+      val e2 = e.join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      deg = e2.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .where(col("degree") >= k)
+        .select(col("src").as("node"), col("degree"))
+      alive = deg.select(col("node"))
+    }
+    deg
+  }
+
+  private def kcoreIterSql(prev: String, cur: String, k: Int): String =
+    s"""$cur AS (
+       |  SELECT e.src AS node, count(*) AS degree
+       |  FROM e
+       |  JOIN $prev p1 ON e.src = p1.node
+       |  JOIN $prev p2 ON e.dst = p2.node
+       |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+
+  private val kcoreMembershipSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |a0 AS (SELECT DISTINCT src AS node FROM e),
+       |${kcoreIterSql("a0", "a1", 3)},
+       |${kcoreIterSql("a1", "a2", 3)},
+       |${kcoreIterSql("a2", "a3", 3)}
+       |SELECT node, degree FROM a3""".stripMargin
+
+  /** Local clustering coefficient per node: 2·Δ(v) / (d(v)·(d(v)−1)) —
+    * how close each node's neighborhood is to a clique (the
+    * tight-community signal next to the global [[graphTriangles]]
+    * count). The wedge join yields each triangle once on the a<b<c
+    * orientation; exploding its three corners and re-counting per node
+    * gives Δ(v) with no second join. Degree-1 nodes define 0. Integer
+    * counts into one division, rounded 1e-9.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val wedges = e.alias("e1")
+      .join(e.alias("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(e.alias("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    graphDegrees(spark, dir)
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"))
+      .withColumn("coef",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round((lit(2) * col("triangles")).cast("double")
+            / (col("degree") * (col("degree") - 1)), 9)))
+  }
+
+  private val clusteringCoefficientSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE EXISTS (SELECT 1 FROM edges e3
+       |                WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+       |tpn AS (
+       |  SELECT node, count(*) AS tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)
+       |  GROUP BY 1)
+       |SELECT deg.node, deg.degree,
+       |  coalesce(tpn.tri, 0) AS triangles,
+       |  CASE WHEN deg.degree < 2 THEN CAST(0 AS DOUBLE)
+       |    ELSE round(CAST(2 * coalesce(tpn.tri, 0) AS DOUBLE)
+       |      / (deg.degree * (deg.degree - 1)), 9) END AS coef
+       |FROM deg LEFT JOIN tpn ON deg.node = tpn.node""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("kcore_membership", (s, d) => kcoreMembership(s, d), Some(kcoreMembershipSql)),
+    Op("clustering_coefficient", clusteringCoefficient, Some(clusteringCoefficientSql)),
     Op("graph_bfs_depth", (s, d) => graphBfsDepth(s, d), Some(graphBfsDepthSql)),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),

@@ -18,8 +18,11 @@ import graft.{Op, Tables}
   * standard interaction cut (drop users above a history cap) BEFORE
   * pairing — the DIMSUM/production-CF hardening that keeps one hot user
   * from emitting 10⁸ pairs. Pair aggregation shuffles on the (a, b)
-  * key; the item-count enrichments are item-cardinality relations and
-  * join by SHUFFLE, never broadcast (VERDICT r3's homes lesson).
+  * key; the item-count enrichments are item-cardinality relations — no
+  * static broadcast hint on them (VERDICT r3's homes lesson: item/device
+  * cardinality explodes at 100 TB), so AQE picks by MEASURED size:
+  * broadcast at test SF, shuffle once the catalog outgrows the
+  * threshold.
   */
 object Recommend {
 
@@ -254,8 +257,8 @@ object Recommend {
       |  SELECT 1 FROM sky WHERE sky.x = pts.x AND sky.ymax = pts.y)""".stripMargin
 
   val ops: Seq[Op] = Seq(
-    Op("market_basket", marketBasket, Some(marketBasketSql)),
-    Op("item_item_cosine", itemItemCosine, Some(itemItemCosineSql)),
+    Op("market_basket", marketBasket, Some(marketBasketSql), bench = true),
+    Op("item_item_cosine", itemItemCosine, Some(itemItemCosineSql), bench = true),
     Op("rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Op("skyline_frontier", skylineFrontier, Some(skylineFrontierSql)),
   )

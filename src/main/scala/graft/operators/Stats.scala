@@ -331,11 +331,272 @@ object Stats {
       |  FROM lineitem)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- Gini
+
+  /** Gini coefficient of customer lifetime spend per market segment —
+    * the inequality readout next to pareto_contribution's ABC shares.
+    * Uses the rank identity G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    * ascending per-segment ranks (ties broken by custkey — determinism
+    * only; any tie order yields the same G for equal values). Spend
+    * and the rank-weighted sum ride exact DECIMAL accumulators; the
+    * final expression is one fixed double sequence, rounded 1e-9. One
+    * segment exchange carries the window and the aggregation.
+    */
+  def giniIndex(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp0"))
+      .select(col("o_custkey"), col("sp0").cast(DecimalType(18, 2)).as("sp"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("sp").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("sp"))
+      .withColumn("i", row_number().over(w).cast(DecimalType(10, 0)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sp")).cast("double").as("ssp"),
+        sum(col("i") * col("sp")).cast("double").as("six"))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("ssp"), 2).as("total_spend"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("ssp"))
+          / (col("n") * col("ssp")), 9).as("gini"))
+  }
+
+  private val giniIndexSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |      AS sp
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment, sp,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY sp ASC, c_custkey ASC) AS DECIMAL(10,0)) AS i
+      |  FROM customer JOIN spend ON c_custkey = o_custkey),
+      |m AS (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(SUM(sp) AS DOUBLE) AS ssp,
+      |    CAST(SUM(i * sp) AS DOUBLE) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT c_mktsegment, n, round(ssp, 2) AS total_spend,
+      |  round((2 * six - (n + 1) * ssp) / (n * ssp), 9) AS gini
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------- Benford
+
+  /** Benford first-digit audit of order totals: observed share of each
+    * leading significant digit vs the Benford expectation log₁₀(1+1/d)
+    * — the classic synthetic-data / fraud smoke test. Digit extraction
+    * is pure arithmetic (bucketed single division then floor — NO
+    * log₁₀ in the row path, whose libm ulps straddle integer
+    * boundaries exactly at powers of ten); expectations are spliced
+    * constants from one host computation. Counts are integer; shares
+    * one division each, rounded 1e-9.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("o_totalprice")
+    val mant = when(p >= 100000, p / 100000).when(p >= 10000, p / 10000)
+      .when(p >= 1000, p / 1000).when(p >= 100, p / 100)
+      .when(p >= 10, p / 10).otherwise(p)
+    val expected = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d, lit(math.log10(1.0 + 1.0 / d))).otherwise(acc)
+    }
+    val tot = Tables.orders(spark, dir).agg(count(lit(1)).as("total"))
+    Tables.orders(spark, dir)
+      .select(floor(mant).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 9).as("share"),
+        round(expected, 9).as("expected"))
+      .withColumn("abs_dev", round(abs(col("share") - col("expected")), 9))
+  }
+
+  private val benfordDigitsSql = {
+    val expected = (1 to 9)
+      .map(d => s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"""WITH d AS (
+       |  SELECT CAST(floor(CASE
+       |      WHEN o_totalprice >= 100000 THEN o_totalprice / 100000
+       |      WHEN o_totalprice >= 10000 THEN o_totalprice / 10000
+       |      WHEN o_totalprice >= 1000 THEN o_totalprice / 1000
+       |      WHEN o_totalprice >= 100 THEN o_totalprice / 100
+       |      WHEN o_totalprice >= 10 THEN o_totalprice / 10
+       |      ELSE o_totalprice END) AS BIGINT) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM orders),
+       |s AS (
+       |  SELECT digit, n,
+       |    round(CAST(n AS DOUBLE) / total, 9) AS share,
+       |    round($expected, 9) AS expected
+       |  FROM g CROSS JOIN tot)
+       |SELECT digit, n, share, expected,
+       |  round(abs(share - expected), 9) AS abs_dev
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------- categorical entropy
+
+  /** Shannon entropy of the source mix within each language — the
+    * grouped categorical-diversity gauge (is a language fed by many
+    * sources or dominated by one?), alongside token_entropy's per-doc
+    * lexical version. Same exactness identity: H = ln(n) − Σ c·ln(c)/n
+    * with each c·ln(c) term rounded to 9 dp and DECIMAL-summed
+    * (order-free), final value rounded 1e-6; evenness normalizes by
+    * ln(k) over the observed category count.
+    */
+  def categoryEntropy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).as("k"),
+        sum(expr(
+          "CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(24,9))"))
+          .as("s"))
+      .select(col("lang"), col("n_docs"), col("k"),
+        expr("round(ln(CAST(n_docs AS DOUBLE)) - CAST(s AS DOUBLE) / n_docs, 6)")
+          .as("entropy"),
+        when(col("k") < 2, lit(0.0))
+          .otherwise(expr("round((ln(CAST(n_docs AS DOUBLE)) - " +
+            "CAST(s AS DOUBLE) / n_docs) / ln(CAST(k AS DOUBLE)), 6)"))
+          .as("evenness"))
+  }
+
+  private val categoryEntropySql =
+    """WITH g AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS k,
+      |    SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+      |      AS DECIMAL(24,9))) AS s
+      |  FROM g GROUP BY 1)
+      |SELECT lang, n_docs, k,
+      |  round(ln(CAST(n_docs AS DOUBLE)) - CAST(s AS DOUBLE) / n_docs, 6)
+      |    AS entropy,
+      |  CASE WHEN k < 2 THEN CAST(0 AS DOUBLE)
+      |    ELSE round((ln(CAST(n_docs AS DOUBLE)) - CAST(s AS DOUBLE) / n_docs)
+      |      / ln(CAST(k AS DOUBLE)), 6) END AS evenness
+      |FROM m""".stripMargin
+
+  // ----------------------------------------------------- autocorrelation
+
+  /** Autocorrelation of the daily-revenue series at lags 1–7 — the
+    * weekly-rhythm detector feeding forecast/backfill decisions. The
+    * series first collapses to one row per day (value-domain-sized);
+    * deviations from the 6-dp-rounded mean are quantized to
+    * DECIMAL(18,6), so every lag product and the denominator are EXACT
+    * decimal sums (the cusum discipline — no engine-order or
+    * segment-tree effects), with one rounded division per lag. The lag
+    * windows run over the day-domain relation, deliberately
+    * single-partition like ks_test.
+    */
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("v"))
+    val m = daily.agg(count(lit(1)).as("nd"),
+        sum(col("v")).cast("double").as("sv"))
+      .select(col("nd"), round(col("sv") / col("nd"), 6).as("m6"))
+    val w = Window.orderBy(col("day"))
+    val dev = daily.crossJoin(broadcast(m))
+      .select(col("day"), col("nd"),
+        round(col("v").cast("double") - col("m6"), 6).cast(d6).as("d"))
+    val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"d$k", lag(col("d"), k).over(w))
+    }
+    val aggs = sum(col("d") * col("d")).cast("double").as("den") +:
+      (1 to 7).map(k =>
+        sum(col("d") * col(s"d$k")).cast("double").as(s"num$k"))
+    lagged.groupBy(col("nd"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("nd").as("n_days")
+        +: (1 to 7).map(k =>
+          round(col(s"num$k") / col("den"), 9).as(s"acf_$k")): _*)
+  }
+
+  private val acfLagsSql = {
+    val lagCols = (1 to 7)
+      .map(k => s"lag(d, $k) OVER (ORDER BY day) AS d$k").mkString(",\n|    ")
+    val nums = (1 to 7)
+      .map(k => s"CAST(SUM(d * d$k) AS DOUBLE) AS num$k").mkString(",\n|    ")
+    val accs = (1 to 7)
+      .map(k => s"round(num$k / den, 9) AS acf_$k").mkString(",\n|  ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT count(*) AS nd,
+       |    round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS m6
+       |  FROM daily),
+       |dev AS (
+       |  SELECT day, nd,
+       |    CAST(round(CAST(v AS DOUBLE) - m6, 6) AS DECIMAL(19,6)) AS d
+       |  FROM daily CROSS JOIN m),
+       |lagged AS (
+       |  SELECT day, nd, d,
+       |    $lagCols
+       |  FROM dev),
+       |s AS (
+       |  SELECT nd, CAST(SUM(d * d) AS DOUBLE) AS den,
+       |    $nums
+       |  FROM lagged GROUP BY 1)
+       |SELECT nd AS n_days,
+       |  $accs
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------- weekly seasonality
+
+  /** Day-of-week revenue profile: totals, share, and the seasonality
+    * index vs a uniform week (share·7) — the calendar-rhythm readout
+    * next to mom_revenue's trend. ISO day numbering on both engines
+    * (Spark weekday()+1 = DuckDB isodow, Monday=1); revenue rides
+    * exact DECIMAL, shares are one division each, rounded 1e-9.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.orders(spark, dir)
+      .groupBy((weekday(to_date(col("o_orderdate"))) + 1).cast("long")
+        .as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val tot = byDow.agg(sum(col("rev")).as("trev"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("trev").cast("double"), 9)
+          .as("share"),
+        round(col("rev").cast("double") * 7 / col("trev").cast("double"), 9)
+          .as("idx"))
+  }
+
+  private val dowSeasonalitySql =
+    """WITH g AS (
+      |  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+      |    count(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(rev) AS trev FROM g)
+      |SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE), 9) AS share,
+      |  round(CAST(rev AS DOUBLE) * 7 / CAST(trev AS DOUBLE), 9) AS idx
+      |FROM g CROSS JOIN tot""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("gini_index", giniIndex, Some(giniIndexSql)),
+    Op("benford_digits", benfordDigits, Some(benfordDigitsSql)),
+    Op("category_entropy", categoryEntropy, Some(categoryEntropySql)),
+    Op("acf_lags", acfLags, Some(acfLagsSql)),
+    Op("dow_seasonality", dowSeasonality, Some(dowSeasonalitySql)),
     Op("chi_square", chiSquare, Some(chiSquareSql)),
     Op("mann_whitney_u", mannWhitneyU, Some(mannWhitneyUSql)),
     Op("ols_regression", olsRegression, Some(olsRegressionSql)),
-    Op("cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
+    Op("cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql), bench = true),
     Op("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
   )
 }

@@ -69,6 +69,16 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("geo_knn_join: catalog-side broadcast NL + map-side top-k partials") {
+    val p = finalPlan("geo_knn_join")
+    // the 16-row facility catalog is the ONLY broadcast; per-point
+    // ranking must run as WindowGroupLimit so the top-3 filter prunes
+    // before the pt_id exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(count(p, "BroadcastExchange") == 1)
+    assert(p.contains("WindowGroupLimit"), "top-k must prune map-side")
+  }
+
   test("point_in_polygon: broadcast BNLJ, fully codegen'd predicate") {
     val p = finalPlan("point_in_polygon")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
