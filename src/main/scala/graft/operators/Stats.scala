@@ -231,13 +231,17 @@ object Stats {
     * min_{j≤i} P_j over the deviation prefix sum P, which makes CUSUM
     * two frame-bounded windows on one event_type exchange.
     *
-    * Exactness: deviations are quantized to DECIMAL(18,6) BEFORE the
-    * cumulative sum (DuckDB's windowed double sum runs on a segment
-    * tree whose addition ORDER differs from Spark's sequential frame —
-    * decimal accumulation is order-free, so the prefix sums match
-    * exactly); the mean/threshold derive from exact decimal moments,
-    * are rounded to 6 dp, and the final comparison is decimal-exact on
-    * both engines.
+    * Exactness: deviations are quantized to 6-dp LONG MICROS before
+    * the cumulative sum (DuckDB's windowed double sum runs on a
+    * segment tree whose addition ORDER differs from Spark's sequential
+    * frame — integer accumulation is order-free, so the prefix sums
+    * match exactly, and integer window sums stay in primitive codegen
+    * where the earlier DECIMAL(18,6) form paid per-row object
+    * arithmetic); the mean/threshold derive from exact decimal
+    * moments, are rounded to 6 dp, and the final comparison is
+    * integer-exact on both engines. The micros pass through
+    * DECIMAL(18,6)·10⁶ so the long conversion is exact (never a
+    * double→long cast — Spark truncates where DuckDB rounds).
     */
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val d6 = DecimalType(18, 6)
@@ -250,19 +254,20 @@ object Stats {
           .as("ss"))
       .select(col("event_type"),
         round(col("s") / col("n"), 6).as("m6"),
-        round(lit(20) * sqrt((col("ss") - col("s") * col("s") / col("n"))
-          / (col("n") - 1)), 6).cast(d6).as("h"))
+        (round(lit(20) * sqrt((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)), 6).cast(d6) * 1000000).cast("long").as("h"))
     val wp = Window.partitionBy(col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.join(broadcast(m), Seq("event_type"))
       .select(col("event_type"), col("event_id"), col("ts"), col("h"),
-        round(col("value") - col("m6"), 6).cast(d6).as("d"))
+        (round(col("value") - col("m6"), 6).cast(d6) * 1000000).cast("long")
+          .as("d"))
       .withColumn("p", sum(col("d")).over(wp))
       .withColumn("cus", col("p") - min(col("p")).over(wp))
       .where(col("cus") > col("h"))
       .select(col("event_type"), col("event_id"),
-        col("cus").cast("double").as("cusum"))
+        round(col("cus").cast("double") / 1000000, 6).as("cusum"))
   }
 
   private val cusumChangepointSql =
@@ -274,12 +279,13 @@ object Stats {
       |  FROM events GROUP BY 1),
       |th AS (
       |  SELECT event_type, round(s / n, 6) AS m6,
-      |    CAST(round(20 * sqrt((ss - s * s / n) / (n - 1)), 6)
-      |      AS DECIMAL(18,6)) AS h
+      |    CAST(CAST(round(20 * sqrt((ss - s * s / n) / (n - 1)), 6)
+      |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS h
       |  FROM m),
       |d AS (
       |  SELECT e.event_type, e.event_id, e.ts, th.h,
-      |    CAST(round(e.value - th.m6, 6) AS DECIMAL(18,6)) AS d
+      |    CAST(CAST(round(e.value - th.m6, 6) AS DECIMAL(18,6))
+      |      * 1000000 AS BIGINT) AS d
       |  FROM events e JOIN th ON e.event_type = th.event_type),
       |pre AS (
       |  SELECT event_type, event_id, ts, h,
@@ -291,7 +297,8 @@ object Stats {
       |    p - MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
       |  FROM pre)
-      |SELECT event_type, event_id, CAST(cus AS DOUBLE) AS cusum
+      |SELECT event_type, event_id,
+      |  round(CAST(cus AS DOUBLE) / 1000000, 6) AS cusum
       |FROM c WHERE cus > h""".stripMargin
 
   // ------------------------------------------------- equi-depth buckets
