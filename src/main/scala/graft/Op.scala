@@ -54,9 +54,16 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Safety net for sessions without inferTimestampNTZ=false
+      // (Sessions.scala): NTZ micros under a UTC session are the same
+      // instant, so the cast is value-exact.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -36,6 +36,13 @@ object Sessions {
       // reads it via this conf (as LongType nanos — normalized back to
       // TimestampType in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — how the
+      // driver's pandas/pyarrow writer stamps ts/o_orderdate/l_shipdate
+      // — would otherwise surface as TIMESTAMP_NTZ, which functions
+      // like unix_micros reject. Session timezone is pinned UTC above,
+      // so reading them as ordinary TIMESTAMP is value-identical and
+      // keeps every temporal operator on one type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The VM's root disk shows multi-second uninterruptible-IO stalls
       // under Spark's shuffle/temp writes; keep ephemeral state in tmpfs.
       .config("spark.local.dir", "/dev/shm/spark-local")
