@@ -517,8 +517,35 @@ object Curation {
       |    ' +', ' ', 'g')) AS norm_text
       |FROM documents)""".stripMargin
 
+  /** Importance sampling by document weight (the DSIR-family move:
+    * resample the corpus so higher-value documents survive with
+    * proportionally higher probability). Weight here is a simple
+    * length proxy, w = min(1, n_chars/400) — the op is the GATE, not
+    * the scorer. Acceptance is the stateless portable-hash coin every
+    * sampler in this engine uses (train_test_split discipline): doc
+    * survives iff hash(doc_id) mod 10⁶ < w·10⁶, with BOTH sides kept
+    * integral (n_chars·2500) so no float rounding can flip a coin
+    * between engines. Shuffle-free, any-executor-recomputable,
+    * late-data-stable — and exactly reproducible in the oracle.
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(graft.functions.CrossHash.hash60(col("doc_id").cast("string"))
+        % 1000000L < least(lit(1000000L), col("n_chars") * 2500L))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(least(lit(1.0), col("n_chars") / 400.0), 9).as("weight"))
+
+  private val importanceSampleSql = {
+    val h = graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars,
+       |  round(least(1.0, n_chars / 400.0), 9) AS weight
+       |FROM documents
+       |WHERE $h % 1000000 < least(1000000, n_chars * 2500)""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
+    Op("importance_sample", importanceSample, Some(importanceSampleSql)),
     Op("text_normalize", textNormalize, Some(textNormalizeSql)),
     Op("length_trim", lengthTrim, Some(lengthTrimSql)),
     Op("source_overlap", sourceOverlap, Some(sourceOverlapSql)),

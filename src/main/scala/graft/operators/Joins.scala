@@ -518,6 +518,88 @@ object Joins {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume orders): orders whose total line
+    * quantity clears a threshold, enriched with their customer.
+    * The defining scale shape is HAVING-gates-the-join: the lineitem
+    * aggregation reduces the fact to the qualifying orderkeys BEFORE
+    * any enrichment join runs, so orders joins a pre-shrunk relation
+    * on the orderkey shuffle and customer (the big dimension) stays on
+    * the custkey shuffle per the locked join contract. Top-100 by
+    * price with the unique orderkey as tiebreak — deterministic.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val q18LargeOrdersSql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY 1
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape (product-line profit): revenue of a name-filtered
+    * part family by supplier nation and order year. Five relations in
+    * one pass over the fact: the LIKE-filtered part keys and the
+    * supplier→nation map prune/enrich lineitem map-side (both are
+    * catalog-sized after filtering — broadcast per the dims contract),
+    * the only big exchange is the fact-fact lineitem⋈orders orderkey
+    * shuffle, and the final rollup groups on (nation, year).
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .where(col("p_name").contains("red")).select(col("p_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum((col("l_extendedprice").cast(dec)
+        * (lit(1.0).cast(dec) - col("l_discount").cast(dec))).cast(DecimalType(38, 4)))
+        .cast("double").as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q9ProfitByNationSql =
+    """SELECT nation, o_year,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(38,4))) AS DOUBLE) AS profit,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE p_name LIKE '%red%')
+      |GROUP BY 1, 2""".stripMargin
+
   /** CDC snapshot diff: old vs new table version → per-key change
     * classification (added / removed / changed), unchanged rows
     * dropped. The change-data-capture primitive behind incremental
@@ -572,6 +654,8 @@ object Joins {
     Op("q3_shipping", q3Shipping, Some(q3ShippingSql), bench = true),
     Op("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
     Op("q7_nation_volume", q7NationVolume, Some(q7NationVolumeSql)),
+    Op("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
+    Op("q9_profit_by_nation", q9ProfitByNation, Some(q9ProfitByNationSql)),
     Op("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),

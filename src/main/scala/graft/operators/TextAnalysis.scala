@@ -132,6 +132,83 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
       |        FROM documents WHERE doc_id < 40))""".stripMargin
 
+  /** Sparse cosine document similarity over word-3-gram term
+    * frequencies: the classic inverted-index join — pairs meet only
+    * through shared grams, never all-pairs. Reference-family op for
+    * near-duplicate mining where MinHash recall isn't enough and the
+    * corpus needs exact cosine on sparse features.
+    *
+    * Scale shape: per-doc gram tfs come from the lazy codegen'd
+    * ngram_explode generator (no gram array materializes); the
+    * posting-list cap (df ≤ 50) bounds the per-gram join fan-out the
+    * way every production sparse-similarity system does (a stopword-ish
+    * gram with df=10⁶ would alone emit 10¹² pairs at corpus scale —
+    * the cap makes the join output linear in corpus size at the cost
+    * of ignoring non-discriminative grams, which contribute least to
+    * the cosine anyway). The self-join is hinted shuffle_hash like the
+    * dedup family (AQE's broadcast conversion can't reuse the shared
+    * exchange). All arithmetic stays integral — counts, Σtf², dot —
+    * until one double division + sqrt, rounded 1e-9; the 0.05 floor
+    * keeps only pairs with real overlap.
+    */
+  def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    // gram HASHES are the working keys (one codegen'd byte-scan pass,
+    // no gram strings materialize anywhere — the substring_dup_spans
+    // discipline); they are internal join/group keys only, never
+    // output, so the string-keyed oracle matches value-for-value
+    import graft.functions.GraftFunctions.gram_hash_seq
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(gram_hash_seq(col("text"), lit(3))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val rare = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50).select(col("g"))
+    val kept = tf.join(rare, Seq("g"))
+    val a = kept.select(col("g"), col("doc_id").as("doc_a"),
+      col("tf").as("tf_a")).hint("shuffle_hash")
+    val b = kept.select(col("g"), col("doc_id").as("doc_b"),
+      col("tf").as("tf_b")).hint("shuffle_hash")
+    val dot = a.join(b, Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot").cast("double")
+          / sqrt((col("na2") * col("nb2")).cast("double")), 9).as("cosine"))
+      .where(col("cosine") >= 0.05)
+  }
+
+  private val sparseCosinePairsSql =
+    """WITH grams AS (
+      |  SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS g
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
+      |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+      |keep AS (
+      |  SELECT tf.doc_id, tf.g, tf.tf FROM tf
+      |  JOIN (SELECT g FROM tf GROUP BY g HAVING count(*) <= 50) d USING (g)),
+      |dot AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf) AS dot
+      |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dot, cosine FROM (
+      |  SELECT doc_a, doc_b, dot,
+      |    round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 9)
+      |      AS cosine
+      |  FROM dot
+      |  JOIN norms na ON na.doc_id = doc_a
+      |  JOIN norms nb ON nb.doc_id = doc_b)
+      |WHERE cosine >= 0.05""".stripMargin
+
   /** Gopher-style hard quality GATES — the keep/drop boolean filter
     * stage downstream of [[textQuality]]'s soft score: token-count
     * bounds, mean-token-length band, minimum stop-word fraction, and
@@ -677,5 +754,7 @@ object TextAnalysis {
     Op("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Op("token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Op("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
+    Op("sparse_cosine_pairs", sparseCosinePairs, Some(sparseCosinePairsSql),
+      bench = true),
   )
 }

@@ -260,6 +260,52 @@ class PlanContractSpec extends AnyFunSuite {
       + count(p, "BroadcastHashJoin") == 0, "novelty must be join-free")
   }
 
+  test("q18_large_orders: HAVING gates the joins; customer stays on the custkey shuffle") {
+    val p = finalPlan("q18_large_orders", "/root/testdata/sf0.01")
+    assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
+      "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
+    // the lineitem sum-qty aggregate must sit BELOW every join: the
+    // qualifying-orders relation shrinks before any enrichment runs
+    val firstJoin = Seq("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+      .map(j => { val i = p.indexOf(j); if (i < 0) Int.MaxValue else i }).min
+    val aggIdx = p.indexOf("sum_qty")
+    assert(aggIdx >= 0 && p.lastIndexOf("HashAggregate") > firstJoin,
+      "HAVING aggregate must be below the joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q9_profit_by_nation: part/supplier/nation prune map-side; fact-fact on orderkey shuffle") {
+    val p = finalPlan("q9_profit_by_nation", "/root/testdata/sf0.01")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "filtered part keys and supplier-nation map must broadcast into the fact scan")
+    assert(("ShuffledHashJoin \\[l_orderkey".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[l_orderkey".r.findFirstIn(p).isDefined
+      || "ShuffledHashJoin \\[o_orderkey".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin [l_orderkey")),
+      "lineitem joins orders on the orderkey (AQE may broadcast at test SF):\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sparse_cosine_pairs: posting-list join on the gram shuffle, never all-pairs") {
+    val p = finalPlan("sparse_cosine_pairs", "/root/testdata/sf0.01")
+    assert("ShuffledHashJoin \\[g".r.findFirstIn(p).isDefined,
+      "the doc-doc meeting point must be the shared-gram equi-join:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs path may exist")
+  }
+
+  test("item_item_cosine: PCY prune sits below the pair exchange") {
+    val p = finalPlan("item_item_cosine", "/root/testdata/sf0.01")
+    val pruneIdx = p.indexOf("pcy_prune")
+    assert(pruneIdx >= 0, "the PCY candidate filter must be in the executed plan")
+    // the prune must run MAP-side of the pair repartition: the filter
+    // appears below (after, in toString order) the exchange that
+    // carries (ia, ib) — a prune above it would shuffle everything
+    val pairExchange = p.indexOf("Exchange hashpartitioning(ia")
+    assert(pairExchange >= 0 && pruneIdx > pairExchange,
+      "prune must be below the pair exchange (map-side):\n" + p.take(2000))
+  }
+
   test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
     val p = finalPlan("hilbert_key")
     // the 16-level unrolled walk is pure per-row arithmetic: the fact

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Joins, TextAnalysis}
+
+/** Round-9 additions: Q18/Q9 join shapes, sparse-cosine doc pairs,
+  * and hash-gated importance sampling. Oracle parity pins cross-engine
+  * hashes; these pin closed-form semantics on constructed fixtures.
+  */
+class R9OpsSpec extends AnyFunSuite {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fx"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("q18_large_orders: every row clears the threshold, capped and ordered") {
+    val got = Joins.q18LargeOrders(spark, sf001).collect()
+    assert(got.nonEmpty && got.length <= 100)
+    assert(got.forall(_.getAs[Double]("sum_qty") > 150.0))
+    val prices = got.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)), "descending by totalprice")
+  }
+
+  test("q9_profit_by_nation: group totals re-add to the red-part line count") {
+    val got = Joins.q9ProfitByNation(spark, sf001).collect()
+    val nItems = got.map(_.getAs[Long]("n_items")).sum
+    val want = Tables.lineitem(spark, sf001)
+      .join(Tables.part(spark, sf001).where(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(nItems == want, s"grouped n_items $nItems != direct count $want")
+    assert(got.forall(_.getAs[Double]("profit") > 0.0))
+  }
+
+  test("sparse_cosine_pairs: identical docs hit cosine 1.0, disjoint docs never pair") {
+    val dir = java.nio.file.Files.createTempDirectory("r9cos").toString
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma nu xi")))
+    val got = TextAnalysis.sparseCosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(got((1L, 2L)) == 1.0, s"identical docs must score 1.0: $got")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "doc 3 shares no 3-gram with anyone")
+    // docs 1 and 4 share exactly one 3-gram (alpha beta gamma), each
+    // has 3 grams all tf=1: cos = 1/sqrt(3*3) = 1/3
+    assert(math.abs(got((1L, 4L)) - 1.0 / 3).abs < 1e-9)
+  }
+
+  test("importance_sample: weight-1 docs always survive; gate is deterministic") {
+    val a = Curation.importanceSample(spark, sf001)
+      .collect().map(_.getLong(0)).sorted
+    val b = Curation.importanceSample(spark, sf001)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "hash gate must be reproducible")
+    val full = Tables.documents(spark, sf001)
+      .where(col("n_chars") >= 400).count()
+    val keptFull = Curation.importanceSample(spark, sf001)
+      .where(col("n_chars") >= 400).count()
+    assert(keptFull == full, "weight saturates at 1.0 => always kept")
+    // the sample must actually drop something below saturation
+    val below = Tables.documents(spark, sf001).where(col("n_chars") < 400).count()
+    val keptBelow = Curation.importanceSample(spark, sf001)
+      .where(col("n_chars") < 400).count()
+    assert(keptBelow < below, "sub-saturation docs must be thinned")
+  }
+}
