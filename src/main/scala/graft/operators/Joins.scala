@@ -600,6 +600,114 @@ object Joins {
       |  WHERE p_name LIKE '%red%')
       |GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q4 shape (priority check): order counts by priority for a
+    * quarter, restricted to orders with at least one qualifying line —
+    * the canonical EXISTS-decorrelation: the subquery becomes a LEFT
+    * SEMI join on the orderkey shuffle, so multiplicity on the line
+    * side can never inflate the count and nothing fact-sized is
+    * broadcast. (This schema has no commit/receipt dates; the
+    * qualifying-line predicate is a discount threshold, the shape —
+    * date-windowed EXISTS semi + grouped count — is Q4's.)
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val qualifying = Tables.lineitem(spark, dir)
+      .where(col("l_discount") > 0.05).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(qualifying, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  private val q4PriorityCheckSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q12 shape (two-tier line classification): per line class,
+    * how many lines belong to critical-priority orders vs not — the
+    * CASE-bucketed double count over the fact-fact orderkey join, with
+    * the date window pruning the lineitem scan before the shuffle.
+    * (l_returnflag stands in for the schema's missing l_shipmode.)
+    */
+  def q12LineClasses(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  private val q12LineClassesSql =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 shape (promo revenue share): the month's revenue share
+    * of PROMO-type parts — conditional-over-total aggregation in one
+    * pass. The part map reaches the date-pruned fact on the partkey
+    * shuffle (part is catalog-cardinality — the q5 customer lesson, no
+    * static broadcast; AQE may still broadcast at test SF where it
+    * measures small). Revenue stays DECIMAL through both sums; one
+    * double division at the end, rounded 1e-9.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(dec)
+      * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+      .cast(DecimalType(38, 4))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+        .hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(38, 4)))).as("promo_rev"),
+        sum(rev).as("total_rev"))
+      .select(
+        round(lit(100.0) * col("promo_rev").cast("double")
+          / col("total_rev").cast("double"), 9).as("promo_share_pct"),
+        col("promo_rev").cast("double").as("promo_rev"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
+  private val q14PromoShareSql =
+    """SELECT
+      |  round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 9)
+      |    AS promo_share_pct,
+      |  CAST(promo_rev AS DOUBLE) AS promo_rev,
+      |  CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM (
+      |  SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |          * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |          AS DECIMAL(38,4))
+      |        ELSE CAST(0 AS DECIMAL(38,4)) END) AS promo_rev,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,4))) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin
+
   /** CDC snapshot diff: old vs new table version → per-key change
     * classification (added / removed / changed), unchanged rows
     * dropped. The change-data-capture primitive behind incremental
@@ -656,6 +764,9 @@ object Joins {
     Op("q7_nation_volume", q7NationVolume, Some(q7NationVolumeSql)),
     Op("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
     Op("q9_profit_by_nation", q9ProfitByNation, Some(q9ProfitByNationSql)),
+    Op("q4_priority_check", q4PriorityCheck, Some(q4PriorityCheckSql)),
+    Op("q12_line_classes", q12LineClasses, Some(q12LineClassesSql)),
+    Op("q14_promo_share", q14PromoShare, Some(q14PromoShareSql)),
     Op("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Op("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Op("upsert_catalog", upsertCatalog, Some(upsertCatalogSql)),

@@ -64,6 +64,42 @@ class R9OpsSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 4L)) - 1.0 / 3).abs < 1e-9)
   }
 
+  test("q4_priority_check: counts orders once regardless of line multiplicity") {
+    val got = Joins.q4PriorityCheck(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // direct recomputation: distinct windowed orders with >=1 deep line
+    val want = Tables.orders(spark, sf001)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf001).where(col("l_discount") > 0.05)
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"semi-join must equal distinct-then-join: $got vs $want")
+  }
+
+  test("q12_line_classes: high+low partitions every windowed line") {
+    val got = Joins.q12LineClasses(spark, sf001).collect()
+    val total = got.map(r => r.getAs[Long]("high_line_count")
+      + r.getAs[Long]("low_line_count")).sum
+    val want = Tables.lineitem(spark, sf001)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total == want, "every joined line lands in exactly one bucket")
+  }
+
+  test("q14_promo_share: share is promo/total of the same revenue") {
+    val r = Joins.q14PromoShare(spark, sf001).collect()(0)
+    val (share, promo, tot) = (r.getAs[Double]("promo_share_pct"),
+      r.getAs[Double]("promo_rev"), r.getAs[Double]("total_rev"))
+    assert(share >= 0.0 && share <= 100.0)
+    assert(math.abs(share - 100.0 * promo / tot) < 1e-6)
+    assert(promo <= tot)
+  }
+
   test("importance_sample: weight-1 docs always survive; gate is deterministic") {
     val a = Curation.importanceSample(spark, sf001)
       .collect().map(_.getLong(0)).sorted
