@@ -348,7 +348,60 @@ object GraphMetrics {
        |      / (deg.degree * (deg.degree - 1)), 9) END AS coef
        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node""".stripMargin
 
+  /** Bounded-round weighted single-source shortest paths (multi-source
+    * Bellman-Ford): every relaxation round is one join + min-agg, so
+    * round k holds the exact minimum cost over paths of ≤ k edges —
+    * the standard distributed SSSP (no priority queue to serialize
+    * through). Edge costs derive from co-location multiplicity
+    * (more co-occurrences ⇒ cheaper edge: 1/2/3 for cnt ≥3/2/1), so
+    * the metric is a contact-closeness distance. Seeds are the %50
+    * device cohort (the graph_bfs_depth convention). The oracle
+    * reproduces the same semantics as a hop-guarded recursive CTE
+    * whose UNION-dedup keeps the frontier node×cost-bounded — never
+    * path-enumerating.
+    */
+  def ssspBounded(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val w = Interactions.interactionPairsCanon(spark, dir)
+      .groupBy(col("a_caid"), col("b_caid")).agg(count(lit(1)).as("cnt"))
+    val e0 = w.select(col("a_caid").as("src"), col("b_caid").as("dst"),
+      when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L)
+        .otherwise(3L).as("cost"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"), col("cost")))
+    var dist = e.select(col("src").as("node")).distinct()
+      .where(col("node") % 50 === 0)
+      .select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds)
+      dist = dist.unionByName(
+          e.join(dist, e("src") === dist("node"))
+            .select(col("dst").as("node"), (col("d") + col("cost")).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    dist.select(col("node"), col("d").as("dist"))
+  }
+
+  private val ssspBoundedSql =
+    s"""WITH RECURSIVE p AS ($presenceSql),
+       |occ AS (
+       |  SELECT a.caid AS src, b.caid AS dst
+       |  FROM p a JOIN p b
+       |    ON a.cell = b.cell AND a.tw = b.tw AND a.caid < b.caid),
+       |w AS (SELECT src, dst, count(*) AS cnt FROM occ GROUP BY 1, 2),
+       |e0 AS (SELECT src, dst,
+       |         CASE WHEN cnt >= 3 THEN 1 WHEN cnt = 2 THEN 2 ELSE 3 END AS cost
+       |       FROM w),
+       |e AS (SELECT src, dst, cost FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst, cost FROM e0),
+       |reach(node, d, h) AS (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d, 0 AS h
+       |  FROM e WHERE src % 50 = 0
+       |  UNION
+       |  SELECT e.dst, r.d + e.cost, r.h + 1
+       |  FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.h < 3)
+       |SELECT node, min(d) AS dist FROM reach GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("sssp_bounded", (s, d) => ssspBounded(s, d), Some(ssspBoundedSql)),
     Op("kcore_membership", (s, d) => kcoreMembership(s, d), Some(kcoreMembershipSql)),
     Op("clustering_coefficient", clusteringCoefficient, Some(clusteringCoefficientSql)),
     Op("graph_bfs_depth", (s, d) => graphBfsDepth(s, d), Some(graphBfsDepthSql)),

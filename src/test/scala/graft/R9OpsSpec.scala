@@ -100,6 +100,22 @@ class R9OpsSpec extends AnyFunSuite {
     assert(promo <= tot)
   }
 
+  test("sssp_bounded: seeds at 0; costs bracket the unit-cost BFS depth") {
+    val sssp = graft.operators.GraphMetrics.ssspBounded(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfs = graft.operators.GraphMetrics.graphBfsDepth(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp.nonEmpty)
+    sssp.filter(_._1 % 50 == 0).foreach { case (n, d) =>
+      assert(d == 0L, s"seed $n must be at distance 0") }
+    // same 3-round reachability; per-edge cost ∈ [1,3] brackets depth
+    assert(sssp.keySet == bfs.keySet)
+    sssp.foreach { case (n, d) =>
+      assert(d >= bfs(n) && d <= 3 * bfs(n).max(0L) + 0L
+        || (bfs(n) == 0L && d == 0L), s"node $n: dist $d vs depth ${bfs(n)}")
+    }
+  }
+
   test("importance_sample: weight-1 docs always survive; gate is deterministic") {
     val a = Curation.importanceSample(spark, sf001)
       .collect().map(_.getLong(0)).sorted
