@@ -549,7 +549,59 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each probe
+    * vector, the top-k most-similar candidates with a DIFFERENT label
+    * (similar-but-wrong examples — the negatives that actually teach).
+    * Same scale skeleton as [[annCosineTopk]]: only the tiny probe set
+    * broadcasts, the corpus never shuffles until the per-query top-k
+    * window; the label-mismatch predicate rides the same codegen span
+    * as the dot product. At production scale the probe side is a
+    * bounded batch and the corpus side swaps in the LSH/IVF bucketed
+    * candidate generation ([[annLshBucketed]]/[[annIvf]]).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"),
+        col("label"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("label").as("clabel"))
+    val sim = (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("qlabel"), col("cand_id"),
+        col("clabel"), sim)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+  }
+
+  private val hardNegativesSql = {
+    val dotQC = dotSql("qv", "cv")
+    s"""WITH emb AS (
+       |  SELECT vec_id, $vecSql AS v,
+       |    sqrt(${dotSql(vecSql, vecSql)}) AS nrm, label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, label AS qlabel
+       |      FROM emb WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn, label AS clabel
+       |      FROM emb),
+       |scored AS (
+       |  SELECT query_id, qlabel, cand_id, clabel, $dotQC / (qn * cn) AS cosine
+       |  FROM c CROSS JOIN q WHERE qlabel != clabel)
+       |SELECT query_id, qlabel, cand_id, clabel, cosine, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),
     Op("label_centroids", labelCentroids, Some(labelCentroidsSql)),

@@ -100,6 +100,19 @@ class R9OpsSpec extends AnyFunSuite {
     assert(promo <= tot)
   }
 
+  test("hard_negatives: every mined negative crosses the label boundary") {
+    val got = graft.operators.Similarity.hardNegatives(spark, sf001).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[Int]("qlabel") != r.getAs[Int]("clabel")),
+      "a hard negative must have a different label than its probe")
+    val perQuery = got.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rows.length))
+      val cosines = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sortBy(-_)), "ranked by similarity desc")
+    }
+  }
+
   test("sssp_bounded: seeds at 0; costs bracket the unit-cost BFS depth") {
     val sssp = graft.operators.GraphMetrics.ssspBounded(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
