@@ -129,6 +129,64 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // transformWithState requires the multi-column-family (RocksDB)
+  // state store; scope the provider to these tests like StreamingSpec
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming heavy hitters: sub-capacity regime matches exact counts across micro-batches") { withRocksDb {
+    import graft.streaming.StreamingHeavyHitters
+    val dir = java.nio.file.Files.createTempDirectory("r9hh").toString + "/docs"
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("text")).cache()
+    // two files => two micro-batches => the second batch's summaries
+    // must carry the first batch's state forward
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(dir)
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamingHeavyHitters.trendingTokens(spark, dir)
+      .writeStream.outputMode("update").format("memory").queryName("hh_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the corpus vocabulary is far below bucket capacity, so no
+    // decrement ever fires and estimates only grow: the max emission
+    // per token IS the exact whole-stream count
+    val streamed = spark.table("hh_out")
+      .groupBy(col("token")).agg(max(col("est")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == exact,
+      s"sub-capacity MG must be exact: ${streamed.size} vs ${exact.size} tokens")
+  } }
+
+  test("streaming heavy hitters: over-capacity shard still surfaces the heavy token") { withRocksDb {
+    import spark.implicits._
+    import graft.streaming.StreamingHeavyHitters
+    val dir = java.nio.file.Files.createTempDirectory("r9hh2").toString + "/docs"
+    // one heavy token (40%) + 6 light ones through a capacity-2 summary
+    val text = (Seq.fill(40)("heavy") ++ (1 to 60).map(i => s"w${i % 6}"))
+      .mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(dir)
+    val q = StreamingHeavyHitters.trendingTokens(spark, dir,
+        buckets = 1, capacity = 2)
+      .writeStream.outputMode("update").format("memory").queryName("hh2_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("hh2_out").select("token")
+      .collect().map(_.getString(0)).toSet
+    // true count 40 > 100/(2+1) => MG guarantees presence
+    assert(kept.contains("heavy"), s"guaranteed heavy hitter missing from $kept")
+  } }
+
   test("importance_sample: weight-1 docs always survive; gate is deterministic") {
     val a = Curation.importanceSample(spark, sf001)
       .collect().map(_.getLong(0)).sorted
