@@ -101,6 +101,14 @@ object GraftFunctions {
       }),
     ("ngram_explode", "ngram_explode(text, n) - lazy (pos, ngram) rows per word n-gram",
       es => NgramExplodeExpr(es(0), es(1))),
+    ("topk_pairs", "topk_pairs(score, id, k) - k largest (score, id) pairs, bounded-heap agg",
+      es => {
+        require(es(2).foldable, "topk_pairs: k must be a literal")
+        val k = es(2).eval()
+        require(k != null, "topk_pairs: k must be non-null")
+        TopKPairsAgg(es(0), es(1), k.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("pcy_sketch", "pcy_sketch(hash, bits) - saturating bucket-count sketch (PCY candidate pass)",
       es => {
         require(es(1).foldable, "pcy_sketch: bits must be a literal")

@@ -945,7 +945,36 @@ object Analytics {
       |  min(v) AS ks_at
       |FROM j, m WHERE diff = md GROUP BY n0, n1, md""".stripMargin
 
+  /** Per-group top-k through the bounded-heap aggregate
+    * (functions/TopKAgg.scala) instead of the row_number window: the
+    * window idiom exchanges and sorts EVERY input row; the heap
+    * aggregate keeps ≤ k candidates per partition per group map-side,
+    * so the exchange carries at most k pairs per (partition, group)
+    * and the fact relation itself never shuffles. Unique ids make the
+    * (value DESC, id ASC) order tie-free, so the result is
+    * merge-order-independent and matches the window-idiom oracle
+    * exactly.
+    */
+  def groupedTopkAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(call_function("topk_pairs", col("value"), col("event_id"), lit(5))
+        .as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").as("value"), col("col.id").as("event_id"))
+
+  private val groupedTopkAggSql =
+    """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, value, event_id FROM (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id ASC) AS rnk
+      |  FROM events WHERE value IS NOT NULL)
+      |WHERE rnk <= 5""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("grouped_topk_agg", groupedTopkAgg, Some(groupedTopkAggSql)),
     Op("array_hof", arrayHof, Some(arrayHofSql)),
     Op("spearman_corr", spearmanCorr, Some(spearmanCorrSql)),
     Op("ks_test", ksTest, Some(ksTestSql)),

@@ -306,6 +306,14 @@ class PlanContractSpec extends AnyFunSuite {
       "prune must be below the pair exchange (map-side):\n" + p.take(2000))
   }
 
+  test("grouped_topk_agg: bounded-heap agg — no window, no sort of the input") {
+    val p = finalPlan("grouped_topk_agg")
+    assert(!p.contains("Window"), "top-k must not use the window idiom")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "one exchange on the group key, carrying only k candidates per partition")
+    assert(!p.contains("Sort "), "the input relation must never be sorted:\n" + p.take(1500))
+  }
+
   test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
     val p = finalPlan("hilbert_key")
     // the 16-level unrolled walk is pure per-row arithmetic: the fact

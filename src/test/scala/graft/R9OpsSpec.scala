@@ -187,6 +187,22 @@ class R9OpsSpec extends AnyFunSuite {
     assert(kept.contains("heavy"), s"guaranteed heavy hitter missing from $kept")
   } }
 
+  test("grouped_topk_agg: heap aggregate equals the window idiom row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Analytics.groupedTopkAgg(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = Tables.events(spark, sf001)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"),
+        org.apache.spark.sql.functions.row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("importance_sample: weight-1 docs always survive; gate is deterministic") {
     val a = Curation.importanceSample(spark, sf001)
       .collect().map(_.getLong(0)).sorted
