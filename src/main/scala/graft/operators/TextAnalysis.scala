@@ -197,7 +197,8 @@ object TextAnalysis {
       |  SELECT tf.doc_id, tf.g, tf.tf FROM tf
       |  JOIN (SELECT g FROM tf GROUP BY g HAVING count(*) <= 50) d USING (g)),
       |dot AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf) AS dot
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
       |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, dot, cosine FROM (
