@@ -91,7 +91,64 @@ object Scaling {
     counts.toMap
   }
 
+  /** Exact largest-remainder proration: split each order's total
+    * (in integer cents) across its lines proportional to quantity,
+    * with the per-order cent sum landing EXACTLY on the total — the
+    * [[scaledSizes]] discipline applied per group instead of
+    * globally. All-integer arithmetic: floor shares via integer
+    * division, remainders ranked by fractional part (modulus) with
+    * the line number as the deterministic tiebreak, top-r lines get
+    * the extra cent. Scale shape: one orderkey shuffle shared by the
+    * join and every window — no global sort, no driver round-trip.
+    */
+  def prorateExact(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("qsum", sum(col("qty")).over(wOrd))
+    val cents = li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("base", expr("(cents * qty) div qsum"))
+      .withColumn("frac", (col("cents") * col("qty")) % col("qsum"))
+    cents
+      .withColumn("rem", col("cents") - sum(col("base")).over(wOrd))
+      .withColumn("rnk", row_number().over(
+        wOrd.orderBy(col("frac").desc, col("l_linenumber").asc)))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("base") + when(col("rnk") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+  }
+
+  private val prorateExactSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      |    SUM(CAST(l_quantity AS BIGINT))
+      |      OVER (PARTITION BY l_orderkey) AS qsum
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT l_orderkey, l_linenumber, qty, qsum,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+      |b AS (
+      |  SELECT l_orderkey, l_linenumber, cents,
+      |    (cents * qty) // qsum AS base,
+      |    (cents * qty) % qsum AS frac
+      |  FROM j)
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  CAST(base + (CASE WHEN rnk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS alloc_cents
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, base,
+      |    cents - SUM(base) OVER (PARTITION BY l_orderkey) AS rem,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY frac DESC, l_linenumber ASC) AS rnk
+      |  FROM b)""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("prorate_exact", prorateExact, Some(prorateExactSql)),
     Op("scaled_sizes", scaledSizesExact, Some(scaledSizesExactSql)),
   )
 }

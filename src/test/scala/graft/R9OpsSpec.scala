@@ -203,6 +203,19 @@ class R9OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prorate_exact: per-order cent allocations sum exactly to the order total") {
+    val alloc = graft.operators.Scaling.prorateExact(spark, sf001)
+    val sums = alloc.groupBy(col("l_orderkey"))
+      .agg(sum(col("alloc_cents")).as("s"))
+    val want = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val off = sums.join(want, col("l_orderkey") === col("o_orderkey"))
+      .where(col("s") =!= col("cents"))
+    assert(off.count() == 0, "largest-remainder must land exactly on the total")
+    assert(alloc.where(col("alloc_cents") < 0).count() == 0)
+  }
+
   test("importance_sample: weight-1 docs always survive; gate is deterministic") {
     val a = Curation.importanceSample(spark, sf001)
       .collect().map(_.getLong(0)).sorted
