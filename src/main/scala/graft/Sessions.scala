@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * same engine configuration.
   */
 object Sessions {
+  private val localDir =
+    sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+  private val localDirIsTmpfs = localDir.startsWith("/dev/shm")
+
   def build(appName: String, cpus: String): SparkSession =
     SparkSession.builder()
       .appName(appName)
@@ -45,15 +49,16 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The VM's root disk shows multi-second uninterruptible-IO stalls
       // under Spark's shuffle/temp writes; keep ephemeral state in tmpfs.
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      // Shuffle blocks live in tmpfs (above): compression buys no IO
-      // and costs CPU in the row-heavy exchanges. On a disk/network
-      // cluster leave it on (the default) — this is a local-layout
-      // knob, not a plan-shape one.
-      .config("spark.shuffle.compress",
-        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "false"))
-      .config("spark.shuffle.spill.compress",
-        sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.local.dir", localDir)
+      // Compression off is justified ONLY by the tmpfs local.dir:
+      // shuffle blocks in RAM buy no IO from lz4 and pay its CPU in
+      // the row-heavy exchanges. The default is therefore DERIVED from
+      // where the blocks actually live — a disk-backed GRAFT_LOCAL_DIR
+      // flips compression back on unless explicitly overridden.
+      .config("spark.shuffle.compress", sys.env.getOrElse(
+        "GRAFT_SHUFFLE_COMPRESS", (!localDirIsTmpfs).toString))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse(
+        "GRAFT_SHUFFLE_COMPRESS", (!localDirIsTmpfs).toString))
       // bucketed-table ops (bucketed_join_agg) write managed tables;
       // keep the warehouse out of the repo and off the stalling root fs
       .config("spark.sql.warehouse.dir",

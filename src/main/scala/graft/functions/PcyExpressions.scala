@@ -123,6 +123,18 @@ case class PcyPruneExpr(child: Expression, sketch: Array[Byte], min: Int)
   override def prettyName: String = "pcy_prune"
   override protected def withNewChildInternal(newChild: Expression): PcyPruneExpr =
     copy(child = newChild)
+
+  // case-class equality on an Array field is reference identity, which
+  // would make semantically identical prune predicates compare unequal
+  // and defeat common-subexpression elimination / exchange reuse over
+  // the pruned subtrees — compare the sketch by CONTENT
+  override def equals(o: Any): Boolean = o match {
+    case p: PcyPruneExpr => p.child == child && p.min == min &&
+      java.util.Arrays.equals(p.sketch, sketch)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(sketch)) + min
 }
 
 /** `pcy_prune(hash, sketch, min)` with the sketch as an EXPRESSION —

@@ -37,12 +37,22 @@ case class TopKPairsAgg(
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Long)]]
   with BinaryLike[Expression] {
 
-  require(k >= 1 && k <= (1 << 20), s"topk_pairs: k out of range: $k")
+  // the offer() path is a linear scan per non-inserted candidate —
+  // only sane for small k (the per-group-top-N use case); a real heap
+  // would be the next step if the bound ever needs to grow
+  require(k >= 1 && k <= 4096, s"topk_pairs: k out of range: $k")
 
   // ascending order of "badness": worst-kept candidate first.
   // (a, idA) beats (b, idB) iff a > b, or a == b && idA < idB.
-  private def worseThan(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+  // Double.compare, NOT raw </==: raw comparisons make NaN
+  // un-insertable (every compare false) and the eval sort comparator
+  // inconsistent, while Double.compare ranks NaN above every finite
+  // value — exactly how Spark's window ORDER BY value DESC and the
+  // oracle treat it.
+  private def worseThan(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c < 0 || (c == 0 && a._2 > b._2)
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
     mutable.ArrayBuffer.empty
@@ -80,8 +90,8 @@ case class TopKPairsAgg(
   }
 
   override def eval(buffer: mutable.ArrayBuffer[(Double, Long)]): Any = {
-    val sorted = buffer.sortWith((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    // same total order as worseThan (Double.compare handles NaN)
+    val sorted = buffer.sortWith((a, b) => worseThan(b, a))
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i)
     }.toArray[Any])

@@ -556,11 +556,15 @@ object Joins {
 
   /** TPC-H Q9 shape (product-line profit): revenue of a name-filtered
     * part family by supplier nation and order year. Five relations in
-    * one pass over the fact: the LIKE-filtered part keys and the
-    * supplier→nation map prune/enrich lineitem map-side (both are
-    * catalog-sized after filtering — broadcast per the dims contract),
-    * the only big exchange is the fact-fact lineitem⋈orders orderkey
-    * shuffle, and the final rollup groups on (nation, year).
+    * one pass over the fact: the supplier→nation map enriches lineitem
+    * map-side (supplier broadcasts per the locked q5/q7 contract); the
+    * LIKE-filtered part keys stay on the partkey SHUFFLE — part is
+    * catalog-cardinality (~10⁹ keys at 100 TB even after the name
+    * filter; the q5 customer lesson), so a static broadcast would OOM
+    * at scale while AQE may still broadcast at test SF where it
+    * measures small. The only other big exchange is the fact-fact
+    * lineitem⋈orders orderkey shuffle; the final rollup groups on
+    * (nation, year).
     */
   def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
     val redParts = Tables.part(spark, dir)
@@ -570,7 +574,7 @@ object Joins {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(redParts.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))

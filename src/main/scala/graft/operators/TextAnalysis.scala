@@ -179,8 +179,13 @@ object TextAnalysis {
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("dot"),
+        // widen BEFORE multiplying: na2*nb2 as longs wraps negative
+        // for degenerate high-tf documents (sqrt→NaN would silently
+        // drop exactly the long-document near-dupes); double×double
+        // is the identical IEEE sequence the oracle runs
         round(col("dot").cast("double")
-          / sqrt((col("na2") * col("nb2")).cast("double")), 9).as("cosine"))
+          / sqrt(col("na2").cast("double") * col("nb2").cast("double")), 9)
+          .as("cosine"))
       .where(col("cosine") >= 0.05)
   }
 
@@ -203,7 +208,8 @@ object TextAnalysis {
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, dot, cosine FROM (
       |  SELECT doc_a, doc_b, dot,
-      |    round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 9)
+      |    round(CAST(dot AS DOUBLE)
+      |      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 9)
       |      AS cosine
       |  FROM dot
       |  JOIN norms na ON na.doc_id = doc_a

@@ -40,10 +40,14 @@ object StreamingHeavyHitters {
       // classic update (increment / insert / decrement-all), write back
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       counters.iterator().foreach { case (t, c) => m(t) = c }
+      // tokens evicted THIS batch get an est=0 tombstone, so a
+      // latest-value consumer of the Update stream never keeps a
+      // stale estimate for a token the summary no longer tracks
+      val evicted = scala.collection.mutable.HashSet.empty[String]
       rows.foreach { r =>
         val t = r.token
         if (m.contains(t)) m(t) += 1L
-        else if (m.size < capacity) m(t) = 1L
+        else if (m.size < capacity) { m(t) = 1L; evicted.remove(t); () }
         else {
           // decrement-all; evict zeros (at most `capacity` work per
           // non-resident token — the MG amortized step)
@@ -52,12 +56,13 @@ object StreamingHeavyHitters {
             val v = m(k) - 1L
             if (v == 0L) dead += k else m(k) = v
           }
-          dead.foreach(m.remove)
+          dead.foreach { k => m.remove(k); evicted.add(k) }
         }
       }
       counters.clear()
       m.foreach { case (t, c) => counters.updateValue(t, c) }
-      m.iterator.map { case (t, c) => Hit(key, t, c) }
+      m.iterator.map { case (t, c) => Hit(key, t, c) } ++
+        evicted.iterator.map(t => Hit(key, t, 0L))
     }
   }
 

@@ -274,10 +274,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q9_profit_by_nation: part/supplier/nation prune map-side; fact-fact on orderkey shuffle") {
+  test("q9_profit_by_nation: supplier/nation broadcast; part stays on the partkey shuffle") {
     val p = finalPlan("q9_profit_by_nation", "/root/testdata/sf0.01")
     assert(count(p, "BroadcastHashJoin") >= 2,
-      "filtered part keys and supplier-nation map must broadcast into the fact scan")
+      "nation into supplier and the supplier-nation map must broadcast")
+    assert(("ShuffledHashJoin \\[l_partkey".r.findFirstIn(p).isDefined
+      || "ShuffledHashJoin \\[p_partkey".r.findFirstIn(p).isDefined),
+      "part is catalog-cardinality: it must reach the fact via the partkey " +
+        "shuffle, never a static broadcast:\n" + p.take(2000))
     assert(("ShuffledHashJoin \\[l_orderkey".r.findFirstIn(p).isDefined
       || "SortMergeJoin \\[l_orderkey".r.findFirstIn(p).isDefined
       || "ShuffledHashJoin \\[o_orderkey".r.findFirstIn(p).isDefined

@@ -71,6 +71,21 @@ class TopKAggPropertySpec extends AnyFunSuite {
       List((7.5, 2L), (7.5, 9L), (3.0, 0L), (3.0, 1L), (1.0, 4L)))
   }
 
+  test("NaN ranks above every finite score, matching Spark's DESC window order") {
+    val a = agg
+    val b = a.createAggregationBuffer()
+    // fill to capacity with finite scores first, THEN offer NaN: it
+    // must displace the worst element (raw < comparisons would make it
+    // un-insertable — every NaN compare is false)
+    Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 5L))
+      .foreach { case (sc, id) => a.update(b, InternalRow(sc, id)) }
+    a.update(b, InternalRow(Double.NaN, 6L))
+    val got = evalPairs(a, b)
+    assert(got.head._2 == 6L && got.head._1.isNaN,
+      s"NaN must rank first: $got")
+    assert(got.map(_._2) == List(6L, 5L, 4L, 3L, 2L))
+  }
+
   test("null scores and ids are skipped, not crashed on") {
     val a = agg
     val b = a.createAggregationBuffer()
