@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   private val localDir =
     sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-  private val localDirIsTmpfs = localDir.startsWith("/dev/shm")
+  // Exact-path match: a sibling like /dev/shm-backup is NOT tmpfs and
+  // must keep shuffle compression on.
+  private val localDirIsTmpfs =
+    localDir == "/dev/shm" || localDir.startsWith("/dev/shm/")
 
   def build(appName: String, cpus: String): SparkSession =
     SparkSession.builder()

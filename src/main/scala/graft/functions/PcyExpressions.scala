@@ -163,12 +163,24 @@ case class PcyPruneSubqueryExpr(left: Expression, right: Expression, min: Int)
 
   override def nullSafeEval(key: Any, sketch: Any): Any = {
     val sk = sketch.asInstanceOf[Array[Byte]]
+    // `len - 1` only masks when len is a non-zero power of two (the
+    // shape pcy_sketch produces); anything else would silently index
+    // the wrong bucket or throw on an empty array — fail loudly.
+    if (sk.length == 0 || Integer.bitCount(sk.length) != 1)
+      throw new IllegalArgumentException(
+        s"pcy_prune: sketch length must be a non-zero power of two " +
+          s"(a pcy_sketch output), got ${sk.length}")
     sk((key.asInstanceOf[Long] & (sk.length - 1L)).toInt) >= min
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (k, sk) =>
-      s"${ev.value} = ($sk[(int) ($k & ((long) $sk.length - 1L))] >= $min);")
+    nullSafeCodeGen(ctx, ev, (k, sk) => s"""
+      |if ($sk.length == 0 || java.lang.Integer.bitCount($sk.length) != 1) {
+      |  throw new IllegalArgumentException(
+      |    "pcy_prune: sketch length must be a non-zero power of two (a pcy_sketch output), got " + $sk.length);
+      |}
+      |${ev.value} = ($sk[(int) ($k & ((long) $sk.length - 1L))] >= $min);
+      |""".stripMargin)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "pcy_prune"

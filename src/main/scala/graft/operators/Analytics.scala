@@ -596,6 +596,13 @@ object Analytics {
     * of a useful score shows lift ≫ 1. Rates are exact-integer
     * divisions in double; the global base rate joins back as a
     * broadcast scalar.
+    *
+    * Scale shape: the decile cut is NOT a global `ntile` window (which
+    * single-partitions the corpus) — it's the exact distributed rank
+    * from [[RangeRank]] (sampled range buckets + broadcast offsets +
+    * partitioned windows) fed through the closed-form ntile formula.
+    * Same hash as the oracle's `ntile(10)`, zero corpus-sized
+    * single-partition stages (PlanContractSpec pins this).
     */
   def decileLift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -603,8 +610,10 @@ object Analytics {
         (col("event_type") === "purchase").cast("long").as("converted"))
     val base = ev.agg(
       (sum(col("converted")).cast("double") / count(lit(1))).as("base_rate"))
-    ev.withColumn("decile", ntile(10).over(
-        Window.orderBy(col("value").desc, col("event_id").asc)))
+    RangeRank.withRankDesc(ev, "value", "event_id", "rnk",
+        totalOut = Some("ntot"))
+      .withColumn("decile",
+        RangeRank.ntileFromRank(col("rnk"), col("ntot"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         sum(col("converted")).as("n_converted"))
@@ -957,7 +966,11 @@ object Analytics {
     */
   def groupedTopkAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .where(col("value").isNotNull)
+      // the heap aggregate's update requires BOTH children non-null —
+      // filter event_id explicitly on both sides so the oracle
+      // equivalence is pinned rather than resting on fixture
+      // non-nullness
+      .where(col("value").isNotNull && col("event_id").isNotNull)
       .groupBy(col("event_type"))
       .agg(call_function("topk_pairs", col("value"), col("event_id"), lit(5))
         .as("tk"))
@@ -970,7 +983,7 @@ object Analytics {
       |  SELECT event_type, value, event_id,
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY value DESC, event_id ASC) AS rnk
-      |  FROM events WHERE value IS NOT NULL)
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
       |WHERE rnk <= 5""".stripMargin
 
   val ops: Seq[Op] = Seq(

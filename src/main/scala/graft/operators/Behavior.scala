@@ -75,25 +75,25 @@ object Behavior {
     * boundary row lands in A deterministically in both engines.
     *
     * Scale shape: one exchange on custkey for the revenue rollup; the
-    * ranked cumulative walk runs over the customers-sized relation
-    * (the decile_lift / KS global-window shape), and the 1-row grand
-    * total broadcasts.
+    * global cumulative walk is the [[RangeRank]] distributed
+    * prefix-sum (sampled range buckets + broadcast bucket offsets +
+    * partitioned windows), NOT a single-partition window — at 10⁷–10⁸
+    * customers the naive `SUM OVER (ORDER BY …)` puts the whole
+    * customer relation in one task. The 1-row grand total broadcasts.
     */
   def paretoContribution(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(dec)).as("revenue"))
     val tot = rev.agg(sum(col("revenue")).as("grand"))
-    val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
     // every ratio divides the exact decimal sums AS DOUBLES — Spark's
     // decimal/decimal division truncates the result scale (≈6 digits)
     // while DuckDB keeps more, so the quotient must be IEEE on both
-    rev.crossJoin(broadcast(tot))
-      .withColumn("cum_before",
-        coalesce(sum(col("revenue")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec)))
+    RangeRank.withRunningDesc(rev,
+        "revenue", "o_custkey", col("revenue"), "cum_incl")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_before", col("cum_incl") - col("revenue"))
       .select(col("o_custkey"),
         col("revenue").cast("double").as("revenue"),
         round(col("revenue").cast("double") / col("grand").cast("double"), 9)
@@ -233,13 +233,14 @@ object Behavior {
     * by ntile(4) with full deterministic ordering (metric, then
     * user_id) so bucket edges are engine-identical.
     *
-    * Scale note: the per-user rollup is one exchange; the three ntile
-    * windows run over the USER relation (not events), which is already
-    * orders of magnitude smaller — but a global ntile still
-    * single-partitions that relation. At 100 TB-of-users the
-    * production spelling replaces ntile with approx-quantile cutoffs
-    * (see `percentile_approx_sketch`) joined back as range predicates;
-    * the quartile SEMANTICS here are the contract.
+    * Scale note: the per-user rollup is one exchange; the three
+    * quartile cuts are NOT global ntile windows (each would
+    * single-partition the user relation — 10⁷–10⁸ rows in production).
+    * Each is the [[RangeRank]] exact distributed rank (approx-quantile
+    * range buckets + broadcast offsets + partitioned windows) fed
+    * through the closed-form ntile formula — hash-identical to the
+    * oracle's `ntile(4)`, zero single-partition stages over users
+    * (PlanContractSpec pins this).
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -249,12 +250,16 @@ object Behavior {
       .agg(max(col("ts")).as("last_purchase"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast(DecimalType(18, 6))).as("monetary"))
-    def quart(c: String) = ntile(4).over(
-      Window.orderBy(col(c).desc, col("user_id").asc))
-    rfm
-      .withColumn("r_score", quart("last_purchase"))
-      .withColumn("f_score", quart("frequency"))
-      .withColumn("m_score", quart("monetary"))
+    def quart(df: DataFrame, c: String, score: String): DataFrame =
+      RangeRank.withRankDesc(df, c, "user_id", s"__rk_$score",
+          totalOut = Some(s"__n_$score"))
+        .withColumn(score, RangeRank.ntileFromRank(
+          col(s"__rk_$score"), col(s"__n_$score"), 4))
+        .drop(s"__rk_$score", s"__n_$score")
+    val scored = quart(quart(quart(rfm,
+      "last_purchase", "r_score"), "frequency", "f_score"),
+      "monetary", "m_score")
+    scored
       .select(col("user_id"), col("last_purchase"), col("frequency"),
         col("monetary").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

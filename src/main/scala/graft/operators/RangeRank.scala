@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranks / running sums WITHOUT a single-partition window.
+  *
+  * The naive spelling of `ntile`, `row_number() OVER (ORDER BY …)`, or a
+  * global cumulative sum plans as `Exchange SinglePartition` + one sorted
+  * window task over the whole relation — the classic scale-killer
+  * (VERDICT r5 #2/#3). This helper computes the same EXACT answer as the
+  * global window through the distributed two-pass shape:
+  *
+  *   1. sample ~`buckets` approximate quantile cutoffs of the sort key
+  *      (one cheap pass; driver gets `buckets-1` doubles — a bounded
+  *      collect, same class as length_trim's broadcast bounds);
+  *   2. assign each row a RANGE bucket by comparing its key against the
+  *      broadcast cutoffs — a pure map, no exchange. Bucket boundaries
+  *      only affect BALANCE, never the answer: any monotone bucketing
+  *      that keeps ties together yields the same global order, so the
+  *      approximation in step 1 is free of correctness risk (and so is
+  *      its run-to-run merge-order nondeterminism);
+  *   3. per-bucket totals (≤ `buckets` rows) cumsum on a bounded window
+  *      and broadcast back as offsets;
+  *   4. the running aggregate inside each bucket is an ordinary
+  *      partitioned window; offset + in-bucket running value = the exact
+  *      global running value.
+  *
+  * Nothing corpus-sized ever single-partitions and no stage depends on
+  * physical partition ids (a `spark_partition_id`-based spelling would
+  * break under AQE's per-consumer coalescing of a reused exchange — the
+  * bucket here is derived from the DATA, so every branch agrees on it).
+  *
+  * Skew caveat: one pathologically hot key value lands in one bucket
+  * (ties must stay together). That bucket degrades to the relation's
+  * tie-group size — strictly better than the global window it replaces,
+  * which degrades to the WHOLE relation.
+  */
+object RangeRank {
+
+  /** `df` + column `out` = exact running sum of `value` in
+    * (`keyName` DESC NULLS LAST, `tieName` ASC) order, inclusive of the
+    * current row. `totalOut`, when set, adds the grand total of `value`
+    * as a column (from the same bounded offsets relation — no extra
+    * corpus pass).
+    */
+  def withRunningDesc(df: DataFrame, keyName: String, tieName: String,
+      value: Column, out: String, buckets: Int = 64,
+      totalOut: Option[String] = None): DataFrame = {
+    require(buckets >= 2, s"RangeRank: need >= 2 buckets, got $buckets")
+    val b = s"__rr_b_$out"
+    val v = s"__rr_v_$out"
+    val keyed = df.withColumn(v, value)
+      .withColumn(b, bucketDesc(df, keyName, buckets))
+    var offs = keyed.groupBy(col(b)).agg(sum(col(v)).as("__rr_bt"))
+      .withColumn("__rr_off", coalesce(
+        sum(col("__rr_bt")).over(Window.orderBy(col(b).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    offs = totalOut match {
+      case Some(t) => offs.withColumn(t,
+        sum(col("__rr_bt")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(b), col("__rr_off"), col(t))
+      case None => offs.select(col(b), col("__rr_off"))
+    }
+    keyed.join(broadcast(offs), Seq(b))
+      .withColumn(out, col("__rr_off") + sum(col(v)).over(
+        Window.partitionBy(col(b))
+          .orderBy(col(keyName).desc, col(tieName).asc)
+          // explicit ROWS frame: the default RANGE frame would lump
+          // order-peers, silently breaking rank semantics if a caller
+          // ever passes a non-tie-free ordering
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop(b, v, "__rr_off")
+  }
+
+  /** `df` + column `out` = exact global rank (1-based, `row_number`
+    * semantics — the (`keyName`, `tieName`) order must be tie-free) in
+    * (`keyName` DESC NULLS LAST, `tieName` ASC) order.
+    */
+  def withRankDesc(df: DataFrame, keyName: String, tieName: String,
+      out: String, buckets: Int = 64,
+      totalOut: Option[String] = None): DataFrame =
+    withRunningDesc(df, keyName, tieName, lit(1L), out, buckets, totalOut)
+
+  /** Exact `ntile(k)` value from a global rank and the relation total —
+    * SQL-standard semantics: the first `total mod k` tiles get
+    * `floor(total/k)+1` rows, the rest `floor(total/k)`. Integer-exact
+    * via the multiple-trick floor-div (`(a - a mod b) / b` divides an
+    * exact multiple, so the double division is exact for all longs).
+    */
+  def ntileFromRank(rank: Column, total: Column, k: Int): Column = {
+    def floorDiv(a: Column, bc: Column): Column =
+      ((a - pmod(a, bc)) / bc).cast("long")
+    val base = floorDiv(total, lit(k.toLong))
+    val rem = pmod(total, lit(k.toLong))
+    val cut = (base + lit(1L)) * rem
+    when(rank <= cut, floorDiv(rank + base, base + lit(1L)))
+      .otherwise(rem + floorDiv(rank - cut + base - lit(1L),
+        greatest(base, lit(1L))))
+      .cast("int")
+  }
+
+  /** Range-bucket assignment for a DESC ordering: bucket = number of
+    * sampled cutoffs strictly above the key (nulls → last bucket, the
+    * DESC NULLS LAST position). Monotone non-increasing in the key and
+    * tie-preserving by construction.
+    */
+  private def bucketDesc(df: DataFrame, keyName: String, buckets: Int): Column = {
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = df.select(col(keyName).cast("double").as(keyName))
+      .stat.approxQuantile(keyName, probes, 0.01)
+      .distinct.sorted
+    if (cuts.isEmpty) lit(0L)
+    else {
+      val arr = typedlit(cuts)
+      when(col(keyName).isNull, lit(cuts.length.toLong))
+        .otherwise(size(filter(arr,
+          c => c > col(keyName).cast("double"))).cast("long"))
+    }
+  }
+}

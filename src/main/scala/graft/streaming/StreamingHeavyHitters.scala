@@ -40,14 +40,16 @@ object StreamingHeavyHitters {
       // classic update (increment / insert / decrement-all), write back
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       counters.iterator().foreach { case (t, c) => m(t) = c }
-      // tokens evicted THIS batch get an est=0 tombstone, so a
-      // latest-value consumer of the Update stream never keeps a
-      // stale estimate for a token the summary no longer tracks
-      val evicted = scala.collection.mutable.HashSet.empty[String]
+      // tombstone candidates are ONLY the tokens a downstream
+      // latest-value consumer could hold a stale estimate for — i.e.
+      // residents at batch START. Tokens that are inserted and evicted
+      // within this same batch were never emitted, so a tombstone for
+      // them would be pure Update-stream noise.
+      val residentAtStart = Set.empty[String] ++ m.keysIterator
       rows.foreach { r =>
         val t = r.token
         if (m.contains(t)) m(t) += 1L
-        else if (m.size < capacity) { m(t) = 1L; evicted.remove(t); () }
+        else if (m.size < capacity) m(t) = 1L
         else {
           // decrement-all; evict zeros (at most `capacity` work per
           // non-resident token — the MG amortized step)
@@ -56,13 +58,13 @@ object StreamingHeavyHitters {
             val v = m(k) - 1L
             if (v == 0L) dead += k else m(k) = v
           }
-          dead.foreach { k => m.remove(k); evicted.add(k) }
+          dead.foreach(m.remove)
         }
       }
       counters.clear()
       m.foreach { case (t, c) => counters.updateValue(t, c) }
       m.iterator.map { case (t, c) => Hit(key, t, c) } ++
-        evicted.iterator.map(t => Hit(key, t, 0L))
+        residentAtStart.iterator.filterNot(m.contains).map(t => Hit(key, t, 0L))
     }
   }
 

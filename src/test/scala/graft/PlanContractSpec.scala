@@ -318,6 +318,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), "the input relation must never be sorted:\n" + p.take(1500))
   }
 
+  test("decile_lift: distributed rank — no ntile, corpus window bucket-partitioned") {
+    val p = finalPlan("decile_lift")
+    // the decile cut must come from the RangeRank closed form, never a
+    // global ntile window over the events relation
+    assert(!p.contains("ntile("), "no global ntile over the corpus")
+    // the corpus-sized running-count window is partitioned by the
+    // sampled range bucket and fed by a hash exchange on it
+    assert(p.contains("windowspecdefinition(__rr_b_")
+      && count(p, "Exchange hashpartitioning(__rr_b_") >= 1, p.take(2000))
+    // the only single-partition stages are bounded: the <=64-row
+    // bucket-totals cumsum and the 1-row base-rate scalar agg
+    assert(count(p, "Exchange SinglePartition") <= 2,
+      "corpus-sized relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("pareto_contribution: distributed prefix-sum — customer relation never single-partitions") {
+    val p = finalPlan("pareto_contribution")
+    // only the <=64-row bucket-totals cumsum and the 1-row grand-total
+    // agg may single-partition; the customer-revenue walk is the
+    // RangeRank bucket-partitioned window
+    assert(p.contains("windowspecdefinition(__rr_b_")
+      && count(p, "Exchange hashpartitioning(__rr_b_") >= 1, p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 2,
+      "customer relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("rfm_segments: three distributed quartile cuts — user relation never single-partitions") {
+    val p = finalPlan("rfm_segments")
+    assert(!p.contains("ntile("), "no global ntile over the user relation")
+    // three RangeRank passes: three bucket-partitioned corpus windows;
+    // single-partition stages are only the three <=64-row bucket-totals
+    // cumsums
+    assert(count(p, "Exchange hashpartitioning(__rr_b_") >= 3, p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 3,
+      "user relation must never single-partition:\n" + p.take(2000))
+  }
+
   test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
     val p = finalPlan("hilbert_key")
     // the 16-level unrolled walk is pure per-row arithmetic: the fact
