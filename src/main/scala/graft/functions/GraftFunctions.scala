@@ -69,6 +69,8 @@ object GraftFunctions {
       es => GramHashSeqExpr(es(0), es(1))),
     ("gram_hash_set", "gram_hash_set(text, k) - distinct word-k-gram hashes",
       es => GramHashSetExpr(es(0), es(1))),
+    ("gram_tf", "gram_tf(text, k) - struct(n2, array<struct(g, tf)>) per-doc gram tfs",
+      es => GramTfExpr(es(0), es(1))),
     ("lcc_easting", "lcc_easting(lon, lat) - EPSG:6365 forward easting (m)",
       es => LccEastingExpr(es(0), es(1))),
     ("lcc_northing", "lcc_northing(lon, lat) - EPSG:6365 forward northing (m)",
@@ -178,6 +180,8 @@ object GraftFunctions {
     call_function("gram_hash_seq", text, k)
   def gram_hash_set(text: Column, k: Column): Column =
     call_function("gram_hash_set", text, k)
+  def gram_tf(text: Column, k: Column): Column =
+    call_function("gram_tf", text, k)
   def lcc_easting(lon: Column, lat: Column): Column =
     call_function("lcc_easting", lon, lat)
   def lcc_northing(lon: Column, lat: Column): Column =

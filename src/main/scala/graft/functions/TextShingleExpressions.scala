@@ -159,6 +159,46 @@ object TextShingleHelpers {
     * any k): the row-local dedup that replaces a corpus-wide
     * `.distinct()` exchange in per-doc gram-set operators.
     */
+  /** Per-document word-k-gram TERM FREQUENCIES plus the squared L2
+    * norm, in ONE byte-scan pass: struct(n2, array<struct(g, tf)>).
+    * This is the row-local front end of the sparse-cosine pipeline —
+    * it replaces a corpus-wide `groupBy(doc_id, gram)` tf exchange AND
+    * the separate per-doc norm aggregation with per-row arithmetic
+    * (a document's grams all live in its own row, so nothing about tf
+    * or Σtf² needs a shuffle). Hash/collision notes as [[gramHashSeq]].
+    */
+  def gramTf(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val (starts, ends) = tokenBounds(bytes)
+    val n = starts.length
+    val empty = new GenericArrayData(Array.empty[Any])
+    if (n < k) return new GenericInternalRow(Array[Any](0L, empty))
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Int]](
+      math.max(8, (n - k + 1) * 2))
+    var i = 0
+    while (i <= n - k) {
+      val from = starts(i)
+      val len = ends(i + k - 1) - from
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+      val c = m.get(h)
+      if (c == null) m.put(h, Array(1)) else c(0) += 1
+      i += 1
+    }
+    var n2 = 0L
+    val arr = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tf = e.getValue()(0).toLong
+      n2 += tf * tf
+      arr(j) = new GenericInternalRow(Array[Any](e.getKey.longValue(), tf))
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](n2, new GenericArrayData(arr)))
+  }
+
   def gramHashSet(text: UTF8String, k: Int): ArrayData = {
     val bytes = text.getBytes
     val (starts, ends) = tokenBounds(bytes)
@@ -237,6 +277,32 @@ case class GramHashSetExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, k) =>
       s"graft.functions.TextShingleHelpers.gramHashSet($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** gram_tf(text, k) → struct(n2: long, tfs: array<struct(g: long,
+  * tf: long)>): per-doc k-gram term frequencies + squared L2 norm in
+  * one pass (empty tfs / n2=0 when the doc has < k tokens). Codegen'd.
+  */
+case class GramTfExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("tfs", ArrayType(StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_tf expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextShingleHelpers.gramTf(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.TextShingleHelpers.gramTf($t, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }

@@ -138,46 +138,53 @@ object TextAnalysis {
     * near-duplicate mining where MinHash recall isn't enough and the
     * corpus needs exact cosine on sparse features.
     *
-    * Scale shape: per-doc gram tfs come from the lazy codegen'd
-    * ngram_explode generator (no gram array materializes); the
-    * posting-list cap (df ≤ 50) bounds the per-gram join fan-out the
-    * way every production sparse-similarity system does (a stopword-ish
-    * gram with df=10⁶ would alone emit 10¹² pairs at corpus scale —
-    * the cap makes the join output linear in corpus size at the cost
-    * of ignoring non-discriminative grams, which contribute least to
-    * the cosine anyway). The self-join is hinted shuffle_hash like the
-    * dedup family (AQE's broadcast conversion can't reuse the shared
-    * exchange). All arithmetic stays integral — counts, Σtf², dot —
-    * until one double division + sqrt, rounded 1e-9; the 0.05 floor
-    * keeps only pairs with real overlap.
+    * Scale shape — TWO corpus exchanges total (the item_item_cosine
+    * discipline):
+    *   1. per-doc gram tfs AND the squared norm are computed ROW-LOCAL
+    *      by the one-pass codegen'd `gram_tf` kernel (a doc's grams
+    *      all live in its row — no `groupBy(doc, gram)` shuffle, no
+    *      separate norm aggregation, no gram strings materialized);
+    *   2. ONE exchange on the gram hash builds the per-gram posting
+    *      list (collect_list of (doc, tf, n2)); the df cap (≤ 50
+    *      postings) is a free `size()` filter on that list — a
+    *      stopword-ish gram with df=10⁶ would alone emit 10¹² pairs
+    *      at corpus scale, so every production sparse-similarity
+    *      system caps exactly here, keeping join output linear in
+    *      corpus size at the cost of non-discriminative grams that
+    *      contribute least to the cosine anyway;
+    *   3. pairs explode IN-GROUP (a<b, ≤ df²/2 per gram) carrying
+    *      both docs' norms, so the pair exchange groups straight to
+    *      the final cosine — no doc-keyed norm joins afterward.
+    * All arithmetic stays integral — counts, Σtf², dot — until one
+    * double division + sqrt, rounded 1e-9; the 0.05 floor keeps only
+    * pairs with real overlap.
     */
   def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     // gram HASHES are the working keys (one codegen'd byte-scan pass,
     // no gram strings materialize anywhere — the substring_dup_spans
     // discipline); they are internal join/group keys only, never
     // output, so the string-keyed oracle matches value-for-value
-    import graft.functions.GraftFunctions.gram_hash_seq
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(gram_hash_seq(col("text"), lit(3))).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("tf"))
-    val norms = tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("tf")).as("n2"))
-    val rare = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= 50).select(col("g"))
-    val kept = tf.join(rare, Seq("g"))
-    val a = kept.select(col("g"), col("doc_id").as("doc_a"),
-      col("tf").as("tf_a")).hint("shuffle_hash")
-    val b = kept.select(col("g"), col("doc_id").as("doc_b"),
-      col("tf").as("tf_b")).hint("shuffle_hash")
-    val dot = a.join(b, Seq("g"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    dot
-      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
+    import graft.functions.GraftFunctions.gram_tf
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), gram_tf(col("text"), lit(3)).as("gt"))
+      .select(col("doc_id"), col("gt.n2").as("n2"),
+        explode(col("gt.tfs")).as("e"))
+      .groupBy(col("e.g"))
+      .agg(collect_list(struct(col("doc_id"), col("e.tf").as("tf"),
+        col("n2"))).as("ps"))
+      .where(size(col("ps")) <= 50)
+    val pairs = postings
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.tf") * col("b.tf")).as("p"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    pairs
+      // na2/nb2 are functions of doc_a/doc_b, so grouping by all four
+      // keys is the same grouping — and saves two doc-keyed joins
+      .groupBy(col("doc_a"), col("doc_b"), col("na2"), col("nb2"))
+      .agg(sum(col("p")).as("dot"))
       .select(col("doc_a"), col("doc_b"), col("dot"),
         // widen BEFORE multiplying: na2*nb2 as longs wraps negative
         // for degenerate high-tf documents (sqrt→NaN would silently

@@ -290,12 +290,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("sparse_cosine_pairs: posting-list join on the gram shuffle, never all-pairs") {
+  test("sparse_cosine_pairs: one gram exchange + in-group pair explode, never all-pairs") {
     val p = finalPlan("sparse_cosine_pairs", "/root/testdata/sf0.01")
-    assert("ShuffledHashJoin \\[g".r.findFirstIn(p).isDefined,
-      "the doc-doc meeting point must be the shared-gram equi-join:\n" + p.take(2000))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "no all-pairs path may exist")
+    // docs meet ONLY through the per-gram posting list: one exchange
+    // on the gram hash (ObjectHashAggregate collect_list), pairs
+    // explode in-group, then one exchange on the doc pair — no join
+    // of any kind, so no all-pairs path can exist
+    assert(p.contains("ObjectHashAggregate"),
+      "posting lists must build on the gram exchange:\n" + p.take(2000))
+    assert(count(p, "Generate explode") >= 3,
+      "row-local tf explode + the two in-group pair explodes:\n" + p.take(2000))
+    assert(!p.contains("Join"), "no join of any kind — pairs form in-group")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      "exactly two corpus exchanges: gram postings + doc-pair agg:\n" + p.take(2000))
   }
 
   test("item_item_cosine: PCY prune sits below the pair exchange") {
