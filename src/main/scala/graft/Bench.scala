@@ -29,7 +29,7 @@ object Bench {
     // faithful steady-state number. Raw per-run times go to stderr so a
     // stall-hit run is self-evidencing (huge spread ⇒ environment, not
     // engine).
-    val results = SparkEntry.benchQueries.map { op =>
+    val timed = SparkEntry.benchQueries.map { op =>
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         runOnce(op)
@@ -39,12 +39,78 @@ object Bench {
       System.err.println(f"[bench] ${op.name}%-28s min=${times.min}%.3f " +
         f"raw=[${times.map(t => f"$t%.3f").mkString(", ")}] spread=${spread}%.1fx" +
         (if (spread > 5) "  <-- stall window hit; min is steady-state" else ""))
-      op.name -> times.min
+      (op.name, times.min, spread)
     }
+    val results = timed.map { case (n, t, _) => n -> t }
+    val spreads = timed.map { case (n, _, s) => n -> s }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Paired DuckDB timings from the SAME session/window, so the
+    // Spark-vs-baseline ratio in this artifact is self-contained and
+    // window-noise-proof. DuckDB is a driver-side tool: the engine
+    // never depends on it, and a missing python3/duckdb just omits
+    // the paired fields.
+    val duckFields = runDuckdb(sfDir) match {
+      case Some(times) =>
+        val dq = times.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val dt = times.map(_._2).sum
+        val ratio = if (dt > 0) total / dt else Double.NaN
+        s""","duckdb_total":$dt,"duckdb_queries":$dq,"spark_vs_duckdb":$ratio"""
+      case None => ""
+    }
+    // spread > 5x on a min-of-5 is the documented VM-stall signature
+    // (multi-second uninterruptible-IO windows) — flag it machine-
+    // readably so a degraded driver window is self-evidencing.
+    val stalls = spreads.filter(_._2 > 5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stalled":$stalls$duckFields}""")
     spark.stop()
+  }
+
+  /** Minimal JSON string escaping for the oracle-SQL handoff file. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Run every bench query's oracle SQL through tools/bench_duckdb.py
+    * (min-of-5, same session) and return per-query seconds; None when
+    * the driver-side python/duckdb isn't available.
+    */
+  private def runDuckdb(sfDir: String): Option[Seq[(String, Double)]] = try {
+    val queries = SparkEntry.benchQueries
+      .flatMap(op => SparkEntry.oracleSql.get(op.name).map(op.name -> _))
+    if (queries.isEmpty) return None
+    val spec = queries.map { case (n, sql) => jsonStr(n) + ":" + jsonStr(sql) }
+      .mkString(s"""{"sf":${jsonStr(sfDir)},"runs":5,"queries":{""", ",", "}}")
+    val specPath = java.nio.file.Files.createTempFile("bench_duck", ".json")
+    java.nio.file.Files.write(specPath, spec.getBytes("UTF-8"))
+    val script = new java.io.File("tools/bench_duckdb.py").getAbsolutePath
+    val pb = new ProcessBuilder("python3", script, specPath.toString)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    val rc = proc.waitFor()
+    java.nio.file.Files.deleteIfExists(specPath)
+    if (rc != 0) {
+      System.err.println(s"[bench] duckdb pairing skipped (rc=$rc): ${err.take(500)}")
+      None
+    } else Some(out.linesIterator.toSeq.collect {
+      case l if l.contains('\t') =>
+        val Array(n, t) = l.split('\t'); n -> t.toDouble
+    })
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] duckdb pairing skipped: $e")
+      None
   }
 }
