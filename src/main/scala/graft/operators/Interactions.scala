@@ -64,6 +64,12 @@ object Interactions {
     * isolated nodes) fuse the pair dedup into their own aggregation
     * instead of paying a separate distinct exchange here.
     */
+  /** Max devices kept per (cell, tw) co-location group — far above
+    * anything physically possible in a ~0.5 m cell / 10 min window, so
+    * it only ever binds on poisoned keys.
+    */
+  val GroupCap = 1024
+
   private[operators] def interactionPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     // No pre-distinct on presence either: collect_SET dedups caids per
     // (cell, tw) during partial aggregation, so a presence distinct
@@ -80,6 +86,20 @@ object Interactions {
       .groupBy(col("cell"), col("tw"))
       .agg(collect_set(col("caid")).as("caids"))
       .where(size(col("caids")) >= 2)
+      // Group-size guard: co-location physics bounds how many devices
+      // share one ~0.5 m cell within 10 minutes, but a POISONED hot key
+      // (stuck sensor, default coordinate) would blow the n² in-group
+      // explode — cap the set (sort_array first so the kept subset is
+      // deterministic) and surface the overflow through the named
+      // observed metric, so production degrades loudly instead of
+      // OOMing. On sane data (every oracle fixture) the cap is
+      // unreachable and results are byte-identical.
+      .observe("interaction_pairs_guard",
+        sum(when(size(col("caids")) > lit(GroupCap), 1L).otherwise(0L))
+          .as("capped_groups"))
+      .withColumn("caids",
+        when(size(col("caids")) <= lit(GroupCap), col("caids"))
+          .otherwise(slice(sort_array(col("caids")), 1, GroupCap)))
     grouped
       .select(explode(col("caids")).as("a_caid"), col("caids"))
       .select(col("a_caid"), explode(col("caids")).as("b_caid"))

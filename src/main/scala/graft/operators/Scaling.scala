@@ -91,6 +91,39 @@ object Scaling {
     counts.toMap
   }
 
+  /** F13 as a REGISTERED, oracle-checkable query: deterministic
+    * weighted sampling without replacement over a distributed
+    * relation — the hash-race flavor of Efraimidis–Spirakis priority
+    * sampling with the random draw replaced by the portable 60-bit
+    * hash (the `sample_hash`/`importance_sample` discipline), so the
+    * sample is integer-exact, engine-portable, and reproducible
+    * across runs/cluster sizes. priority = hash60(doc_id) div weight:
+    * heavier documents draw systematically smaller priorities, the
+    * global top-n by (priority, doc_id) is the sample. Top-n plans as
+    * TakeOrderedAndProject — map-side partial top-k, never a global
+    * sort. The reference's numpy categorical draw over the tiny sizes
+    * vector (size_scalers.py:357-390) stays driver-side in
+    * [[weightedSample]]; this is its corpus-scale counterpart.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", graft.functions.CrossHash.hash60(col("doc_id").cast("string")))
+      .withColumn("priority",
+        expr("h div greatest(CAST(n_chars AS BIGINT), 1)"))
+      // 200 < |documents| at every test SF (500 at sf0.01), so the
+      // weighted selection is actually exercised by the oracle gate
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(200)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+
+  private val sampleWeightedSql =
+    s"""SELECT doc_id, source, n_chars, priority FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")}
+       |      // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+       |  FROM documents)
+       |ORDER BY priority ASC, doc_id ASC LIMIT 200""".stripMargin
+
   /** Exact largest-remainder proration: split each order's total
     * (in integer cents) across its lines proportional to quantity,
     * with the per-order cent sum landing EXACTLY on the total — the
@@ -150,5 +183,6 @@ object Scaling {
   val ops: Seq[Op] = Seq(
     Op("prorate_exact", prorateExact, Some(prorateExactSql)),
     Op("scaled_sizes", scaledSizesExact, Some(scaledSizesExactSql)),
+    Op("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
   )
 }
