@@ -71,6 +71,8 @@ object GraftFunctions {
       es => GramHashSetExpr(es(0), es(1))),
     ("gram_tf", "gram_tf(text, k) - struct(n2, array<struct(g, tf)>) per-doc gram tfs",
       es => GramTfExpr(es(0), es(1))),
+    ("pair_structs", "pair_structs(items) - all unordered (ia < ib) pairs of a long array",
+      es => PairStructsExpr(es.head)),
     ("lcc_easting", "lcc_easting(lon, lat) - EPSG:6365 forward easting (m)",
       es => LccEastingExpr(es(0), es(1))),
     ("lcc_northing", "lcc_northing(lon, lat) - EPSG:6365 forward northing (m)",

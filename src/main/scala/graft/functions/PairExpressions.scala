@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+object PairHelpers {
+  /** All unordered pairs of a long array as (lo, hi) structs; equal
+    * values are skipped (callers pass collect_set outputs, so
+    * duplicates don't occur in practice).
+    */
+  def pairStructs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = arr.getLong(j)
+        if (a != b) {
+          out.add(new GenericInternalRow(
+            Array[Any](math.min(a, b), math.max(a, b))))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `pair_structs(items)` → array<struct(ia, ib)>: every unordered
+  * pair of the input's long elements, canonically ordered (ia < ib).
+  *
+  * Versus the double-explode idiom (`explode(items)` × 2 + `ia < ib`
+  * filter) this emits exactly n(n-1)/2 rows instead of flowing n² rows
+  * and filtering half, and the subsequent `explode` of the struct
+  * array stays inside codegen (a custom Generator would push the whole
+  * Generate operator to CodegenFallback). The materialized pair array
+  * is bounded because every caller caps its group size FIRST (60-item
+  * CF histories, basket sizes, df-capped postings) — do not feed this
+  * an uncapped set.
+  */
+case class PairStructsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ia", LongType, nullable = false),
+    StructField("ib", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_structs expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    PairHelpers.pairStructs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PairHelpers.pairStructs($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

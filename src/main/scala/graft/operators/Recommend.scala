@@ -55,9 +55,8 @@ object Recommend {
     // direct exchange is strictly better at every scale.
     if (minCount < 3) {
       val pairs = sets0
-        .select(explode(col("items")).as("ia"), col("items"))
-        .select(col("ia"), explode(col("items")).as("ib"))
-        .where(col("ia") < col("ib"))
+        .select(explode(call_function("pair_structs", col("items"))).as("p"))
+        .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       return pairs
         .repartition(col("ia"), col("ib"))
         .groupBy(col("ia"), col("ib"))
@@ -76,11 +75,14 @@ object Recommend {
     // interpreted per input row, so xxhash64 must run in the codegen'd
     // projection underneath — the aggregate's update then only reads a
     // long field (measured ~1 s/10M rows difference at sf0.1).
+    // pair_structs emits exactly n(n-1)/2 canonical pairs per set in
+    // one codegen'd kernel — the double-explode idiom it replaces
+    // flowed n² rows and filtered half (measured ~2x the generate
+    // volume on the CF pipeline)
     def pairs = sets0
-      .select(explode(col("items")).as("ia"), col("items"))
-      .select(col("ia"), explode(col("items")).as("ib"))
-      .where(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), xxhash64(col("ia"), col("ib")).as("pk"))
+      .select(explode(call_function("pair_structs", col("items"))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+        xxhash64(col("p.ia"), col("p.ib")).as("pk"))
     val sketch = pairs
       .select(call_function("pcy_sketch", col("pk"), lit(bits)).as("sk")).scalar()
     pairs.where(call_function("pcy_prune", col("pk"), sketch, lit(minCount)))
