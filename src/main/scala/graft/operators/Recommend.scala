@@ -238,9 +238,14 @@ object Recommend {
     * op — at production scale its inputs arrive as bounded top-k lists
     * per query (ANN / BM25 outputs); here they derive inline from the
     * corpus, so the two ranking windows run over the full docs relation
-    * (catalog-sized in this schema). Ranks are integers; two double
-    * divisions + one add in a fixed sequence, rounded 1e-9, and the
-    * final top-20 ranks on the ROUNDED score (ties by doc_id).
+    * (catalog-sized in this schema; a [[RangeRank]] spelling would NOT
+    * help — term-frequency keys are overwhelmingly tied at 0, and ties
+    * must share a range bucket, so the hot bucket IS the corpus). The
+    * final top-20 is a TakeOrderedAndProject with the rank assigned
+    * over the 20 surviving rows — never a third global window. Ranks
+    * are integers; two double divisions + one add in a fixed sequence,
+    * rounded 1e-9, and the final top-20 ranks on the ROUNDED score
+    * (ties by doc_id).
     */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     def tf(term: String) =
@@ -256,9 +261,9 @@ object Recommend {
       .select(col("doc_id"), col("r1"), col("r2"),
         round(lit(1).cast("double") / (col("r1") + 60)
           + lit(1).cast("double") / (col("r2") + 60), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
-      .where(col("rk") <= 20)
   }
 
   private val rrfFusionSql =

@@ -70,6 +70,68 @@ object Scaling {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, event_type ASC) AS rnk
        |  FROM base CROSS JOIN d)""".stripMargin
 
+  /** The reference's PRIMARY rounding variant, bit-faithfully
+    * (size_scalers.py:30-48 `ScaleTo10000`): share rounded half-away-
+    * from-zero (DuckDB `::INTEGER` semantics, verified: 0.5→1, 2.5→3 —
+    * Spark's `round`, NOT `bround`), then the greedy
+    * repair loop walks groups in key order bumping zero-rounded
+    * non-empty groups to 1 until the total hits the target exactly.
+    * The sequential loop has a closed form: the loop checks
+    * `sum == 10000` BEFORE each row and each bump adds exactly 1, so
+    * precisely the first `deficit` zero-groups (key order) get bumped —
+    * a rank filter over the group-sizes relation (|groups| rows,
+    * bounded — same class as [[scaledSizesExact]]'s window).
+    * Reference caveats preserved, not "fixed": when rounding OVERSHOOTS
+    * the target (deficit < 0) the reference loop can never repair and
+    * its assert fires; here the deficit filter simply bumps nothing —
+    * the sum==target invariant holds exactly when the reference's
+    * assert would pass. Variants 2/3 (`ScaleTo10000_2/_3`,
+    * size_scalers.py:104-162) add bump-to-2 rules and a top-10
+    * redistribution whose index arithmetic collapses duplicate sizes —
+    * deliberately not reproduced; [[scaledSizesExact]] is the
+    * invariant-guaranteed spelling.
+    */
+  def scaledSizesRef(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("size"))
+    val based = sizes
+      .crossJoin(broadcast(sizes.agg(sum(col("size")).as("total"))))
+      .select(col("event_type"), col("size"),
+        round(col("size") * Target / col("total")).cast("long").as("base"))
+    val deficit = based.agg((lit(Target) - sum(col("base"))).as("deficit"))
+    // zr = how many zero-rounded non-empty groups up to AND including
+    // this row (key order) — i.e. this row's position in the bump queue
+    val isZero = col("base") === 0L && col("size") > 0L
+    based.crossJoin(broadcast(deficit))
+      .withColumn("zr", sum(when(isZero, 1L).otherwise(0L)).over(
+        Window.orderBy(col("event_type").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("size"),
+        (col("base") + when(isZero && col("zr") <= col("deficit"), 1L)
+          .otherwise(0L)).as("scaled_size"))
+  }
+
+  private val scaledSizesRefSql =
+    s"""WITH sizes AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS size
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(SUM(size) AS BIGINT) AS total FROM sizes),
+       |b AS (
+       |  SELECT event_type, size,
+       |    CAST((size * $Target / total) AS INTEGER) AS base
+       |  FROM sizes CROSS JOIN t),
+       |d AS (SELECT $Target - CAST(SUM(base) AS BIGINT) AS deficit FROM b),
+       |z AS (
+       |  SELECT *, SUM(CASE WHEN base = 0 AND size > 0 THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY event_type ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zr
+       |  FROM b)
+       |SELECT event_type, size,
+       |  CAST(base + CASE WHEN base = 0 AND size > 0 AND zr <= deficit
+       |    THEN 1 ELSE 0 END AS BIGINT) AS scaled_size
+       |FROM z CROSS JOIN d""".stripMargin
+
   /** F13: seeded weighted sampling of group assignments
     * (size_scalers.py:357-390) — the sizes vector is tiny, so this is
     * driver-side by design (like the reference's numpy call); our seed
@@ -184,5 +246,6 @@ object Scaling {
     Op("prorate_exact", prorateExact, Some(prorateExactSql)),
     Op("scaled_sizes", scaledSizesExact, Some(scaledSizesExactSql)),
     Op("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
+    Op("scaled_sizes_ref", scaledSizesRef, Some(scaledSizesRefSql)),
   )
 }
