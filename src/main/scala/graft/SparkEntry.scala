@@ -14,7 +14,7 @@ object SparkEntry {
       Imputation.ops ++ Scaling.ops ++ Spatial.ops ++
       Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
       GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
-      Layout.ops ++ Stats.ops ++ Recommend.ops ++
+      Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
       graft.streaming.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -70,7 +70,16 @@ object Interactions {
     */
   val GroupCap = 1024
 
-  private[operators] def interactionPairsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** @param guardMetric attach the named `observe` for capped groups.
+    *   Only the REGISTERED query root may set it: a named observation
+    *   appearing in two subtrees of one plan with different results
+    *   (e.g. clustering_coefficient joining the pair relation against
+    *   differently-filtered copies of itself) throws
+    *   DUPLICATED_METRICS_NAME at runtime. Compositions keep the cap
+    *   (the actual OOM guard) and skip only the metric.
+    */
+  private[operators] def interactionPairsRaw(spark: SparkSession, dir: String,
+      guardMetric: Boolean = false): DataFrame = {
     // No pre-distinct on presence either: collect_SET dedups caids per
     // (cell, tw) during partial aggregation, so a presence distinct
     // exchange would be pure overhead — map-side set-merge ships the
@@ -94,9 +103,10 @@ object Interactions {
       // observed metric, so production degrades loudly instead of
       // OOMing. On sane data (every oracle fixture) the cap is
       // unreachable and results are byte-identical.
-      .observe("interaction_pairs_guard",
-        sum(when(size(col("caids")) > lit(GroupCap), 1L).otherwise(0L))
-          .as("capped_groups"))
+      .transform(df => if (!guardMetric) df else df
+        .observe("interaction_pairs_guard",
+          sum(when(size(col("caids")) > lit(GroupCap), 1L).otherwise(0L))
+            .as("capped_groups")))
       .withColumn("caids",
         when(size(col("caids")) <= lit(GroupCap), col("caids"))
           .otherwise(slice(sort_array(col("caids")), 1, GroupCap)))
@@ -111,13 +121,14 @@ object Interactions {
     * that need both directions mirror AFTER deduplication (a narrow
     * union — no extra exchange at any scale).
     */
-  private[operators] def interactionPairsCanon(spark: SparkSession, dir: String): DataFrame =
-    interactionPairsRaw(spark, dir).where(col("a_caid") < col("b_caid"))
+  private[operators] def interactionPairsCanon(spark: SparkSession, dir: String,
+      guardMetric: Boolean = false): DataFrame =
+    interactionPairsRaw(spark, dir, guardMetric).where(col("a_caid") < col("b_caid"))
 
   def interactionPairs(spark: SparkSession, dir: String): DataFrame =
     // one explode (not a self-union) mirrors the canonical pairs, so
     // the distinct subtree is evaluated exactly once
-    interactionPairsCanon(spark, dir).distinct()
+    interactionPairsCanon(spark, dir, guardMetric = true).distinct()
       .select(explode(array(
         struct(col("a_caid"), col("b_caid")),
         struct(col("b_caid").as("a_caid"), col("a_caid").as("b_caid")))).as("p"))
