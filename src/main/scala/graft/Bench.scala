@@ -95,12 +95,17 @@ object Bench {
     java.nio.file.Files.write(specPath, spec.getBytes("UTF-8"))
     val script = new java.io.File("tools/bench_duckdb.py").getAbsolutePath
     val pb = new ProcessBuilder("python3", script, specPath.toString)
-    pb.redirectErrorStream(false)
+    // stderr goes to a file, not a pipe: reading stdout to EOF first
+    // would deadlock if the child filled the ~64 KB stderr pipe buffer
+    // (verbose duckdb warnings, long tracebacks) while we block here
+    val errPath = java.nio.file.Files.createTempFile("bench_duck", ".err")
+    pb.redirectError(errPath.toFile)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     val rc = proc.waitFor()
+    val err = new String(java.nio.file.Files.readAllBytes(errPath), "UTF-8")
     java.nio.file.Files.deleteIfExists(specPath)
+    java.nio.file.Files.deleteIfExists(errPath)
     if (rc != 0) {
       System.err.println(s"[bench] duckdb pairing skipped (rc=$rc): ${err.take(500)}")
       None

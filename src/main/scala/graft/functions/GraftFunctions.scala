@@ -113,6 +113,14 @@ object GraftFunctions {
         TopKPairsAgg(es(0), es(1), k.asInstanceOf[Number].intValue())
           .toAggregateExpression()
       }),
+    ("capped_collect", "capped_collect(struct, limit) - collect_list retaining at most limit+1 elements (build-then-gate groups)",
+      es => {
+        require(es(1).foldable, "capped_collect: limit must be a literal")
+        val lim = es(1).eval()
+        require(lim != null, "capped_collect: limit must be non-null")
+        CappedCollectAgg(es(0), lim.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("pcy_sketch", "pcy_sketch(hash, bits) - saturating bucket-count sketch (PCY candidate pass)",
       es => {
         require(es(1).foldable, "pcy_sketch: bits must be a literal")

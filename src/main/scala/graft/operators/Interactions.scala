@@ -78,8 +78,8 @@ object Interactions {
     *   DUPLICATED_METRICS_NAME at runtime. Compositions keep the cap
     *   (the actual OOM guard) and skip only the metric.
     */
-  private[operators] def interactionPairsRaw(spark: SparkSession, dir: String,
-      guardMetric: Boolean = false): DataFrame = {
+  private def groupedSets(spark: SparkSession, dir: String,
+      guardMetric: Boolean): DataFrame = {
     // No pre-distinct on presence either: collect_SET dedups caids per
     // (cell, tw) during partial aggregation, so a presence distinct
     // exchange would be pure overhead — map-side set-merge ships the
@@ -111,10 +111,18 @@ object Interactions {
         when(size(col("caids")) <= lit(GroupCap), col("caids"))
           .otherwise(slice(sort_array(col("caids")), 1, GroupCap)))
     grouped
+  }
+
+  /** Co-located pair occurrences in BOTH directions (one row per
+    * ordered pair per co-location event): consumers that aggregate
+    * per-direction (observed contacts' home enrichment) read this.
+    */
+  private[operators] def interactionPairsRaw(spark: SparkSession, dir: String,
+      guardMetric: Boolean = false): DataFrame =
+    groupedSets(spark, dir, guardMetric)
       .select(explode(col("caids")).as("a_caid"), col("caids"))
       .select(col("a_caid"), explode(col("caids")).as("b_caid"))
       .where(col("a_caid") =!= col("b_caid"))
-  }
 
   /** Canonical (a < b) co-located pair occurrences: half the explode
     * output and half the downstream distinct's shuffle volume; callers
@@ -123,7 +131,14 @@ object Interactions {
     */
   private[operators] def interactionPairsCanon(spark: SparkSession, dir: String,
       guardMetric: Boolean = false): DataFrame =
-    interactionPairsRaw(spark, dir, guardMetric).where(col("a_caid") < col("b_caid"))
+    // pair_structs emits exactly n(n-1)/2 canonical pairs per group in
+    // one codegen'd kernel — the double-explode + a<b idiom flowed
+    // n(n-1) rows through two Generates and discarded half (the
+    // Recommend.pairCounts measurement; up to ~0.5M wasted rows per
+    // capped group)
+    groupedSets(spark, dir, guardMetric)
+      .select(explode(call_function("pair_structs", col("caids"))).as("p"))
+      .select(col("p.ia").as("a_caid"), col("p.ib").as("b_caid"))
 
   def interactionPairs(spark: SparkSession, dir: String): DataFrame =
     // one explode (not a self-union) mirrors the canonical pairs, so

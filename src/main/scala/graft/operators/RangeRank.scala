@@ -47,12 +47,20 @@ object RangeRank {
     */
   def withRunningDesc(df: DataFrame, keyName: String, tieName: String,
       value: Column, out: String, buckets: Int = 64,
-      totalOut: Option[String] = None): DataFrame = {
+      totalOut: Option[String] = None,
+      sampleOn: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2, s"RangeRank: need >= 2 buckets, got $buckets")
     val b = s"__rr_b_$out"
     val v = s"__rr_v_$out"
+    // the cutoff sampling is an EAGER approxQuantile action over
+    // `sampleOn` (default: df itself). A caller stacking several
+    // RangeRank passes must sample each from the shared BASE relation,
+    // not the previous pass's output — otherwise pass k's action
+    // re-executes passes 1..k-1's windows and joins just to sample an
+    // unchanged column (the rfm_segments lesson). Correctness never
+    // depends on the choice: cutoffs only steer bucket BALANCE.
     val keyed = df.withColumn(v, value)
-      .withColumn(b, bucketDesc(df, keyName, buckets))
+      .withColumn(b, bucketDesc(sampleOn.getOrElse(df), keyName, buckets))
     var offs = keyed.groupBy(col(b)).agg(sum(col(v)).as("__rr_bt"))
       .withColumn("__rr_off", coalesce(
         sum(col("__rr_bt")).over(Window.orderBy(col(b).asc)
@@ -81,8 +89,10 @@ object RangeRank {
     */
   def withRankDesc(df: DataFrame, keyName: String, tieName: String,
       out: String, buckets: Int = 64,
-      totalOut: Option[String] = None): DataFrame =
-    withRunningDesc(df, keyName, tieName, lit(1L), out, buckets, totalOut)
+      totalOut: Option[String] = None,
+      sampleOn: Option[DataFrame] = None): DataFrame =
+    withRunningDesc(df, keyName, tieName, lit(1L), out, buckets, totalOut,
+      sampleOn)
 
   /** Exact `ntile(k)` value from a global rank and the relation total —
     * SQL-standard semantics: the first `total mod k` tiles get

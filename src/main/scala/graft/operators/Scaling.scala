@@ -71,9 +71,10 @@ object Scaling {
        |  FROM base CROSS JOIN d)""".stripMargin
 
   /** The reference's PRIMARY rounding variant, bit-faithfully
-    * (size_scalers.py:30-48 `ScaleTo10000`): share rounded half-away-
-    * from-zero (DuckDB `::INTEGER` semantics, verified: 0.5→1, 2.5→3 —
-    * Spark's `round`, NOT `bround`), then the greedy
+    * (size_scalers.py:30-48 `ScaleTo10000`): share rounded HALF-TO-EVEN
+    * (DuckDB `::INTEGER` on DOUBLE rounds to nearest-even — verified on
+    * DuckDB 1.0.0: 0.5→0, 2.5→2 — so Spark's `bround`, NOT `round`,
+    * which is half-up and diverges on exact .5 shares), then the greedy
     * repair loop walks groups in key order bumping zero-rounded
     * non-empty groups to 1 until the total hits the target exactly.
     * The sequential loop has a closed form: the loop checks
@@ -98,7 +99,7 @@ object Scaling {
     val based = sizes
       .crossJoin(broadcast(sizes.agg(sum(col("size")).as("total"))))
       .select(col("event_type"), col("size"),
-        round(col("size") * Target / col("total")).cast("long").as("base"))
+        bround(col("size") * Target / col("total")).cast("long").as("base"))
     val deficit = based.agg((lit(Target) - sum(col("base"))).as("deficit"))
     // zr = how many zero-rounded non-empty groups up to AND including
     // this row (key order) — i.e. this row's position in the bump queue

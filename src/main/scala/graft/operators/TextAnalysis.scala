@@ -170,8 +170,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("gt.n2").as("n2"),
         explode(col("gt.tfs")).as("e"))
       .groupBy(col("e.g"))
-      .agg(collect_list(struct(col("doc_id"), col("e.tf").as("tf"),
-        col("n2"))).as("ps"))
+      // capped_collect, not collect_list: a stopword-hot gram must not
+      // build an unbounded single-group buffer before the df gate can
+      // discard it — the aggregate stops retaining past 51 elements
+      // (enough to prove size > 50), so buffer memory is O(cap) per
+      // gram no matter the df. Within-cap groups retain everything:
+      // output identical to collect_list for every surviving gram.
+      .agg(call_function("capped_collect",
+        struct(col("doc_id"), col("e.tf").as("tf"), col("n2")), lit(50))
+        .as("ps"))
       .where(size(col("ps")) <= 50)
     val pairs = postings
       .select(explode(col("ps")).as("a"), col("ps"))

@@ -29,9 +29,9 @@ import graft.sim.Seir.NodeStatus
   * The stream format is public knowledge (CPython's pickletools docs
   * the opcodes); only the subset needed for plain data is emitted —
   * no class instances, no REDUCE, so nothing here can execute code on
-  * load. Protocol 2 keeps every opcode fixed-width binary (no text
-  * integer parsing like protocol 0), and pickle.load in any Python
-  * ≥ 2.3 reads it.
+  * load. The header declares protocol 3 (the floor for the bytes
+  * opcodes; every other opcode used here is protocol ≤ 2), so
+  * pickle.load in any Python ≥ 3.0 reads it.
   */
 object Pickle {
 
@@ -58,18 +58,36 @@ object Pickle {
   /** Marker for an explicit Python tuple (Scala tuples also map). */
   final case class PyTuple(items: Seq[Any])
 
+  /** Writes atomically: stream to a same-directory temp file, then
+    * rename over `path`. Concurrent writers of the same path (task
+    * retries, speculative duplicates on a cluster) each complete a
+    * whole file and the rename is last-writer-wins — a reader can
+    * never observe an interleaved or truncated stream.
+    */
   def dump(value: Any, path: String): Unit = {
-    val out = new BufferedOutputStream(new FileOutputStream(path))
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(
+      target.toAbsolutePath.getParent, s".${target.getFileName}.", ".tmp")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
     try {
-      out.write(Array(PROTO, 0x02.toByte))
+      out.write(Array(PROTO, 0x03.toByte))
       write(out, value)
       out.write(STOP.toInt)
     } finally out.close()
+    try
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def dumps(value: Any): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    bos.write(PROTO.toInt); bos.write(0x02)
+    bos.write(PROTO.toInt); bos.write(0x03)
     write(bos, value)
     bos.write(STOP.toInt)
     bos.toByteArray
@@ -117,6 +135,24 @@ object Pickle {
       }
     case xs: Array[_] =>
       write(out, xs.toSeq)
+    // Spark Row column types beyond the primitives, so dumpDataFrame
+    // accepts any registered operator's result schema: temporal values
+    // as ISO strings (lossless, no pytz dependency on load), decimals
+    // as doubles (the same cast every oracle applies before compare),
+    // struct rows as dicts.
+    case t: java.sql.Timestamp => write(out, t.toString)
+    case d: java.sql.Date => write(out, d.toString)
+    case t: java.time.Instant => write(out, t.toString)
+    case d: java.time.LocalDate => write(out, d.toString)
+    case d: java.time.LocalDateTime => write(out, d.toString)
+    case b: java.math.BigDecimal => writeDouble(out, b.doubleValue())
+    case b: BigDecimal => writeDouble(out, b.toDouble)
+    case r: Row =>
+      val schema = r.schema
+      if (schema != null)
+        write(out, schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> r.get(i) }.toMap)
+      else write(out, r.toSeq)
     case other => throw new IllegalArgumentException(
       s"pickle: unsupported type ${other.getClass.getName}")
   }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.sim.Seir
 import graft.sources.Pickle
@@ -110,5 +111,25 @@ class PickleSpec extends AnyFunSuite {
     assert(out ==
       """[{"id": 1, "name": "a", "score": 1.5}, {"id": 2, "name": "b", "score": -0.25}]""",
       out)
+  }
+
+  test("dumpDataFrame covers timestamp/date/decimal/array result columns") {
+    assume(havePython, "python3 not available")
+    val spark = Sessions.build("graft-test", "4")
+    import spark.implicits._
+    val df = Seq((1L, "2024-03-01 10:30:00", "12.50", Seq(1L, 2L)))
+      .toDF("id", "ts_s", "dec_s", "arr")
+      .select(col("id"), col("ts_s").cast("timestamp").as("ts"),
+        col("ts_s").cast("date").as("d"),
+        col("dec_s").cast("decimal(10,2)").as("m"), col("arr"))
+    val path = tmp("typed.pkl")
+    Pickle.dumpDataFrame(df, path)
+    val out = python(
+      s"""import pickle, json
+         |print(json.dumps(pickle.load(open('$path', 'rb')), sort_keys=True))"""
+        .stripMargin).get
+    assert(out ==
+      """[{"arr": [1, 2], "d": "2024-03-01", "id": 1,""" +
+      """ "m": 12.5, "ts": "2024-03-01 10:30:00.0"}]""", out)
   }
 }
