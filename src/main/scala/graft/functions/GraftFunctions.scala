@@ -113,6 +113,14 @@ object GraftFunctions {
         TopKPairsAgg(es(0), es(1), k.asInstanceOf[Number].intValue())
           .toAggregateExpression()
       }),
+    ("min_k_distinct", "min_k_distinct(value, k) - k smallest distinct BIGINTs, sorted; O(k) buffer",
+      es => {
+        require(es(1).foldable, "min_k_distinct: k must be a literal")
+        val kk = es(1).eval()
+        require(kk != null, "min_k_distinct: k must be non-null")
+        MinKDistinctAgg(es(0), kk.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("capped_collect", "capped_collect(struct, limit) - collect_list retaining at most limit+1 elements (build-then-gate groups)",
       es => {
         require(es(1).foldable, "capped_collect: limit must be a literal")

@@ -93,23 +93,29 @@ object Interactions {
         col("event_type").as("cell"),
         expr("(unix_micros(ts) - unix_micros(origin_ts)) div 600000000").as("tw"))
       .groupBy(col("cell"), col("tw"))
-      .agg(collect_set(col("caid")).as("caids"))
+      // Group-size guard, IN the aggregation buffer: co-location
+      // physics bounds how many devices share one ~0.5 m cell within
+      // 10 minutes, but a POISONED hot key (stuck sensor, default
+      // coordinate) would blow both the collect buffer and the n²
+      // in-group explode. min_k_distinct keeps the GroupCap+1 smallest
+      // distinct caids in O(cap) memory — the k-th+1 element only
+      // proves overflow; the slice below drops it — so the kept subset
+      // is the same deterministic sorted prefix the old
+      // collect_set→sort→slice spelling produced, without ever
+      // materializing the poisoned set. The overflow stays observable
+      // through the named metric so production degrades loudly. On
+      // sane data (every oracle fixture) the cap is unreachable and
+      // results are byte-identical to collect_set.
+      .agg(call_function("min_k_distinct", col("caid"), lit(GroupCap + 1))
+        .as("caids"))
       .where(size(col("caids")) >= 2)
-      // Group-size guard: co-location physics bounds how many devices
-      // share one ~0.5 m cell within 10 minutes, but a POISONED hot key
-      // (stuck sensor, default coordinate) would blow the n² in-group
-      // explode — cap the set (sort_array first so the kept subset is
-      // deterministic) and surface the overflow through the named
-      // observed metric, so production degrades loudly instead of
-      // OOMing. On sane data (every oracle fixture) the cap is
-      // unreachable and results are byte-identical.
       .transform(df => if (!guardMetric) df else df
         .observe("interaction_pairs_guard",
           sum(when(size(col("caids")) > lit(GroupCap), 1L).otherwise(0L))
             .as("capped_groups")))
       .withColumn("caids",
         when(size(col("caids")) <= lit(GroupCap), col("caids"))
-          .otherwise(slice(sort_array(col("caids")), 1, GroupCap)))
+          .otherwise(slice(col("caids"), 1, GroupCap)))
     grouped
   }
 

@@ -107,7 +107,16 @@ object Recommend {
   private def basketSets(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .groupBy(col("okey")).agg(collect_set(col("item")).as("items"))
+      .groupBy(col("okey"))
+      // min_k_distinct = collect_set with an O(cap) buffer: a real
+      // basket is physically small (≤13 items here), so the 1024 cap
+      // is unreachable on sane data — it exists so a degenerate
+      // "basket" (bot/aggregator order with 10⁵ distinct items) can
+      // neither build an unbounded aggregation buffer nor explode n²
+      // pairs; such orders are dropped whole (they are not baskets)
+      .agg(call_function("min_k_distinct", col("item"), lit(1025))
+        .as("items"))
+      .where(size(col("items")) <= 1024)
 
   /** Association rules a→b over order baskets: support, confidence,
     * lift for every ordered pair co-purchased in ≥ 2 orders (both rule
@@ -174,17 +183,20 @@ object Recommend {
     * ties identically.
     */
   def itemItemCosine(spark: SparkSession, dir: String): DataFrame = {
-    // One shuffle on u; collect_set dedups (u, i) during partial agg,
-    // the 60-item history cap is a free size() filter on the set (no
-    // separate count + semi-join pass), and pairs explode in-group —
-    // same single-exchange discipline as basketSets above (the join
-    // formulation measured 2.55 s; this deletes two of its three
-    // pre-pair exchanges).
+    // One shuffle on u; min_k_distinct dedups (u, i) during partial
+    // agg IN an O(61) buffer — the 61st smallest item only proves the
+    // history exceeds 60, so the size() gate below is the same
+    // keep/drop decision as collect_set + filter, but a bot "user"
+    // with 10⁶ distinct items can't build an unbounded buffer first.
+    // Pairs explode in-group — same single-exchange discipline as
+    // basketSets above (the join formulation measured 2.55 s; this
+    // deletes two of its three pre-pair exchanges).
     val sets = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .groupBy(col("u")).agg(collect_set(col("i")).as("items"))
+      .groupBy(col("u"))
+      .agg(call_function("min_k_distinct", col("i"), lit(61)).as("items"))
       .where(size(col("items")) <= 60)
     val itemCnt = sets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("cnt"))

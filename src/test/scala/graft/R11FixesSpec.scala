@@ -67,6 +67,24 @@ class R11FixesSpec extends AnyFunSuite {
     assert(rows("hot").getAs[Int]("n") == 11)
   }
 
+  test("min_k_distinct == slice(sort_array(collect_set), 1, k) on every group") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i % 37, (i * 7919L) % 211))
+      .toDF("g", "v").repartition(8)
+    val both = df.groupBy(col("g"))
+      .agg(call_function("min_k_distinct", col("v"), lit(5)).as("bounded"),
+        slice(sort_array(collect_set(col("v"))), 1, 5).as("reference"))
+      .where(not(col("bounded") === col("reference")))
+    assert(both.count() == 0, both.collect().mkString("\n"))
+    // and the full-set case: k above the distinct count returns the
+    // complete sorted distinct set (collect_set equivalence)
+    val full = df.groupBy(col("g"))
+      .agg(call_function("min_k_distinct", col("v"), lit(1000)).as("b"),
+        sort_array(collect_set(col("v"))).as("r"))
+      .where(not(col("b") === col("r")))
+    assert(full.count() == 0)
+  }
+
   test("capped_collect survives the exchange (serialize/deserialize round-trip)") {
     import spark.implicits._
     // force non-partial path diversity: many partitions, tiny groups
