@@ -111,6 +111,32 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY 1""".stripMargin
 
+  /** The 100 TB spelling of [[invertedIndex]]: posting lists truncated
+    * to the 32 smallest doc ids per token. Two structural upgrades
+    * over the exact build — `min_k_distinct` dedups (doc, token)
+    * INSIDE the aggregation (deleting the pre-distinct exchange: one
+    * corpus shuffle, not two) and bounds every aggregation buffer at
+    * O(32), so a stop-word token holds 32 doc ids instead of the
+    * corpus. This is the standard df-truncation mitigation the exact
+    * op's Scaladoc points at, as its own oracle-checked operator.
+    */
+  def invertedIndexCapped(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(call_function("min_k_distinct", col("doc_id"), lit(32)).as("ps"))
+      .select(col("token"), array_join(col("ps"), ",").as("postings"),
+        size(col("ps")).cast("long").as("df_kept"))
+
+  private val invertedIndexCappedSql =
+    """SELECT token,
+      |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[1:32], ',')
+      |    AS postings,
+      |  CAST(least(count(DISTINCT doc_id), 32) AS BIGINT) AS df_kept
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
   /** Positional trigram rows through the custom `ngram_explode`
     * Generator ([[graft.functions.NgramExplodeExpr]]): each document's
     * word-3-grams with their positions, generated lazily — no
@@ -766,6 +792,8 @@ object TextAnalysis {
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Op("inverted_index", invertedIndex, Some(invertedIndexSql), bench = true),
+    Op("inverted_index_capped", invertedIndexCapped,
+      Some(invertedIndexCappedSql)),
     Op("ngram_explode", ngramExplode, Some(ngramExplodeSql)),
     Op("lang_id", langId, Some(langIdSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),

@@ -58,6 +58,29 @@ class PickleSpec extends AnyFunSuite {
     assert(out == expected, s"pickle.load mismatch:\n$out")
   }
 
+  test("randomized long encoding: 4096 seeded-random ints round-trip bit-exactly") {
+    assume(havePython, "python3 not available")
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // random magnitudes across every encoding regime, plus the exact
+    // power-of-two boundaries both signs
+    val longs = (1 to 4096).map { _ =>
+      val bits = rnd.nextInt(64)
+      val v = rnd.nextLong() >> bits
+      v
+    } ++ (0 to 62).flatMap(b => Seq(1L << b, -(1L << b), (1L << b) - 1,
+      -(1L << b) - 1))
+    val path = tmp("longs.pkl")
+    Pickle.dump(longs, path)
+    val out = python(
+      s"""import pickle
+         |v = pickle.load(open('$path', 'rb'))
+         |print(len(v), sum(v) % (2**61 - 1), min(v), max(v))""".stripMargin).get
+    val m = BigInt(2).pow(61) - 1
+    val expect = s"${longs.length} ${longs.map(BigInt(_)).sum.mod(m)} " +
+      s"${longs.min} ${longs.max}"
+    assert(out == expect, s"$out != $expect")
+  }
+
   test("dumpPerSeed writes the reference's per-seed files, loadable by pickle") {
     assume(havePython, "python3 not available")
     val spark = Sessions.build("graft-test", "4")
