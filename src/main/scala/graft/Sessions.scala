@@ -66,6 +66,13 @@ object Sessions {
       // keep the warehouse out of the repo and off the stalling root fs
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("GRAFT_WAREHOUSE", "/dev/shm/graft-warehouse"))
+      // ObjectHashAggregate's sort-based fallback threshold is LEFT AT
+      // the default 128: raising it to 64k was measured (r11) and
+      // REGRESSED the object-aggregate pipelines ~50% beyond window
+      // noise (item_item_cosine 1.94 → 3.06 s min-of-5) — thousands of
+      // live set/heap buffers in one hash map lose to the fallback's
+      // sort-then-stream regime, which keeps ONE active buffer and
+      // perfect locality. See BENCH.md.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }
