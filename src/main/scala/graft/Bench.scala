@@ -92,20 +92,25 @@ object Bench {
     val spec = queries.map { case (n, sql) => jsonStr(n) + ":" + jsonStr(sql) }
       .mkString(s"""{"sf":${jsonStr(sfDir)},"runs":5,"queries":{""", ",", "}}")
     val specPath = java.nio.file.Files.createTempFile("bench_duck", ".json")
-    java.nio.file.Files.write(specPath, spec.getBytes("UTF-8"))
-    val script = new java.io.File("tools/bench_duckdb.py").getAbsolutePath
-    val pb = new ProcessBuilder("python3", script, specPath.toString)
-    // stderr goes to a file, not a pipe: reading stdout to EOF first
-    // would deadlock if the child filled the ~64 KB stderr pipe buffer
-    // (verbose duckdb warnings, long tracebacks) while we block here
     val errPath = java.nio.file.Files.createTempFile("bench_duck", ".err")
-    pb.redirectError(errPath.toFile)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val rc = proc.waitFor()
-    val err = new String(java.nio.file.Files.readAllBytes(errPath), "UTF-8")
-    java.nio.file.Files.deleteIfExists(specPath)
-    java.nio.file.Files.deleteIfExists(errPath)
+    val (out, err, rc) = try {
+      java.nio.file.Files.write(specPath, spec.getBytes("UTF-8"))
+      val script = new java.io.File("tools/bench_duckdb.py").getAbsolutePath
+      val pb = new ProcessBuilder("python3", script, specPath.toString)
+      // stderr goes to a file, not a pipe: reading stdout to EOF first
+      // would deadlock if the child filled the ~64 KB stderr pipe
+      // buffer (verbose duckdb warnings, long tracebacks)
+      pb.redirectError(errPath.toFile)
+      val proc = pb.start()
+      val o = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val r = proc.waitFor()
+      (o, new String(java.nio.file.Files.readAllBytes(errPath), "UTF-8"), r)
+    } finally {
+      // exception paths (no python3, interrupted wait) must not leak
+      // the oracle-SQL spec into /tmp on every degraded-env bench run
+      java.nio.file.Files.deleteIfExists(specPath)
+      java.nio.file.Files.deleteIfExists(errPath)
+    }
     if (rc != 0) {
       System.err.println(s"[bench] duckdb pairing skipped (rc=$rc): ${err.take(500)}")
       None

@@ -15,10 +15,14 @@ object DevPairProbe {
         val t0 = System.nanoTime(); val n = f
         println(f"[p] $label%-22s run$i: $n%9d rows ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+    // mirrors Recommend.itemItemCosine's SHIPPED aggregation
+    // (min_k_distinct, not collect_set) so the stage timings attribute
+    // cost to the code that actually runs
     def sets = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .groupBy(col("u")).agg(collect_set(col("i")).as("items"))
+      .groupBy(col("u"))
+      .agg(call_function("min_k_distinct", col("i"), lit(61)).as("items"))
       .where(size(col("items")) <= 60)
     t("scan-join")(Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))

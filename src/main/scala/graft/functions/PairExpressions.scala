@@ -14,18 +14,31 @@ object PairHelpers {
   def pairStructs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // fail loudly, not with a wrapped-Int ArrayList crash: the n²/2
+    // output of an uncapped set is a caller contract violation (every
+    // operator caps its groups first — see the class doc)
+    if (n > 65536) throw new IllegalArgumentException(
+      s"pair_structs: input set of $n elements would emit ~${n.toLong * (n - 1) / 2} " +
+        "pairs — cap the group (min_k_distinct) before pairing")
     val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
     var i = 0
     while (i < n - 1) {
-      val a = arr.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        val b = arr.getLong(j)
-        if (a != b) {
-          out.add(new GenericInternalRow(
-            Array[Any](math.min(a, b), math.max(a, b))))
+      if (!arr.isNullAt(i)) {
+        val a = arr.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          // skip null slots: getLong on a null unboxes to 0, which
+          // would fabricate pairs with a phantom item id 0 for SQL
+          // callers passing nullable arrays
+          if (!arr.isNullAt(j)) {
+            val b = arr.getLong(j)
+            if (a != b) {
+              out.add(new GenericInternalRow(
+                Array[Any](math.min(a, b), math.max(a, b))))
+            }
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

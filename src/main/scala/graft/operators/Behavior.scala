@@ -250,13 +250,16 @@ object Behavior {
       .agg(max(col("ts")).as("last_purchase"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast(DecimalType(18, 6))).as("monetary"))
-    // each cut SAMPLES from the base rollup, not the previous cut's
-    // output: the sampling pass is an eager action, and nesting it
-    // would re-execute every earlier cut's windows and joins (3 stacked
-    // cuts ≈ 9 corpus passes) to sample a column the cuts never change
+    // ONE multi-column sampling action over the base rollup feeds all
+    // three cuts their quantile cutoffs: nesting the sampling would
+    // re-execute every earlier cut's windows (≈9 corpus passes), and
+    // even per-cut sampling on the base costs 3 rollup executions —
+    // this is 1 + the final job
+    val cuts = RangeRank.sampleCuts(rfm,
+      Seq("last_purchase", "frequency", "monetary"))
     def quart(df: DataFrame, c: String, score: String): DataFrame =
       RangeRank.withRankDesc(df, c, "user_id", s"__rk_$score",
-          totalOut = Some(s"__n_$score"), sampleOn = Some(rfm))
+          totalOut = Some(s"__n_$score"), cuts = Some(cuts(c)))
         .withColumn(score, RangeRank.ntileFromRank(
           col(s"__rk_$score"), col(s"__n_$score"), 4))
         .drop(s"__rk_$score", s"__n_$score")

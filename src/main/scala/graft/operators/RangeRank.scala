@@ -48,7 +48,8 @@ object RangeRank {
   def withRunningDesc(df: DataFrame, keyName: String, tieName: String,
       value: Column, out: String, buckets: Int = 64,
       totalOut: Option[String] = None,
-      sampleOn: Option[DataFrame] = None): DataFrame = {
+      sampleOn: Option[DataFrame] = None,
+      cuts: Option[Array[Double]] = None): DataFrame = {
     require(buckets >= 2, s"RangeRank: need >= 2 buckets, got $buckets")
     val b = s"__rr_b_$out"
     val v = s"__rr_v_$out"
@@ -57,10 +58,12 @@ object RangeRank {
     // RangeRank passes must sample each from the shared BASE relation,
     // not the previous pass's output — otherwise pass k's action
     // re-executes passes 1..k-1's windows and joins just to sample an
-    // unchanged column (the rfm_segments lesson). Correctness never
-    // depends on the choice: cutoffs only steer bucket BALANCE.
+    // unchanged column (the rfm_segments lesson) — or pre-sample every
+    // key in ONE action via [[sampleCuts]] and pass `cuts`. Correctness
+    // never depends on the choice: cutoffs only steer bucket BALANCE.
     val keyed = df.withColumn(v, value)
-      .withColumn(b, bucketDesc(sampleOn.getOrElse(df), keyName, buckets))
+      .withColumn(b, bucketFromCuts(keyName,
+        cuts.getOrElse(sampleCutsOne(sampleOn.getOrElse(df), keyName, buckets))))
     var offs = keyed.groupBy(col(b)).agg(sum(col(v)).as("__rr_bt"))
       .withColumn("__rr_off", coalesce(
         sum(col("__rr_bt")).over(Window.orderBy(col(b).asc)
@@ -90,9 +93,10 @@ object RangeRank {
   def withRankDesc(df: DataFrame, keyName: String, tieName: String,
       out: String, buckets: Int = 64,
       totalOut: Option[String] = None,
-      sampleOn: Option[DataFrame] = None): DataFrame =
+      sampleOn: Option[DataFrame] = None,
+      cuts: Option[Array[Double]] = None): DataFrame =
     withRunningDesc(df, keyName, tieName, lit(1L), out, buckets, totalOut,
-      sampleOn)
+      sampleOn, cuts)
 
   /** Exact `ntile(k)` value from a global rank and the relation total —
     * SQL-standard semantics: the first `total mod k` tiles get
@@ -112,16 +116,31 @@ object RangeRank {
       .cast("int")
   }
 
+  /** ONE eager pass sampling the cutoffs for SEVERAL keys at once —
+    * for callers that stack RangeRank over multiple columns of the
+    * same relation (rfm_segments' three quartile cuts): a single
+    * multi-column approxQuantile action executes the base relation
+    * once instead of once per key.
+    */
+  def sampleCuts(df: DataFrame, keyNames: Seq[String],
+      buckets: Int = 64): Map[String, Array[Double]] = {
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val casted = df.select(keyNames.map(k =>
+      col(k).cast("double").as(k)): _*)
+    keyNames.zip(casted.stat.approxQuantile(keyNames.toArray, probes, 0.01))
+      .map { case (k, cs) => k -> cs.distinct.sorted }.toMap
+  }
+
+  private def sampleCutsOne(df: DataFrame, keyName: String,
+      buckets: Int): Array[Double] =
+    sampleCuts(df, Seq(keyName), buckets)(keyName)
+
   /** Range-bucket assignment for a DESC ordering: bucket = number of
     * sampled cutoffs strictly above the key (nulls → last bucket, the
     * DESC NULLS LAST position). Monotone non-increasing in the key and
     * tie-preserving by construction.
     */
-  private def bucketDesc(df: DataFrame, keyName: String, buckets: Int): Column = {
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = df.select(col(keyName).cast("double").as(keyName))
-      .stat.approxQuantile(keyName, probes, 0.01)
-      .distinct.sorted
+  private def bucketFromCuts(keyName: String, cuts: Array[Double]): Column =
     if (cuts.isEmpty) lit(0L)
     else {
       val arr = typedlit(cuts)
@@ -129,5 +148,4 @@ object RangeRank {
         .otherwise(size(filter(arr,
           c => c > col(keyName).cast("double"))).cast("long"))
     }
-  }
 }

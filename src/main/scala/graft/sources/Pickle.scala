@@ -68,21 +68,26 @@ object Pickle {
     val target = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(
       target.toAbsolutePath.getParent, s".${target.getFileName}.", ".tmp")
-    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
     try {
-      out.write(Array(PROTO, 0x03.toByte))
-      write(out, value)
-      out.write(STOP.toInt)
-    } finally out.close()
-    try
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
+      val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+      try {
+        out.write(Array(PROTO, 0x03.toByte))
+        write(out, value)
+        out.write(STOP.toInt)
+      } finally out.close()
+      try
         java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally
+      // a failed serialization (unsupported value type) must not
+      // orphan its temp file in the results directory
+      java.nio.file.Files.deleteIfExists(tmp)
   }
 
   def dumps(value: Any): Array[Byte] = {
