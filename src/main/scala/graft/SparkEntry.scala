@@ -14,6 +14,7 @@ object SparkEntry {
       Imputation.ops ++ Scaling.ops ++ Spatial.ops ++
       Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
       GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
+      WebCuration.ops ++
       Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
       graft.streaming.StreamOps.ops
 

@@ -600,7 +600,90 @@ object Similarity {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering THEN within-cluster pairwise cosine — the published
+    * answer to "all-pairs near-dup doesn't scale": k-means partitions
+    * the corpus so the quadratic step runs per cluster, candidates ∝
+    * Σ|cluster|², never |corpus|². Within each cluster, any vector
+    * whose cosine to a LOWER-id member is ≥ τ is dropped (keep-min —
+    * deterministic, id-stable); survivors carry kept=true. τ = 0.4
+    * here: the fixture's embeddings are near-isotropic (max pairwise
+    * cosine ≈ 0.51), so the paper's ≥ 0.9 regime would never fire —
+    * 0.4 exercises the drop path on 4–12%% of rows per SF; production
+    * tunes τ against real embedding geometry.
+    *
+    * Assignment reuses [[kmeansAssign]]'s exact spelling (broadcast
+    * codebook, ||v||²−2v·c+||c||² with sequential-fold bit parity) so
+    * the argmin is engine-identical. The within-cluster self-join is
+    * the identical subtree twice — SelfJoinShuffleRule pins it to a
+    * shuffle-hash join computing that exchange once. The 8-seed
+    * codebook here is the oracle-deterministic stand-in: production
+    * runs [[kmeansIterate]] with k ≈ n/⟨cluster size⟩ so per-cluster
+    * pair work stays bounded (the paper's regime — k in the tens of
+    * thousands), and the pair explode inherits the min_k_distinct cap
+    * discipline if a degenerate codebook ever funnels a corpus slice
+    * into one cluster.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val c = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = (vec_dot(col("v"), col("v"))
+      - lit(2.0) * vec_dot(col("v"), col("cv"))
+      + vec_dot(col("cv"), col("cv"))).as("d2")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), d2)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")) >= 0.4)
+      .select(col("b_id").as("dup_id"))
+      .distinct()
+    // dup ids ∝ corpus size in production — never broadcast them; the
+    // shuffle-hash pin also lets the left side reuse its vec_id
+    // partitioning from the assignment window (no extra exchange)
+    assigned
+      .join(dups.hint("shuffle_hash"), col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_id").isNull.as("kept"))
+  }
+
+  private val semDedupSql = {
+    val dVV = dotSql("v", "v")
+    val dVC = dotSql("v", "cv")
+    val dCC = dotSql("cv", "cv")
+    val dAB = dotSql("a.v", "b.v")
+    s"""WITH emb AS ($embSql),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    $dVV - 2.0 * $dVC + $dCC AS d2
+       |  FROM emb CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cid AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, cid ASC) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE $dAB / (a.nrm * b.nrm) >= 0.4)
+       |SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("sem_dedup", semDedup, Some(semDedupSql)),
     Op("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),

@@ -466,7 +466,10 @@ object TextAnalysis {
         round(exp(-col("alp")), 6).as("ppl"))
   }
 
-  private val lmPerplexitySql =
+  // shared with WebCuration.perplexityBuckets (CTE reuse — an edit to
+  // the perplexity spec cannot leave the bucket oracle validating a
+  // stale model)
+  private[operators] val lmPerplexitySql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bi AS (
       |  SELECT doc_id,

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Web-crawl curation front end: the operators a Common-Crawl-scale
+  * training-data pipeline runs BEFORE the text-analysis/dedup families
+  * (/root/reference/src/loaders/document_loaders.py ingests already-
+  * clean text; a 100 TB crawl feed needs these three steps first).
+  *
+  * All three kernels are row-local string pipelines over codegen'd
+  * built-ins (`regexp_replace`/`replace`/`lower` — no UDFs, no
+  * exchange), so they fuse into the scan's WholeStageCodegen span and
+  * scale embarrassingly: filter/projection pushdown reaches the
+  * parquet scan untouched, and the only shuffle in the family is
+  * url_dedup's keep-min aggregation on the canonical key.
+  *
+  * The documents fixture carries plain text, so each query derives its
+  * raw input (HTML scaffold / messy URL) deterministically from the
+  * row INSIDE the query — both engines build byte-identical inputs from
+  * the same parquet, keeping the kernels oracle-checkable end to end.
+  */
+object WebCuration {
+
+  // ---------------------------------------------------------------- html
+
+  /** Deterministic HTML scaffold around each document's text: head
+    * noise (title/script/style), attribute-carrying tags, and the six
+    * standard entities — every hazard class the stripper must handle,
+    * including a bare `<` inside script text.
+    */
+  private def htmlCol: Column =
+    concat(lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+      lit("<style>.t { color: red; }</style></head><body><h1 class=\"t\">Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+      lit("</p><div>&amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+
+  // single-line on purpose: these fragments interpolate into
+  // stripMargin'd query strings, where a continuation line's leading
+  // `|` would be eaten as a margin marker
+  private val htmlColSql =
+    """'<html><head><title>' || source || '</title><script type="text/javascript">var x = 1 < 2;</script>' || '<style>.t { color: red; }</style></head><body><h1 class="t">Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><div>&amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'"""
+
+  /** HTML → text extraction: script/style elements go first (non-greedy
+    * content match — their text may contain bare `<`), then tags, then
+    * entity unescape (`&amp;` strictly last so double-escaped entities
+    * surface as literals, the standard order), then whitespace
+    * collapse. Both regex dialects here are the RE2 ∩ java.util.regex
+    * common subset; the entity steps are plain `replace` so no dialect
+    * is involved at all.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val noScript = regexp_replace(htmlCol,
+      "<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val clean = trim(regexp_replace(unescaped, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(htmlCol).cast("long").as("n_raw"),
+        clean.as("text_clean"))
+      .withColumn("n_clean", length(col("text_clean")).cast("long"))
+  }
+
+  private val htmlStripSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id, $htmlColSql AS html
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, html,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(
+       |        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |        '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS text_clean
+       |  FROM raw)
+       |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_raw, text_clean,
+       |  CAST(length(text_clean) AS BIGINT) AS n_clean
+       |FROM s1""".stripMargin
+
+  // ----------------------------------------------------------------- url
+
+  /** Deterministic messy URL per document: uppercase scheme/host noise,
+    * `www.`, an explicit default port, tracking params interleaved with
+    * a payload param, and a fragment. The modulus on the id param makes
+    * distinct documents collapse to the same canonical URL (the
+    * re-crawl/alias population url_dedup exists for).
+    */
+  private def urlCol: Column =
+    concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/docs/"),
+      (col("doc_id") % 10).cast("string"),
+      lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+      lit("&id="), (col("doc_id") % 30).cast("string"),
+      lit("&ref=rss#sec"), (col("doc_id") % 7).cast("string"))
+
+  // single-line: see htmlColSql note
+  private val urlColSql =
+    """'HTTPS://WWW.' || source || '.Example.COM:443/docs/' || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST(doc_id % 30 AS VARCHAR) || '&ref=rss#sec' || CAST(doc_id % 7 AS VARCHAR)"""
+
+  private val schemeHostPat = "^[A-Za-z]+://[^/?#]*"
+
+  /** RFC-3986-style normalization: drop the fragment, lowercase the
+    * scheme+authority (ONLY that prefix — path/query case is
+    * significant), strip the scheme-default port and the `www.` alias,
+    * drop tracking params (`utm_*`, `ref`), then repair the separator
+    * debris (`&&`, `?&`, trailing `?`/`&`). Canonical key for
+    * crawl-frontier dedup, sitemap joins, and robots lookups.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val u1 = regexp_replace(urlCol, "#.*$", "")
+    val sh = regexp_extract(u1, schemeHostPat, 0)
+    val rest = u1.substr(length(sh) + 1, lit(100000))
+    val host = replace(regexp_replace(lower(sh), ":443$", ""),
+      lit("://www."), lit("://"))
+    val rest2 = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*", ""),
+      "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), urlCol.as("url"),
+        concat(host, rest2).as("canonical_url"))
+  }
+
+  private val urlCanonicalizeSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    $urlColSql AS url
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM raw),
+       |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
+       |s3 AS (SELECT doc_id, url,
+       |    replace(regexp_replace(lower(sh), ':443$$', ''), '://www.', '://') AS host,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+       |      '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS rest2
+       |  FROM s2)
+       |SELECT doc_id, url, host || rest2 AS canonical_url FROM s3""".stripMargin
+
+  /** Crawl dedup on the canonical key: one keep-min aggregation —
+    * min doc_id survives as the group representative, the rest count
+    * as aliases. Emits only keys that actually collapsed (n_dups > 0);
+    * the survivor set is the anti-join complement, same exchange.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlCanonicalize(spark, dir)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        (count(lit(1)) - 1).as("n_dups"))
+      .where(col("n_dups") > 0)
+
+  private val urlDedupSql =
+    s"""WITH canon AS ($urlCanonicalizeSql)
+       |SELECT canonical_url, min(doc_id) AS keep_doc_id,
+       |  count(*) - 1 AS n_dups
+       |FROM canon GROUP BY 1 HAVING count(*) - 1 > 0""".stripMargin
+
+  // --------------------------------------------------- perplexity buckets
+
+  /** CCNet-style head/middle/tail split: every document ranked by LM
+    * perplexity ([[TextAnalysis.lmPerplexity]] — the bigram model both
+    * engines compute identically) and cut into exact terciles. Head =
+    * lowest perplexity (most fluent) — the bucket CCNet keeps.
+    *
+    * Scale shape: the tercile is NOT a global ntile window (that would
+    * single-partition the corpus) — it's the [[RangeRank]] exact
+    * distributed rank (sampled range buckets + broadcast offsets +
+    * partitioned windows) through the closed-form ntile formula,
+    * hash-identical to the oracle's `ntile(3)`: the rfm_segments
+    * discipline applied to the curation pipeline.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextAnalysis.lmPerplexity(spark, dir)
+      .select(col("doc_id"), col("ppl"))
+      // rank DESC on the negated key == ppl ASC: head ranks first
+      .withColumn("negppl", -col("ppl"))
+    RangeRank.withRankDesc(base, "negppl", "doc_id", "__rk",
+        totalOut = Some("__n"))
+      .withColumn("bucket",
+        RangeRank.ntileFromRank(col("__rk"), col("__n"), 3))
+      .select(col("doc_id"), col("ppl"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("bucket_name"))
+  }
+
+  private val perplexityBucketsSql =
+    s"""WITH base AS (${TextAnalysis.lmPerplexitySql})
+       |SELECT doc_id, ppl, bucket,
+       |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket_name
+       |FROM (
+       |  SELECT doc_id, ppl,
+       |    ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS bucket
+       |  FROM base)""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("html_strip", htmlStrip, Some(htmlStripSql)),
+    Op("url_canonicalize", urlCanonicalize, Some(urlCanonicalizeSql)),
+    Op("url_dedup", urlDedup, Some(urlDedupSql)),
+    Op("perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
+  )
+}

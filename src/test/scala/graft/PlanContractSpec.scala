@@ -362,6 +362,37 @@ class PlanContractSpec extends AnyFunSuite {
       "user relation must never single-partition:\n" + p.take(2000))
   }
 
+  test("perplexity_buckets: distributed tercile — corpus never single-partitions") {
+    val p = finalPlan("perplexity_buckets")
+    assert(!p.contains("ntile("), "no global ntile over the documents relation")
+    // the tercile is the RangeRank bucket-partitioned rank window; the
+    // only single-partition stage is the <=64-row bucket-totals cumsum
+    assert(p.contains("windowspecdefinition(__rr_b_")
+      && count(p, "Exchange hashpartitioning(__rr_b_") >= 1, p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      "documents relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("sem_dedup: one broadcast assignment, cluster self-join shares its exchange") {
+    val p = finalPlan("sem_dedup")
+    // the codebook rides a broadcast — the corpus never shuffles for
+    // assignment
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid codebook must broadcast:\n" + p.take(2000))
+    // the within-cluster pair join is the identical assigned subtree on
+    // both sides: SelfJoinShuffleRule pins it off broadcast, so the
+    // cluster exchange materializes once (ReusedExchange) — SMJ or SHJ,
+    // either reuses; a broadcast of the corpus-sized side never can
+    assert(p.contains("ReusedExchange"),
+      "cluster self-join must reuse one shuffle exchange:\n" + p.take(2000))
+    assert(!p.matches("(?s).*BroadcastHashJoin \\[cluster.*"),
+      "cluster pair join must not broadcast a corpus-sized side:\n" + p.take(2000))
+    // the dup-id anti set is corpus-proportional in production: the
+    // final left join is pinned shuffle-hash, never a dup broadcast
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftOuter"),
+      "dup join must stay a shuffle join:\n" + p.take(2000))
+  }
+
   test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
     val p = finalPlan("hilbert_key")
     // the 16-level unrolled walk is pure per-row arithmetic: the fact
