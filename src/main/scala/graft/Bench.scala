@@ -38,14 +38,12 @@ object Bench {
       var times = (1 to 5).map(_ => once())
       // a VM stall window can span several of the 5 runs and poison
       // even the min; when the spread says the window was unstable,
-      // buy up to 3 extra runs — each either confirms the min (stable
-      // again) or is itself stalled (changes nothing). Bounded extra
-      // wall, strictly-better min fidelity.
-      var extra = 0
-      while (extra < 3 && times.min > 0 && times.max / times.min > 2.5) {
-        times = times :+ once()
-        extra += 1
-      }
+      // buy 3 extra runs — each either confirms the min (stable again)
+      // or is itself stalled (changes nothing). A plain `if`, not a
+      // loop: appending runs can only widen max/min, so a re-checked
+      // condition could never flip back.
+      if (times.min > 0 && times.max / times.min > 2.5)
+        times = times ++ (1 to 3).map(_ => once())
       val spread = if (times.min > 0) times.max / times.min else Double.NaN
       System.err.println(f"[bench] ${op.name}%-28s min=${times.min}%.3f " +
         f"raw=[${times.map(t => f"$t%.3f").mkString(", ")}] spread=${spread}%.1fx" +

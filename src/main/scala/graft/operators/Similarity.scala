@@ -421,9 +421,15 @@ object Similarity {
     * centroids broadcast, the corpus never shuffles, per-vector work
     * is k dot products.
     */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
+  /** Nearest-of-the-8-deterministic-seeds assignment — the ONE spelling
+    * shared by [[kmeansAssign]] and [[semDedup]] (an edit to the
+    * distance expression or tie-break here changes both together, so
+    * their argmins can never silently de-synchronize). Returns
+    * (vec_id, v, nrm, cluster, d2); callers project what they need and
+    * Catalyst prunes the rest back into the scan.
+    */
+  private def seedAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
     val c = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val d2 = (vec_dot(col("v"), col("v"))
@@ -432,29 +438,41 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
     e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("cid"), d2)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), d2)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cluster"),
-        round(col("d2"), 9).as("dist2"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cid").as("cluster"), col("d2"))
   }
 
-  private val kmeansAssignSql = {
+  /** CTE chain ending in `assigned(vec_id, v, nrm, cluster, d2)` —
+    * the oracle mirror of [[seedAssign]], shared the same way.
+    */
+  private val seedAssignSql = {
     val dVV = dotSql("v", "v")
     val dVC = dotSql("v", "cv")
     val dCC = dotSql("cv", "cv")
-    s"""WITH emb AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+    s"""emb AS ($embSql),
        |c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
        |scored AS (
-       |  SELECT vec_id, cid,
+       |  SELECT vec_id, v, nrm, cid,
        |    $dVV - 2.0 * $dVC + $dCC AS d2
-       |  FROM emb CROSS JOIN c)
-       |SELECT vec_id, cid AS cluster, round(d2, 9) AS dist2 FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY d2 ASC, cid ASC) AS rk
-       |  FROM scored)
-       |WHERE rk = 1""".stripMargin
+       |  FROM emb CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cid AS cluster, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, cid ASC) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)""".stripMargin
   }
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    seedAssign(spark, dir)
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 9).as("dist2"))
+
+  private val kmeansAssignSql =
+    s"""WITH $seedAssignSql
+       |SELECT vec_id, cluster, round(d2, 9) AS dist2 FROM assigned""".stripMargin
 
   /** Full Lloyd iterations on DataFrames — assignment as in
     * [[kmeansAssign]] (centroids broadcast as a literal relation), new
@@ -612,9 +630,10 @@ object Similarity {
     * 0.4 exercises the drop path on 4–12%% of rows per SF; production
     * tunes τ against real embedding geometry.
     *
-    * Assignment reuses [[kmeansAssign]]'s exact spelling (broadcast
-    * codebook, ||v||²−2v·c+||c||² with sequential-fold bit parity) so
-    * the argmin is engine-identical. The within-cluster self-join is
+    * Assignment IS [[seedAssign]] — the same code object
+    * [[kmeansAssign]] projects from (broadcast codebook,
+    * ||v||²−2v·c+||c||² with sequential-fold bit parity), so the
+    * argmin is engine-identical by construction, not by convention. The within-cluster self-join is
     * the identical subtree twice — SelfJoinShuffleRule pins it to a
     * shuffle-hash join computing that exchange once. The 8-seed
     * codebook here is the oracle-deterministic stand-in: production
@@ -625,19 +644,8 @@ object Similarity {
     * into one cluster.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val c = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = (vec_dot(col("v"), col("v"))
-      - lit(2.0) * vec_dot(col("v"), col("cv"))
-      + vec_dot(col("cv"), col("cv"))).as("d2")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), d2)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+    val assigned = seedAssign(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
@@ -657,22 +665,8 @@ object Similarity {
   }
 
   private val semDedupSql = {
-    val dVV = dotSql("v", "v")
-    val dVC = dotSql("v", "cv")
-    val dCC = dotSql("cv", "cv")
     val dAB = dotSql("a.v", "b.v")
-    s"""WITH emb AS ($embSql),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
-       |scored AS (
-       |  SELECT vec_id, v, nrm, cid,
-       |    $dVV - 2.0 * $dVC + $dCC AS d2
-       |  FROM emb CROSS JOIN c),
-       |assigned AS (
-       |  SELECT vec_id, v, nrm, cid AS cluster FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY d2 ASC, cid ASC) AS rk
-       |    FROM scored)
-       |  WHERE rk = 1),
+    s"""WITH $seedAssignSql,
        |dups AS (
        |  SELECT DISTINCT b.vec_id AS dup_id
        |  FROM assigned a JOIN assigned b

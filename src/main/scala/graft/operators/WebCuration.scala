@@ -115,10 +115,20 @@ object WebCuration {
     val u1 = regexp_replace(urlCol, "#.*$", "")
     val sh = regexp_extract(u1, schemeHostPat, 0)
     val rest = u1.substr(length(sh) + 1, lit(100000))
-    val host = replace(regexp_replace(lower(sh), ":443$", ""),
+    // port strip is SCHEME-AWARE: only the scheme's own default port is
+    // redundant (https:443 / http:80) — http://a:443 is a real origin
+    // and must keep its port. Backreference syntax differs by engine
+    // ($1 java.regex here, \1 RE2 in the oracle) — the parity gate pins
+    // the semantics, not the spelling.
+    val host = replace(
+      regexp_replace(regexp_replace(lower(sh),
+        "^(https://[^:/]*):443$", "$1"), "^(http://[^:/]*):80$", "$1"),
       lit("://www."), lit("://"))
+    // tracking params are matched WITH their [?&] separator (kept via
+    // the backref) so 'href=', 'prefix=' or a path '/ref=x' can never
+    // be eaten — the repair passes then collapse the '?&'/'&&' debris
     val rest2 = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*", ""),
+      regexp_replace(rest, "([?&])(utm_[a-z0-9]+|ref)=[^&]*", "$1"),
       "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
     Tables.documents(spark, dir)
       .select(col("doc_id"), urlCol.as("url"),
@@ -133,9 +143,11 @@ object WebCuration {
        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM raw),
        |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
        |s3 AS (SELECT doc_id, url,
-       |    replace(regexp_replace(lower(sh), ':443$$', ''), '://www.', '://') AS host,
+       |    replace(regexp_replace(regexp_replace(lower(sh),
+       |      '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'),
+       |      '://www.', '://') AS host,
        |    regexp_replace(regexp_replace(regexp_replace(
-       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'),
        |      '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS rest2
        |  FROM s2)
        |SELECT doc_id, url, host || rest2 AS canonical_url FROM s3""".stripMargin
@@ -173,10 +185,17 @@ object WebCuration {
     * discipline applied to the curation pipeline.
     */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // RangeRank's cutoff sampling is an EAGER action over its input —
+    // run straight on lmPerplexity, the whole bigram-LM pipeline would
+    // execute twice (once to sample, once for the real job). The
+    // checkpoint materializes the scored relation ONCE and both reads
+    // come from it — exactly how a production run stages an expensive
+    // scoring pass before quantile cuts (the h3_compact precedent).
     val base = TextAnalysis.lmPerplexity(spark, dir)
       .select(col("doc_id"), col("ppl"))
       // rank DESC on the negated key == ppl ASC: head ranks first
       .withColumn("negppl", -col("ppl"))
+      .localCheckpoint()
     RangeRank.withRankDesc(base, "negppl", "doc_id", "__rk",
         totalOut = Some("__n"))
       .withColumn("bucket",

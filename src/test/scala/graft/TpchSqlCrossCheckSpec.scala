@@ -35,8 +35,12 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map {
       case null => "∅"
-      case d: Double => f"$d%.9f"
-      case b: java.math.BigDecimal => f"${b.doubleValue()}%.9f"
+      // %.9e = RELATIVE 1e-9 comparison: a fixed %.9f both flakes on
+      // large-magnitude aggregates (ulp of 1e10 ≈ 2e-6 — a legitimate
+      // partition-order difference between the DF and SQL plans would
+      // fail spuriously) and masks sub-1e-9 drift on small values
+      case d: Double => f"$d%.9e"
+      case b: java.math.BigDecimal => f"${b.doubleValue()}%.9e"
       case x => x.toString
     }.mkString("|")).sorted.toSeq
 
@@ -46,7 +50,8 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
       val sqlRows =
         try Some(canon(spark.sql(sql)))
-        catch { case _: Throwable => skipped += 1; None } // dialect-only
+        // dialect-only skips; fatal errors (OOM, interrupts) still abort
+        catch { case scala.util.control.NonFatal(_) => skipped += 1; None }
       sqlRows.foreach { want =>
         checked += 1
         // DF-side failures are NOT skippable — the engine must run its
@@ -62,7 +67,11 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
     val fs = failures.result()
     info(s"cross-checked $checked oracles through Spark SQL ($skipped dialect-skipped)")
     assert(fs.isEmpty, fs.mkString("\n"))
-    assert(checked >= 100,
+    // ratchet: exactly today's dialect-common count. A query whose
+    // Spark-side run REGRESSES into an exception lands in `skipped` and
+    // drops this below the floor — raise the floor when adding new
+    // dialect-common ops, never lower it without a named reason.
+    assert(checked >= 105,
       s"dialect-common sweep degraded: only $checked oracles cross-checked")
   }
 }
