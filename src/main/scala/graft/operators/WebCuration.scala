@@ -51,20 +51,25 @@ object WebCuration {
     * common subset; the entity steps are plain `replace` so no dialect
     * is involved at all.
     */
-  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
-    val noScript = regexp_replace(htmlCol,
+  /** The reusable kernel: apply to ANY string column carrying HTML.
+    * Pure Column pipeline — fuses into whatever scan feeds it.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
       "<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    val clean = trim(regexp_replace(unescaped, "\\s+", " "))
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(htmlCol).cast("long").as("n_raw"),
-        clean.as("text_clean"))
+        stripHtml(htmlCol).as("text_clean"))
       .withColumn("n_clean", length(col("text_clean")).cast("long"))
-  }
 
   private val htmlStripSql =
     s"""WITH raw AS (
@@ -111,8 +116,9 @@ object WebCuration {
     * debris (`&&`, `?&`, trailing `?`/`&`). Canonical key for
     * crawl-frontier dedup, sitemap joins, and robots lookups.
     */
-  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
-    val u1 = regexp_replace(urlCol, "#.*$", "")
+  /** The reusable kernel: apply to ANY string column carrying a URL. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u1 = regexp_replace(url, "#.*$", "")
     val sh = regexp_extract(u1, schemeHostPat, 0)
     val rest = u1.substr(length(sh) + 1, lit(100000))
     // port strip is SCHEME-AWARE: only the scheme's own default port is
@@ -130,10 +136,13 @@ object WebCuration {
     val rest2 = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(rest, "([?&])(utm_[a-z0-9]+|ref)=[^&]*", "$1"),
       "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
+    concat(host, rest2)
+  }
+
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), urlCol.as("url"),
-        concat(host, rest2).as("canonical_url"))
-  }
+        canonicalizeUrl(urlCol).as("canonical_url"))
 
   private val urlCanonicalizeSql =
     s"""WITH raw AS (
