@@ -225,10 +225,76 @@ object WebCuration {
        |    ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS bucket
        |  FROM base)""".stripMargin
 
+  // ------------------------------------------------------ composed flow
+
+  /** The crawl front end COMPOSED, one lazy plan (the curation_pipeline
+    * discipline applied to this family): strip the HTML, keep exactly
+    * one document per canonical URL (min doc_id — the url_dedup
+    * survivor set, spelled as a canonical-key-partitioned rank so it
+    * stays one exchange), gate on extracted-text length, and roll the
+    * survivors up per source. The oracle is the same CTE chain — the
+    * stages compose without drift or hidden materialization.
+    *
+    * Scale shape: two exchanges total — the canonical-key window and
+    * the per-source aggregation. Everything else is row-local string
+    * work fused into the scan.
+    */
+  def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        stripHtml(htmlCol).as("text_clean"),
+        canonicalizeUrl(urlCol).as("canonical_url"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .withColumn("n_clean", length(col("text_clean")).cast("long"))
+      .where(col("n_clean") >= 120)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_clean")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  private val crawlPipelineSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id, source, $htmlColSql AS html, $urlColSql AS url
+       |  FROM documents),
+       |stripped AS (
+       |  SELECT doc_id, source,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(
+       |        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |        '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS text_clean,
+       |  url FROM raw),
+       |s1 AS (SELECT *, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM stripped),
+       |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
+       |canon AS (SELECT doc_id, source, text_clean,
+       |    replace(regexp_replace(regexp_replace(lower(sh),
+       |      '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'),
+       |      '://www.', '://')
+       |    || regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'),
+       |      '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS canonical_url
+       |  FROM s2),
+       |survivors AS (
+       |  SELECT doc_id, source, CAST(length(text_clean) AS BIGINT) AS n_clean FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
+       |      ORDER BY doc_id ASC) AS rk
+       |    FROM canon)
+       |  WHERE rk = 1 AND length(text_clean) >= 120)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_clean) AS BIGINT) AS n_chars, min(doc_id) AS first_doc
+       |FROM survivors GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("html_strip", htmlStrip, Some(htmlStripSql)),
     Op("url_canonicalize", urlCanonicalize, Some(urlCanonicalizeSql)),
     Op("url_dedup", urlDedup, Some(urlDedupSql)),
     Op("perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
+    Op("crawl_pipeline", crawlPipeline, Some(crawlPipelineSql)),
   )
 }

@@ -393,6 +393,17 @@ class PlanContractSpec extends AnyFunSuite {
       "dup join must stay a shuffle join:\n" + p.take(2000))
   }
 
+  test("crawl_pipeline: two exchanges — canonical-key window + source rollup") {
+    val p = finalPlan("crawl_pipeline")
+    // all the string work is row-local: the only shuffles are the
+    // canonical-url dedup window and the per-source aggregation
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      "crawl pipeline must shuffle exactly twice:\n" + p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "nothing in the crawl pipeline may single-partition:\n" + p.take(2000))
+    assert(!p.contains("Join"), "stage composition must stay join-free")
+  }
+
   test("hilbert_key: scalar min/max broadcast only, no hash exchange") {
     val p = finalPlan("hilbert_key")
     // the 16-level unrolled walk is pure per-row arithmetic: the fact

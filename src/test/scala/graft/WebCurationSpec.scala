@@ -92,6 +92,27 @@ class WebCurationSpec extends AnyFunSuite {
     assert(byBucket(3).forall(_.getAs[String]("bucket_name") == "tail"))
   }
 
+  test("crawl_pipeline reconciles with its stages run individually") {
+    val rolled = WebCuration.crawlPipeline(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"))).toMap
+    // manual composition from the INDIVIDUAL registered ops: survivors
+    // = one doc per canonical key, then the same length gate
+    val canon = WebCuration.urlCanonicalize(spark, sf)
+      .select(col("doc_id").as("kdoc"), col("canonical_url"))
+    val strip = WebCuration.htmlStrip(spark, sf)
+    val manual = canon.groupBy(col("canonical_url"))
+      .agg(min(col("kdoc")).as("doc_id"))
+      .join(strip, Seq("doc_id"))
+      .where(col("n_clean") >= 120)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"))).toMap
+    assert(rolled == manual,
+      s"pipeline drifted from its stages: $rolled vs $manual")
+  }
+
   test("sem_dedup: cluster minima always survive; drops are justified") {
     val rows = Similarity.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
