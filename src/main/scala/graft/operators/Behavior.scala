@@ -325,8 +325,49 @@ object Behavior {
       |WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
       |  AND prev_v >= value * 1.1 AND next_v >= value * 1.1""".stripMargin
 
+  /** Last-touch attribution: every purchase credits the most recent
+    * PRECEDING non-purchase event of the same user ('direct' when the
+    * purchase is the user's first touch) — the classic marketing
+    * attribution next to [[funnelSteps]]/[[cohortRetention]]. Spelled
+    * as the IGNORE-NULLS carry-forward window over each user's ordered
+    * event stream (the window_nth idiom): one user-keyed exchange, no
+    * self-join, no per-purchase scan-back. Revenue goes through
+    * DECIMAL so the per-channel sums are engine-identical.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w).as("touch"))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("revenue"))
+  }
+
+  private val attributionLastTouchSql =
+    """SELECT coalesce(touch, 'direct') AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT user_id, event_type, value,
+      |    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   // declared LAST: object vals initialize in declaration order
   val ops: Seq[Op] = Seq(
+    Op("attribution_last_touch", attributionLastTouch,
+      Some(attributionLastTouchSql)),
     Op("user_growth", userGrowth, Some(userGrowthSql)),
     Op("pareto_contribution", paretoContribution, Some(paretoContributionSql)),
     Op("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
