@@ -53,16 +53,31 @@ object WebCuration {
     */
   /** The reusable kernel: apply to ANY string column carrying HTML.
     * Pure Column pipeline — fuses into whatever scan feeds it.
+    * Script and style elements strip in SEPARATE passes: a combined
+    * `<(script|style)>…</(script|style)>` alternation would cross-match
+    * `<script>…</style>`, and the correct fix — a `</\\1>` pattern
+    * backreference — does not exist in RE2, so the oracle could never
+    * mirror it. `(?s)` (both dialects) lets the element body span
+    * newlines.
     */
   def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noScript = regexp_replace(regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
+
+  /** The identical strip chain as ONE DuckDB SQL expression over `in` —
+    * the single source of truth interpolated into every oracle that
+    * strips (html_strip, crawl_pipeline), single-line per the
+    * stripMargin interpolation note above.
+    */
+  private def stripHtmlSqlExpr(in: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace($in, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), '(?s)<style[^>]*>.*?</style>', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"""
 
   def htmlStrip(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -76,13 +91,7 @@ object WebCuration {
        |  SELECT doc_id, $htmlColSql AS html
        |  FROM documents),
        |s1 AS (SELECT doc_id, html,
-       |  trim(regexp_replace(
-       |    replace(replace(replace(replace(replace(replace(
-       |      regexp_replace(
-       |        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-       |        '<[^>]*>', ' ', 'g'),
-       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-       |    '\\s+', ' ', 'g')) AS text_clean
+       |  ${stripHtmlSqlExpr("html")} AS text_clean
        |  FROM raw)
        |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_raw, text_clean,
        |  CAST(length(text_clean) AS BIGINT) AS n_clean
@@ -108,6 +117,15 @@ object WebCuration {
     """'HTTPS://WWW.' || source || '.Example.COM:443/docs/' || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST(doc_id % 30 AS VARCHAR) || '&ref=rss#sec' || CAST(doc_id % 7 AS VARCHAR)"""
 
   private val schemeHostPat = "^[A-Za-z]+://[^/?#]*"
+
+  // the canonicalization chains as single DuckDB SQL expressions —
+  // shared by url_canonicalize and crawl_pipeline so the spellings can
+  // never diverge (single-line per the stripMargin note above)
+  private def canonHostSqlExpr(sh: String): String =
+    s"""replace(regexp_replace(regexp_replace(lower($sh), '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'), '://www.', '://')"""
+
+  private def canonRestSqlExpr(u1: String, sh: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(substr($u1, length($sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'), '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g')"""
 
   /** RFC-3986-style normalization: drop the fragment, lowercase the
     * scheme+authority (ONLY that prefix — path/query case is
@@ -152,12 +170,8 @@ object WebCuration {
        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM raw),
        |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
        |s3 AS (SELECT doc_id, url,
-       |    replace(regexp_replace(regexp_replace(lower(sh),
-       |      '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'),
-       |      '://www.', '://') AS host,
-       |    regexp_replace(regexp_replace(regexp_replace(
-       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'),
-       |      '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS rest2
+       |    ${canonHostSqlExpr("sh")} AS host,
+       |    ${canonRestSqlExpr("u1", "sh")} AS rest2
        |  FROM s2)
        |SELECT doc_id, url, host || rest2 AS canonical_url FROM s3""".stripMargin
 
@@ -243,13 +257,17 @@ object WebCuration {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canonical_url")).orderBy(col("doc_id").asc)
     Tables.documents(spark, dir)
+      // only the LENGTH of the stripped text rides the shuffle — the
+      // length is row-deterministic, so computing it before the
+      // canonical-url exchange (instead of carrying the whole cleaned
+      // body for rows the window immediately discards) is
+      // result-identical and shrinks the shuffle payload from the
+      // corpus text to 8 bytes/row
       .select(col("doc_id"), col("source"),
-        stripHtml(htmlCol).as("text_clean"),
+        length(stripHtml(htmlCol)).cast("long").as("n_clean"),
         canonicalizeUrl(urlCol).as("canonical_url"))
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .withColumn("n_clean", length(col("text_clean")).cast("long"))
-      .where(col("n_clean") >= 120)
+      .where(col("rk") === 1 && col("n_clean") >= 120)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_clean")).as("n_chars"),
@@ -262,30 +280,20 @@ object WebCuration {
        |  FROM documents),
        |stripped AS (
        |  SELECT doc_id, source,
-       |  trim(regexp_replace(
-       |    replace(replace(replace(replace(replace(replace(
-       |      regexp_replace(
-       |        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-       |        '<[^>]*>', ' ', 'g'),
-       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-       |    '\\s+', ' ', 'g')) AS text_clean,
+       |  CAST(length(${stripHtmlSqlExpr("html")}) AS BIGINT) AS n_clean,
        |  url FROM raw),
        |s1 AS (SELECT *, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM stripped),
        |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
-       |canon AS (SELECT doc_id, source, text_clean,
-       |    replace(regexp_replace(regexp_replace(lower(sh),
-       |      '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'),
-       |      '://www.', '://')
-       |    || regexp_replace(regexp_replace(regexp_replace(
-       |      regexp_replace(substr(u1, length(sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'),
-       |      '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS canonical_url
+       |canon AS (SELECT doc_id, source, n_clean,
+       |    ${canonHostSqlExpr("sh")}
+       |    || ${canonRestSqlExpr("u1", "sh")} AS canonical_url
        |  FROM s2),
        |survivors AS (
-       |  SELECT doc_id, source, CAST(length(text_clean) AS BIGINT) AS n_clean FROM (
+       |  SELECT doc_id, source, n_clean FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
        |      ORDER BY doc_id ASC) AS rk
        |    FROM canon)
-       |  WHERE rk = 1 AND length(text_clean) >= 120)
+       |  WHERE rk = 1 AND n_clean >= 120)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_clean) AS BIGINT) AS n_chars, min(doc_id) AS first_doc
        |FROM survivors GROUP BY 1""".stripMargin

@@ -33,7 +33,9 @@ class WebKernelFuzzSpec extends AnyFunSuite {
 
   // --- independent models (java.util.regex, driver-side) ----------------
   private def modelStrip(html: String): String = {
-    val noScript = html.replaceAll("<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noScript = html
+      .replaceAll("(?s)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?s)<style[^>]*>.*?</style>", " ")
     val noTags = noScript.replaceAll("<[^>]*>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -63,6 +65,8 @@ class WebKernelFuzzSpec extends AnyFunSuite {
       "<p>", "</p>", "<div class=\"x\">", "<br/>", "< 2;", "<", ">",
       "<script>a < b && c > d</script>", "<script src=\"x\">v=1</script>",
       "<style>.a{}</style>", "<SCRIPT>shout</SCRIPT>", "<unclosed",
+      "<script>\nvar nl = 1 < 2;\n</script>", "<style>\n.b{}\n</style>",
+      "<script>x</style>", "<style>y</script>", "line\nbreak",
       "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
       "&bogus;", "&", "&&amp;", "word", "two  spaces", "\ttab\t",
       "trailing ", " leading", "", "mixed <b>bold</b> text")
