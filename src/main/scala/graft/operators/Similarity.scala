@@ -676,7 +676,62 @@ object Similarity {
        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id""".stripMargin
   }
 
+  /** Retrieval-quality evaluation of the LSH candidate generator
+    * against exact brute-force truth — the recall@k / MRR / nDCG@k
+    * report every ANN deployment ships next to its index build: truth
+    * = [[annCosineTopk]] (exact top-5), candidates =
+    * [[annLshBucketed]] (bucketed top-3). A candidate is relevant iff
+    * it appears in the query's exact top-5; nDCG uses binary gains at
+    * the candidate's rank against the ideal (all-relevant) prefix.
+    *
+    * Scale shape: both sides keep their own probe-broadcast plans; the
+    * eval join is per-(query, candidate) — k×|queries| rows, driver-
+    * trivial at any corpus size. Doubles round to 9 dp so the
+    * log2-based nDCG compares bit-stable across engines.
+    */
+  def annRankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annCosineTopk(spark, dir)
+      .select(col("query_id"), col("cand_id"))
+    val cand = annLshBucketed(spark, dir)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    val ln2 = math.log(2.0)
+    val hit = cand.join(truth, Seq("query_id", "cand_id"), "left_semi")
+    val k = 3
+    val idealDcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / ln2)).sum
+    cand.join(hit.select(col("query_id"), col("cand_id"),
+          lit(1).as("rel")), Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rnk"),
+        coalesce(col("rel"), lit(0)).as("rel"))
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(col("rel")).cast("double") / k, 9).as("recall_at_3"),
+        round(coalesce(
+          max(when(col("rel") === 1, lit(1.0) / col("rnk"))), lit(0.0)), 9)
+          .as("mrr"),
+        round(sum(col("rel") * (lit(1.0)
+          / (log(col("rnk") + 1.0) / ln2))) / idealDcg, 9).as("ndcg_at_3"))
+  }
+
+  private val annRankMetricsSql = {
+    val ln2 = math.log(2.0)
+    val k = 3
+    val idealDcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / ln2)).sum
+    s"""WITH truth AS ($annCosineTopkSql),
+       |cand AS ($annLshBucketedSql),
+       |scored AS (
+       |  SELECT c.query_id, c.rnk,
+       |    CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM cand c LEFT JOIN truth t
+       |    ON c.query_id = t.query_id AND c.cand_id = t.cand_id)
+       |SELECT query_id,
+       |  round(CAST(SUM(rel) AS DOUBLE) / $k, 9) AS recall_at_3,
+       |  round(coalesce(MAX(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0), 9) AS mrr,
+       |  round(SUM(rel * (1.0 / (ln(rnk + 1.0) / $ln2))) / $idealDcg, 9) AS ndcg_at_3
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("ann_rank_metrics", annRankMetrics, Some(annRankMetricsSql)),
     Op("sem_dedup", semDedup, Some(semDedupSql)),
     Op("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
