@@ -113,6 +113,37 @@ class WebCurationSpec extends AnyFunSuite {
       s"pipeline drifted from its stages: $rolled vs $manual")
   }
 
+  test("canonicalizeUrl under readStream: streamed dedup == batch keys") {
+    // the Column kernel must behave identically inside a streaming
+    // micro-batch plan — crawl-frontier dedup is a STREAMING workload
+    // in production (dropDuplicates on the canonical key; bound with
+    // dropDuplicatesWithinWatermark at scale, same plan shape)
+    val docs = Tables.documents(spark, sf)
+    val urlExpr = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.COM:443/p/"), (col("doc_id") % 25).cast("string"),
+      lit("?utm_s=x&id="), (col("doc_id") % 25).cast("string"), lit("#f"))
+    val batchKeys = docs.select(
+        WebCuration.canonicalizeUrl(urlExpr).as("canonical_url"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // FileStreamSource needs a DIRECTORY; the fixture is a single file
+    val dir = java.nio.file.Files.createTempDirectory("crawl-stream")
+      .toString + "/docs"
+    docs.write.parquet(dir)
+    val q = spark.readStream.schema(docs.schema)
+      .parquet(dir)
+      .select(WebCuration.canonicalizeUrl(urlExpr).as("canonical_url"))
+      .dropDuplicates("canonical_url")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("crawl_keys")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("crawl_keys")
+      .collect().map(_.getString(0)).toSet
+    assert(streamed == batchKeys)
+    assert(batchKeys.size < 500, "the modulus must actually collapse keys")
+  }
+
   test("sem_dedup: cluster minima always survive; drops are justified") {
     val rows = Similarity.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
