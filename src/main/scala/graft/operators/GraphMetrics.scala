@@ -90,10 +90,19 @@ object GraphMetrics {
     * triangle wedge join leans on). Ranks and degrees shuffle on the
     * same node key every round — co-partitioned by Catalyst, no
     * driver-side state. Undirected edges mean no dangling-mass term:
-    * every node has out-degree ≥ 1. Results round to 9 decimals so
-    * cross-engine double-sum ordering cannot surface in the hash.
+    * every node has out-degree ≥ 1.
+    *
+    * Float-parity: the per-round contribution sum is round-15 then
+    * DECIMAL-accumulated (the bm25 discipline) — a raw double SUM is
+    * aggregation-ORDER-dependent, and at sf0.001 one node's true value
+    * landed within an ulp of a 9-dp rounding boundary, flipping the
+    * hash between engines. Decimal accumulation is exact, so the
+    * per-round ranks are identical doubles on both sides regardless of
+    * partialing; round-12 re-canonicalizes r between rounds and the
+    * output rounds to 9 dp as before.
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val e0 = edges(spark, dir)
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -104,17 +113,21 @@ object GraphMetrics {
       r = e.join(r, col("src") === col("node"))
         .join(deg, Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum(col("r") / col("d")).as("s"))
+        .agg(sum(round(col("r") / col("d"), 15)
+          .cast(DecimalType(28, 15))).as("s"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("node"),
-          (lit(0.15) / col("n") + lit(0.85) * col("s")).as("r"))
+          round(lit(0.15) / col("n")
+            + lit(0.85) * col("s").cast("double"), 12).as("r"))
     r.select(col("node"), round(col("r"), 9).as("pagerank"))
   }
 
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (
-       |  SELECT s.node, CAST(0.15 AS DOUBLE) / n.n + CAST(0.85 AS DOUBLE) * s.s AS r
-       |  FROM (SELECT e.dst AS node, SUM($prev.r / deg.d) AS s
+       |  SELECT s.node, round(CAST(0.15 AS DOUBLE) / n.n
+       |      + CAST(0.85 AS DOUBLE) * CAST(s.s AS DOUBLE), 12) AS r
+       |  FROM (SELECT e.dst AS node,
+       |          SUM(CAST(round($prev.r / deg.d, 15) AS DECIMAL(28,15))) AS s
        |        FROM e JOIN $prev ON e.src = $prev.node
        |        JOIN deg ON e.src = deg.src
        |        GROUP BY e.dst) s CROSS JOIN n)""".stripMargin
