@@ -377,10 +377,17 @@ object Similarity {
     val expl = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
+    // the pagerank lesson (TODO r12): a raw double SUM is aggregation-
+    // order-dependent, and round-9 cannot mask a value that lands on a
+    // rounding boundary — round each product (15 dp) then accumulate
+    // as exact DECIMAL so the score is order-free on both engines
+    val d2815 = org.apache.spark.sql.types.DecimalType(28, 15)
     val scored = expl.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("c_label"))
-      .agg((round(sum(col("x").cast("double") * col("mean")), 9) * -2.0
-        + round(sum(col("mean") * col("mean")), 9)).as("score"))
+      .agg((round(sum(round(col("x").cast("double") * col("mean"), 15)
+          .cast(d2815)).cast("double"), 9) * -2.0
+        + round(sum(round(col("mean") * col("mean"), 15)
+          .cast(d2815)).cast("double"), 9)).as("score"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").asc, col("c_label").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -402,8 +409,8 @@ object Similarity {
        |        FROM embeddings)),
        |scored AS (
        |  SELECT e.vec_id, e.label, c.label AS c_label,
-       |    round(SUM(e.x * c.mean), 9) * -2.0
-       |      + round(SUM(c.mean * c.mean), 9) AS score
+       |    round(CAST(SUM(CAST(round(e.x * c.mean, 15) AS DECIMAL(28,15))) AS DOUBLE), 9) * -2.0
+       |      + round(CAST(SUM(CAST(round(c.mean * c.mean, 15) AS DECIMAL(28,15))) AS DOUBLE), 9) AS score
        |  FROM expl e JOIN cent c ON e.dim = c.dim
        |  GROUP BY 1, 2, 3)
        |SELECT label, c_label AS predicted, count(*) AS n FROM (
