@@ -21,10 +21,12 @@ object DevCrawlProbe {
     // 64 files so the scan parallelizes across the 32 cores — a single
     // 150 MB parquet would coalesce to ~2 input splits
     big.repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    val bytes = spark.read.parquet(s"$dir/documents.parquet")
-      .agg(sum(length(col("text")))).head().getLong(0)
-    for (round <- 1 to 3) {
+    // one setup pass for both corpus stats
+    val stats = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)), sum(length(col("text")))).head()
+    val n = stats.getLong(0)
+    val bytes = stats.getLong(1)
+    try for (round <- 1 to 3) {
       val t0 = System.nanoTime()
       val r = operators.WebCuration.crawlPipeline(spark, dir)
         .agg(sum(col("n_docs")), sum(col("n_chars"))).head()
@@ -32,6 +34,14 @@ object DevCrawlProbe {
       println(f"[probe] round=$round docs=$n%,d textMB=${bytes / 1e6}%.0f " +
         f"wall=$dt%.2f s -> ${n / dt / 1e6}%.2f Mdocs/s, " +
         f"${bytes / 1e6 / dt}%.0f MB/s (kept=${r.getLong(0)})")
+    } finally {
+      // tmpfs is RAM — a leftover 150 MB corpus would squat on shared
+      // memory until reboot
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
     }
     spark.stop()
   }

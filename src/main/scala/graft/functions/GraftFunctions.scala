@@ -190,6 +190,24 @@ object GraftFunctions {
   def st_contains(rings: Column, lon: Column, lat: Column): Column =
     call_function("st_contains", rings, lon, lat)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Order-free double SUM — THE spelling for any double sum whose
+    * result feeds a rounded, oracle-compared output (the "pagerank
+    * lesson", TODO r12): a raw double SUM is aggregation-ORDER-
+    * dependent, and a final round cannot mask a value landing within
+    * an ulp of its rounding boundary. Rounding each term to 15 dp and
+    * accumulating as exact DECIMAL(28,15) makes the sum associative
+    * (identical in Spark partial aggregation and DuckDB's sequential
+    * fold). Oracle mirror:
+    * `CAST(SUM(CAST(round(term, 15) AS DECIMAL(28,15))) AS DOUBLE)`.
+    * Term magnitude must stay under 10^13 (the integral capacity of
+    * DECIMAL(28,15)).
+    */
+  def sum_order_free(term: Column): Column = {
+    import org.apache.spark.sql.functions.{round, sum}
+    sum(round(term, 15).cast(org.apache.spark.sql.types.DecimalType(28, 15)))
+      .cast("double")
+  }
   def shingle_hash_set(text: Column): Column =
     call_function("shingle_hash_set", text)
   def minhash_sig(text: Column, k: Column): Column =

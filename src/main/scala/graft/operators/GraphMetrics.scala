@@ -102,7 +102,7 @@ object GraphMetrics {
     * output rounds to 9 dp as before.
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.GraftFunctions.sum_order_free
     val e0 = edges(spark, dir)
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -113,12 +113,10 @@ object GraphMetrics {
       r = e.join(r, col("src") === col("node"))
         .join(deg, Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum(round(col("r") / col("d"), 15)
-          .cast(DecimalType(28, 15))).as("s"))
+        .agg(sum_order_free(col("r") / col("d")).as("s"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("node"),
-          round(lit(0.15) / col("n")
-            + lit(0.85) * col("s").cast("double"), 12).as("r"))
+          round(lit(0.15) / col("n") + lit(0.85) * col("s"), 12).as("r"))
     r.select(col("node"), round(col("r"), 9).as("pagerank"))
   }
 

@@ -377,17 +377,14 @@ object Similarity {
     val expl = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
-    // the pagerank lesson (TODO r12): a raw double SUM is aggregation-
-    // order-dependent, and round-9 cannot mask a value that lands on a
-    // rounding boundary — round each product (15 dp) then accumulate
-    // as exact DECIMAL so the score is order-free on both engines
-    val d2815 = org.apache.spark.sql.types.DecimalType(28, 15)
+    // order-free sums (the pagerank lesson — see sum_order_free) so the
+    // argmin score is identical under any aggregation order
     val scored = expl.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("c_label"))
-      .agg((round(sum(round(col("x").cast("double") * col("mean"), 15)
-          .cast(d2815)).cast("double"), 9) * -2.0
-        + round(sum(round(col("mean") * col("mean"), 15)
-          .cast(d2815)).cast("double"), 9)).as("score"))
+      .agg((round(graft.functions.GraftFunctions.sum_order_free(
+          col("x").cast("double") * col("mean")), 9) * -2.0
+        + round(graft.functions.GraftFunctions.sum_order_free(
+          col("mean") * col("mean")), 9)).as("score"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").asc, col("c_label").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -693,20 +690,25 @@ object Similarity {
     *
     * Scale shape: both sides keep their own probe-broadcast plans; the
     * eval join is per-(query, candidate) — k×|queries| rows, driver-
-    * trivial at any corpus size. Doubles round to 9 dp so the
-    * log2-based nDCG compares bit-stable across engines.
+    * trivial at any corpus size. The nDCG sum is order-free
+    * ([[graft.functions.GraftFunctions.sum_order_free]]) and every
+    * metric rounds to 9 dp, so the report compares bit-stable across
+    * engines. Zero-candidate probes (alone in their sign bucket)
+    * report explicit zeros rather than vanishing.
     */
   def annRankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.sum_order_free
     val truth = annCosineTopk(spark, dir)
       .select(col("query_id"), col("cand_id"))
     val cand = annLshBucketed(spark, dir)
       .select(col("query_id"), col("cand_id"), col("rnk"))
     val ln2 = math.log(2.0)
-    val hit = cand.join(truth, Seq("query_id", "cand_id"), "left_semi")
     val k = 3
     val idealDcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / ln2)).sum
-    cand.join(hit.select(col("query_id"), col("cand_id"),
-          lit(1).as("rel")), Seq("query_id", "cand_id"), "left")
+    // truth pairs are unique (row_number filter), so the direct left
+    // join IS the relevance flag — no separate semi-join pass
+    val scored = cand
+      .join(truth.withColumn("rel", lit(1)), Seq("query_id", "cand_id"), "left")
       .select(col("query_id"), col("rnk"),
         coalesce(col("rel"), lit(0)).as("rel"))
       .groupBy(col("query_id"))
@@ -715,8 +717,18 @@ object Similarity {
         round(coalesce(
           max(when(col("rel") === 1, lit(1.0) / col("rnk"))), lit(0.0)), 9)
           .as("mrr"),
-        round(sum(col("rel") * (lit(1.0)
+        // order-free (sum_order_free): ndcg feeds a 9-dp round
+        round(sum_order_free(col("rel") * (lit(1.0)
           / (log(col("rnk") + 1.0) / ln2))) / idealDcg, 9).as("ndcg_at_3"))
+    // a probe alone in its sign bucket retrieves NOTHING — it must
+    // still report 0s; those are exactly the worst queries this eval
+    // exists to expose, not rows to drop
+    truth.select(col("query_id")).distinct()
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("recall_at_3"), lit(0.0)).as("recall_at_3"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        coalesce(col("ndcg_at_3"), lit(0.0)).as("ndcg_at_3"))
   }
 
   private val annRankMetricsSql = {
@@ -729,12 +741,19 @@ object Similarity {
        |  SELECT c.query_id, c.rnk,
        |    CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END AS rel
        |  FROM cand c LEFT JOIN truth t
-       |    ON c.query_id = t.query_id AND c.cand_id = t.cand_id)
-       |SELECT query_id,
-       |  round(CAST(SUM(rel) AS DOUBLE) / $k, 9) AS recall_at_3,
-       |  round(coalesce(MAX(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0), 9) AS mrr,
-       |  round(SUM(rel * (1.0 / (ln(rnk + 1.0) / $ln2))) / $idealDcg, 9) AS ndcg_at_3
-       |FROM scored GROUP BY 1""".stripMargin
+       |    ON c.query_id = t.query_id AND c.cand_id = t.cand_id),
+       |m AS (
+       |  SELECT query_id,
+       |    round(CAST(SUM(rel) AS DOUBLE) / $k, 9) AS recall_at_3,
+       |    round(coalesce(MAX(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0), 9) AS mrr,
+       |    round(CAST(SUM(CAST(round(rel * (1.0 / (ln(rnk + 1.0) / $ln2)), 15) AS DECIMAL(28,15))) AS DOUBLE) / $idealDcg, 9) AS ndcg_at_3
+       |  FROM scored GROUP BY 1)
+       |SELECT q.query_id,
+       |  coalesce(recall_at_3, 0.0) AS recall_at_3,
+       |  coalesce(mrr, 0.0) AS mrr,
+       |  coalesce(ndcg_at_3, 0.0) AS ndcg_at_3
+       |FROM (SELECT DISTINCT query_id FROM truth) q
+       |LEFT JOIN m ON q.query_id = m.query_id""".stripMargin
   }
 
   val ops: Seq[Op] = Seq(
