@@ -298,6 +298,25 @@ object WebCuration {
        |  CAST(sum(n_clean) AS BIGINT) AS n_chars, min(doc_id) AS first_doc
        |FROM survivors GROUP BY 1""".stripMargin
 
+  /** kernel name → (Column kernel, equivalent DuckDB SQL expression
+    * over a column literally named `s`) — the contract surface for
+    * `tools/fuzz_kernels.py`, which replays an ADVERSARIAL corpus
+    * through both engines. The fixture-shaped oracles above can only
+    * prove parity on fixture-shaped input; the in-JVM fuzz spec
+    * (WebKernelFuzzSpec) shares java.regex with the engine, so ONLY
+    * this cross-engine path can catch an RE2-vs-java.regex semantic
+    * divergence on hostile strings.
+    */
+  val kernelOracles: Map[String, (Column => Column, String)] = {
+    val u1 = "regexp_replace(s, '#.*$', '', 'g')"
+    val sh = s"regexp_extract($u1, '$schemeHostPat')"
+    Map(
+      "strip_html" -> ((stripHtml _, stripHtmlSqlExpr("s"))),
+      "canonicalize_url" ->
+        ((canonicalizeUrl _,
+          s"${canonHostSqlExpr(sh)} || ${canonRestSqlExpr(u1, sh)}")))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("html_strip", htmlStrip, Some(htmlStripSql)),
     Op("url_canonicalize", urlCanonicalize, Some(urlCanonicalizeSql)),
