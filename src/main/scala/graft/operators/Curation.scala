@@ -543,7 +543,60 @@ object Curation {
        |WHERE $h % 1000000 < least(1000000, n_chars * 2500)""".stripMargin
   }
 
+  /** Temperature-based source mixing weights — the multilingual/
+    * multi-source sampling formula (XLM-R / mT5 style): sampling share
+    * q_s ∝ p_s^α with α = 0.7, so low-resource sources are boosted
+    * (boost > 1) and dominant sources damped. Emits the natural share,
+    * the resampled share, and the boost factor per source — the table
+    * a data-mixing run feeds its sampler.
+    *
+    * Scale shape: one exchange to the per-source rollup; every window
+    * after that runs over the |sources| relation (catalog-sized by
+    * construction — documented bounded-domain exception). The share
+    * normalizations are order-free DECIMAL window sums (the pagerank
+    * lesson) and every double rounds to 9 dp.
+    */
+  def sourceTemperatureWeights(spark: SparkSession, dir: String,
+      alpha: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy()
+    def ofSum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 15).cast(DecimalType(28, 15))).over(w).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast("double")
+        / sum(col("n_tokens")).over(w))
+      .withColumn("q", pow(col("p"), alpha) / ofSum(pow(col("p"), alpha)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 9).as("p_natural"),
+        round(col("q"), 9).as("p_sampled"),
+        round(col("q") / col("p"), 9).as("boost"))
+  }
+
+  private val sourceTemperatureWeightsSql =
+    """WITH r AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+      |  FROM r),
+      |q AS (
+      |  SELECT *, pow(p, 0.7)
+      |    / CAST(SUM(CAST(round(pow(p, 0.7), 15) AS DECIMAL(28,15))) OVER () AS DOUBLE) AS q
+      |  FROM p)
+      |SELECT source, n_docs, n_tokens,
+      |  round(p, 9) AS p_natural, round(q, 9) AS p_sampled,
+      |  round(q / p, 9) AS boost
+      |FROM q""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("source_temperature_weights", (s, d) => sourceTemperatureWeights(s, d),
+      Some(sourceTemperatureWeightsSql)),
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("importance_sample", importanceSample, Some(importanceSampleSql)),
     Op("text_normalize", textNormalize, Some(textNormalizeSql)),
