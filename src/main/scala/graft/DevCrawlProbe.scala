@@ -18,15 +18,19 @@ object DevCrawlProbe {
       .select((col("doc_id") * mult + col("rep")).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
     val dir = "/dev/shm/crawl-probe"
-    // 64 files so the scan parallelizes across the 32 cores — a single
-    // 150 MB parquet would coalesce to ~2 input splits
-    big.repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // one setup pass for both corpus stats
-    val stats = spark.read.parquet(s"$dir/documents.parquet")
-      .agg(count(lit(1)), sum(length(col("text")))).head()
-    val n = stats.getLong(0)
-    val bytes = stats.getLong(1)
-    try for (round <- 1 to 3) {
+    // the try starts BEFORE the write: a partial corpus from a failed
+    // write (tmpfs full at high mult) must also be cleaned up
+    try {
+      // 64 files so the scan parallelizes across the 32 cores — a single
+      // 150 MB parquet would coalesce to ~2 input splits
+      big.repartition(64).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // one setup pass for both corpus stats
+      val stats = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)), sum(length(col("text")))).head()
+      val n = stats.getLong(0)
+      val bytes = stats.getLong(1)
+      for (round <- 1 to 3) {
       val t0 = System.nanoTime()
       val r = operators.WebCuration.crawlPipeline(spark, dir)
         .agg(sum(col("n_docs")), sum(col("n_chars"))).head()
@@ -34,6 +38,7 @@ object DevCrawlProbe {
       println(f"[probe] round=$round docs=$n%,d textMB=${bytes / 1e6}%.0f " +
         f"wall=$dt%.2f s -> ${n / dt / 1e6}%.2f Mdocs/s, " +
         f"${bytes / 1e6 / dt}%.0f MB/s (kept=${r.getLong(0)})")
+      }
     } finally {
       // tmpfs is RAM — a leftover 150 MB corpus would squat on shared
       // memory until reboot

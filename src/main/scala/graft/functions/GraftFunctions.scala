@@ -203,10 +203,22 @@ object GraftFunctions {
     * Term magnitude must stay under 10^13 (the integral capacity of
     * DECIMAL(28,15)).
     */
-  def sum_order_free(term: Column): Column = {
+  def sum_order_free(term: Column): Column =
+    sum_order_free_agg(term).cast("double")
+
+  /** Windowed variant: `sum_order_free_agg(term).over(w).cast
+    * ("double")` must attach `.over` to the aggregate itself, so the
+    * final cast cannot live inside one shared method — use this
+    * composition (or [[sum_order_free_over]]) instead of re-spelling
+    * the rounding/precision constants.
+    */
+  def sum_order_free_over(term: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum_order_free_agg(term).over(w).cast("double")
+
+  private def sum_order_free_agg(term: Column): Column = {
     import org.apache.spark.sql.functions.{round, sum}
     sum(round(term, 15).cast(org.apache.spark.sql.types.DecimalType(28, 15)))
-      .cast("double")
   }
   def shingle_hash_set(text: Column): Column =
     call_function("shingle_hash_set", text)

@@ -559,10 +559,9 @@ object Curation {
   def sourceTemperatureWeights(spark: SparkSession, dir: String,
       alpha: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.GraftFunctions.sum_order_free_over
     val w = Window.partitionBy()
-    def ofSum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 15).cast(DecimalType(28, 15))).over(w).cast("double")
+    def ofSum(c: org.apache.spark.sql.Column) = sum_order_free_over(c, w)
     Tables.documents(spark, dir)
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))

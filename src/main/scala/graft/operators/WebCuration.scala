@@ -122,10 +122,10 @@ object WebCuration {
   // shared by url_canonicalize and crawl_pipeline so the spellings can
   // never diverge (single-line per the stripMargin note above)
   private def canonHostSqlExpr(sh: String): String =
-    s"""replace(regexp_replace(regexp_replace(lower($sh), '^(https://[^:/]*):443$$', '\\1', 'g'), '^(http://[^:/]*):80$$', '\\1', 'g'), '://www.', '://')"""
+    s"""replace(regexp_replace(regexp_replace(lower($sh), '^(https://[^:/]*):443\\z', '\\1', 'g'), '^(http://[^:/]*):80\\z', '\\1', 'g'), '://www.', '://')"""
 
   private def canonRestSqlExpr(u1: String, sh: String): String =
-    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(substr($u1, length($sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'), '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g')"""
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(substr($u1, length($sh) + 1, 100000), '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\\1', 'g'), '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]+\\z', '', 'g')"""
 
   /** RFC-3986-style normalization: drop the fragment, lowercase the
     * scheme+authority (ONLY that prefix — path/query case is
@@ -136,7 +136,11 @@ object WebCuration {
     */
   /** The reusable kernel: apply to ANY string column carrying a URL. */
   def canonicalizeUrl(url: Column): Column = {
-    val u1 = regexp_replace(url, "#.*$", "")
+    // dialect-divergence-free anchors: java's $ matches BEFORE a final
+    // newline, RE2's does not — [\s\S]* (to end-of-text) and \z
+    // (exact end) mean the same thing in BOTH regex engines, so a URL
+    // with a trailing newline can never split the engines
+    val u1 = regexp_replace(url, "#[\\s\\S]*", "")
     val sh = regexp_extract(u1, schemeHostPat, 0)
     val rest = u1.substr(length(sh) + 1, lit(100000))
     // port strip is SCHEME-AWARE: only the scheme's own default port is
@@ -146,14 +150,14 @@ object WebCuration {
     // the semantics, not the spelling.
     val host = replace(
       regexp_replace(regexp_replace(lower(sh),
-        "^(https://[^:/]*):443$", "$1"), "^(http://[^:/]*):80$", "$1"),
+        "^(https://[^:/]*):443\\z", "$1"), "^(http://[^:/]*):80\\z", "$1"),
       lit("://www."), lit("://"))
     // tracking params are matched WITH their [?&] separator (kept via
     // the backref) so 'href=', 'prefix=' or a path '/ref=x' can never
     // be eaten — the repair passes then collapse the '?&'/'&&' debris
     val rest2 = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(rest, "([?&])(utm_[a-z0-9]+|ref)=[^&]*", "$1"),
-      "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
+      "&{2,}", "&"), "\\?&", "?"), "[?&]+\\z", "")
     concat(host, rest2)
   }
 
@@ -167,7 +171,7 @@ object WebCuration {
        |  SELECT doc_id,
        |    $urlColSql AS url
        |  FROM documents),
-       |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM raw),
+       |s1 AS (SELECT doc_id, url, regexp_replace(url, '#[\\s\\S]*', '', 'g') AS u1 FROM raw),
        |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
        |s3 AS (SELECT doc_id, url,
        |    ${canonHostSqlExpr("sh")} AS host,
@@ -282,7 +286,7 @@ object WebCuration {
        |  SELECT doc_id, source,
        |  CAST(length(${stripHtmlSqlExpr("html")}) AS BIGINT) AS n_clean,
        |  url FROM raw),
-       |s1 AS (SELECT *, regexp_replace(url, '#.*$$', '', 'g') AS u1 FROM stripped),
+       |s1 AS (SELECT *, regexp_replace(url, '#[\\s\\S]*', '', 'g') AS u1 FROM stripped),
        |s2 AS (SELECT *, regexp_extract(u1, '$schemeHostPat') AS sh FROM s1),
        |canon AS (SELECT doc_id, source, n_clean,
        |    ${canonHostSqlExpr("sh")}
@@ -308,7 +312,7 @@ object WebCuration {
     * divergence on hostile strings.
     */
   val kernelOracles: Map[String, (Column => Column, String)] = {
-    val u1 = "regexp_replace(s, '#.*$', '', 'g')"
+    val u1 = "regexp_replace(s, '#[\\s\\S]*', '', 'g')"
     val sh = s"regexp_extract($u1, '$schemeHostPat')"
     Map(
       "strip_html" -> ((stripHtml _, stripHtmlSqlExpr("s"))),

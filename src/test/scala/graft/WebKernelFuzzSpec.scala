@@ -44,18 +44,18 @@ class WebKernelFuzzSpec extends AnyFunSuite {
   }
 
   private def modelCanon(url: String): String = {
-    val u1 = url.replaceAll("#.*$", "")
+    val u1 = url.replaceAll("#[\\s\\S]*", "")
     val m = java.util.regex.Pattern.compile("^[A-Za-z]+://[^/?#]*").matcher(u1)
     val sh = if (m.find()) m.group() else ""
     val rest = u1.substring(sh.length)
     val host = sh.toLowerCase
-      .replaceAll("^(https://[^:/]*):443$", "$1")
-      .replaceAll("^(http://[^:/]*):80$", "$1")
+      .replaceAll("^(https://[^:/]*):443\\z", "$1")
+      .replaceAll("^(http://[^:/]*):80\\z", "$1")
       .replace("://www.", "://")
     val rest2 = rest
       .replaceAll("([?&])(utm_[a-z0-9]+|ref)=[^&]*", "$1")
       .replaceAll("&{2,}", "&").replaceAll("\\?&", "?")
-      .replaceAll("[?&]+$", "")
+      .replaceAll("[?&]+\\z", "")
     host + rest2
   }
 
@@ -69,7 +69,8 @@ class WebKernelFuzzSpec extends AnyFunSuite {
       "<script>x</style>", "<style>y</script>", "line\nbreak",
       "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
       "&bogus;", "&", "&&amp;", "word", "two  spaces", "\ttab\t",
-      "trailing ", " leading", "", "mixed <b>bold</b> text")
+      "trailing ", " leading", "", "mixed <b>bold</b> text",
+      "ends with newline\n", "<p>nl</p>\n")
     (0 until (2 + nextInt(8))).map(_ => pick(frags)).mkString(" ")
   }
 
@@ -82,7 +83,10 @@ class WebKernelFuzzSpec extends AnyFunSuite {
     val query = pick(Seq("", "?id=1", "?utm_source=f", "?href=x&utm_a=1&id=2",
       "?prefix=keep&ref=drop", "?ref=1&ref=2", "?utm_x=1&utm_y=2",
       "?id=1&", "?&id=2", "?utm_only=z"))
-    val frag = pick(Seq("", "#f", "#a#b", "#utm_source=not-a-param"))
+    // trailing newline: the java-$-vs-RE2-$ divergence case — the
+    // kernel uses \z/[\s\S] spellings precisely so this cannot split
+    // the engines
+    val frag = pick(Seq("", "#f", "#a#b", "#utm_source=not-a-param", "\n", "#f\n"))
     scheme + www + host + port + path + query + frag
   }
 

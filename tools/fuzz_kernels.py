@@ -13,8 +13,10 @@ before a fixture would ever exercise it.
 
 Usage: tools/fuzz_kernels.py [n_rows] [seed]
 """
-import json, random, subprocess, sys, tempfile
+import json, random, shutil, subprocess, sys, tempfile
 from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
 
 import duckdb
 import pyarrow as pa
@@ -33,6 +35,7 @@ def gen_corpus(n, seed):
         "&bogus;", "&", "&&amp;", "word", "two  spaces", "\ttab\t",
         "trailing ", " leading", "", "mixed <b>bold</b> text",
         "unicode £€ ∅", "<p attr='a>b'>", "100% <50%",
+        "ends with newline\n", "<p>nl</p>\n",
     ]
     url_parts = dict(
         scheme=["http://", "https://", "HTTPS://", "HtTp://", "ftp://", ""],
@@ -44,7 +47,9 @@ def gen_corpus(n, seed):
         query=["", "?id=1", "?utm_source=f", "?href=x&utm_a=1&id=2",
                "?prefix=keep&ref=drop", "?ref=1&ref=2", "?utm_x=1&utm_y=2",
                "?id=1&", "?&id=2", "?utm_only=z", "??double", "?a=&b=1"],
-        frag=["", "#f", "#a#b", "#utm_source=not-a-param", "#"],
+        # trailing-newline variants: the java-$-vs-RE2-$ divergence the
+        # kernels' \z/[\s\S] spellings exist to neutralize
+        frag=["", "#f", "#a#b", "#utm_source=not-a-param", "#", "\n", "#f\n"],
     )
     rows = []
     for i in range(n):
@@ -56,9 +61,7 @@ def gen_corpus(n, seed):
     return rows
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+def run(n, seed):
     work = Path(tempfile.mkdtemp(prefix="kernel-fuzz-"))
     corpus = gen_corpus(n, seed)
     pq.write_table(pa.table({"s": corpus}), work / "corpus.parquet")
@@ -66,7 +69,7 @@ def main():
     r = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.DevKernelDump {work}/corpus.parquet {work}/out"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd=str(REPO))
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-1000:])
         sys.exit(1)
@@ -98,6 +101,19 @@ def main():
                     if a != b:
                         print(f"  {c}: spark={a!r} duckdb={b!r}")
     print(f"== kernel fuzz: {len(want)} rows, {n_fail} diffs")
+    return n_fail
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+    work = None
+    try:
+        n_fail = run(n, seed)
+    finally:
+        # /tmp may itself be tmpfs — do not squat RAM between runs
+        for d in Path(tempfile.gettempdir()).glob("kernel-fuzz-*"):
+            shutil.rmtree(d, ignore_errors=True)
     sys.exit(1 if n_fail else 0)
 
 
