@@ -21,8 +21,10 @@ package graft.functions
   * constant fails loudly at derivation, not silently at query time.
   *
   * Scope: cell indexing (latLngToCell), parent truncation, accessors,
-  * string round-trip. Neighbor traversal (k-ring/distance) stays on
-  * [[HexGrid]] — the engine's documented grid for those roles.
+  * string round-trip, and — since r10 — true-H3 neighbor traversal
+  * (gridDistance/gridDisk), cellToBoundary, polyfill and compact in
+  * this object. [[HexGrid]] remains the SQL-oracle-expressible flat
+  * hex twin used by the `hex_*` query family.
   *
   * Validation: golden vectors from the public H3 docs (San Francisco
   * res-9 cell + its res-8 parent, the 12 res-0 pentagons) plus global

@@ -17,9 +17,11 @@ object PairHelpers {
     // fail loudly, not with a wrapped-Int ArrayList crash: the n²/2
     // output of an uncapped set is a caller contract violation (every
     // operator caps its groups first — see the class doc)
-    if (n > 65536) throw new IllegalArgumentException(
+    if (n > 46340) throw new IllegalArgumentException(
       s"pair_structs: input set of $n elements would emit ~${n.toLong * (n - 1) / 2} " +
         "pairs — cap the group (min_k_distinct) before pairing")
+    // n ≤ 46340 keeps n*(n-1)/2 within Int range (46341² overflows),
+    // so this capacity expression cannot wrap negative
     val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
     var i = 0
     while (i < n - 1) {

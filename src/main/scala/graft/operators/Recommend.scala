@@ -249,26 +249,32 @@ object Recommend {
     * and of "table", fused as Σ 1/(60+rank), top 20. The fusion is the
     * op — at production scale its inputs arrive as bounded top-k lists
     * per query (ANN / BM25 outputs); here they derive inline from the
-    * corpus, so the two ranking windows run over the full docs relation
-    * (catalog-sized in this schema; a [[RangeRank]] spelling would NOT
-    * help — term-frequency keys are overwhelmingly tied at 0, and ties
-    * must share a range bucket, so the hot bucket IS the corpus). The
-    * final top-20 is a TakeOrderedAndProject with the rank assigned
-    * over the 20 surviving rows — never a third global window. Ranks
-    * are integers; two double divisions + one add in a fixed sequence,
-    * rounded 1e-9, and the final top-20 ranks on the ROUNDED score
-    * (ties by doc_id).
+    * corpus, so each ranking covers the full docs relation. Term
+    * frequencies are overwhelmingly tied at 0, which defeats the
+    * single-key [[RangeRank]] (ties must share a bucket → the hot
+    * bucket IS the corpus); [[RangeRank.withRankMajorDesc]] cuts the
+    * tie mass on the UNIQUE doc_id instead — bucket = (tf, doc_id
+    * range bucket), offsets over the bounded |tf|×buckets relation —
+    * so the corpus never single-partitions (r6 verdict #2). Both
+    * passes share one eagerly sampled doc_id cut set taken from the
+    * slim base projection (the rfm lesson: never sample the previous
+    * pass's output). The final top-20 is a TakeOrderedAndProject with
+    * the rank assigned over the 20 surviving rows — never a third
+    * global window. Ranks are integers; two double divisions + one
+    * add in a fixed sequence, rounded 1e-9, and the final top-20
+    * ranks on the ROUNDED score (ties by doc_id).
     */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     def tf(term: String) =
       size(filter(split(col("text"), " "), x => x === term)).cast("long")
-    val ranked = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tf("spark").as("tf1"), tf("table").as("tf2"))
-      .select(col("doc_id"),
-        row_number().over(Window.orderBy(col("tf1").desc, col("doc_id").asc))
-          .cast("long").as("r1"),
-        row_number().over(Window.orderBy(col("tf2").desc, col("doc_id").asc))
-          .cast("long").as("r2"))
+    val cuts = RangeRank.sampleCuts(
+      Tables.documents(spark, dir).select(col("doc_id")), Seq("doc_id"))("doc_id")
+    val r1 = RangeRank.withRankMajorDesc(base, "tf1", "doc_id", "r1",
+      cuts = Some(cuts))
+    val ranked = RangeRank.withRankMajorDesc(r1, "tf2", "doc_id", "r2",
+      cuts = Some(cuts))
     ranked
       .select(col("doc_id"), col("r1"), col("r2"),
         round(lit(1).cast("double") / (col("r1") + 60)

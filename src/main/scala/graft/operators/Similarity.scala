@@ -681,12 +681,15 @@ object Similarity {
   }
 
   /** Retrieval-quality evaluation of the LSH candidate generator
-    * against exact brute-force truth — the recall@k / MRR / nDCG@k
+    * against exact brute-force truth — the precision@k / MRR / nDCG@k
     * report every ANN deployment ships next to its index build: truth
     * = [[annCosineTopk]] (exact top-5), candidates =
     * [[annLshBucketed]] (bucketed top-3). A candidate is relevant iff
     * it appears in the query's exact top-5; nDCG uses binary gains at
     * the candidate's rank against the ideal (all-relevant) prefix.
+    * precision@3 = hits/k (k = 3 retrieved); a recall would divide by
+    * the 5-element relevance set instead — the column is named for
+    * what it computes (r6 advice).
     *
     * Scale shape: both sides keep their own probe-broadcast plans; the
     * eval join is per-(query, candidate) — k×|queries| rows, driver-
@@ -713,7 +716,7 @@ object Similarity {
         coalesce(col("rel"), lit(0)).as("rel"))
       .groupBy(col("query_id"))
       .agg(
-        round(sum(col("rel")).cast("double") / k, 9).as("recall_at_3"),
+        round(sum(col("rel")).cast("double") / k, 9).as("precision_at_3"),
         round(coalesce(
           max(when(col("rel") === 1, lit(1.0) / col("rnk"))), lit(0.0)), 9)
           .as("mrr"),
@@ -726,7 +729,7 @@ object Similarity {
     truth.select(col("query_id")).distinct()
       .join(scored, Seq("query_id"), "left")
       .select(col("query_id"),
-        coalesce(col("recall_at_3"), lit(0.0)).as("recall_at_3"),
+        coalesce(col("precision_at_3"), lit(0.0)).as("precision_at_3"),
         coalesce(col("mrr"), lit(0.0)).as("mrr"),
         coalesce(col("ndcg_at_3"), lit(0.0)).as("ndcg_at_3"))
   }
@@ -744,12 +747,12 @@ object Similarity {
        |    ON c.query_id = t.query_id AND c.cand_id = t.cand_id),
        |m AS (
        |  SELECT query_id,
-       |    round(CAST(SUM(rel) AS DOUBLE) / $k, 9) AS recall_at_3,
+       |    round(CAST(SUM(rel) AS DOUBLE) / $k, 9) AS precision_at_3,
        |    round(coalesce(MAX(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0), 9) AS mrr,
        |    round(CAST(SUM(CAST(round(rel * (1.0 / (ln(rnk + 1.0) / $ln2)), 15) AS DECIMAL(28,15))) AS DOUBLE) / $idealDcg, 9) AS ndcg_at_3
        |  FROM scored GROUP BY 1)
        |SELECT q.query_id,
-       |  coalesce(recall_at_3, 0.0) AS recall_at_3,
+       |  coalesce(precision_at_3, 0.0) AS precision_at_3,
        |  coalesce(mrr, 0.0) AS mrr,
        |  coalesce(ndcg_at_3, 0.0) AS ndcg_at_3
        |FROM (SELECT DISTINCT query_id FROM truth) q

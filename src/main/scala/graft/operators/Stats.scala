@@ -306,18 +306,26 @@ object Stats {
   /** Equi-depth decile histogram of extendedprice per return flag —
     * the frequency-balanced complement to histogram_bins' equi-width
     * buckets (what an optimizer's depth histogram or a feature
-    * quantizer computes). ntile over a FULLY deterministic order
+    * quantizer computes). The decile over a FULLY deterministic order
     * (price, orderkey, linenumber breaks ties identically on both
-    * engines); bucket stats are integer counts, exact min/max, and a
-    * DECIMAL-summed mean. One group-key exchange + the per-group sort.
+    * engines) is NOT a per-flag ntile window — |returnflag| = 3 would
+    * bound the sort parallelism at 3 tasks over the whole fact table
+    * (r6 verdict #3). It's the grouped distributed rank
+    * ([[RangeRank.withRankAscGrouped]]: globally sampled price
+    * buckets × flags, per-(flag, bucket) windows) fed through the
+    * closed-form ntile — same hash as the oracle's ntile(10), fact
+    * table never sorts on |groups| tasks. Bucket stats are integer
+    * counts, exact min/max, and a DECIMAL-summed mean.
     */
   def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("p").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    Tables.lineitem(spark, dir)
+    val slim = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("p"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    RangeRank.withRankAscGrouped(slim, Seq("l_returnflag"), "p",
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc), "rnk",
+        totalOut = Some("ntot"))
+      .withColumn("bucket",
+        RangeRank.ntileFromRank(col("rnk"), col("ntot"), 10).cast("long"))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("p")).as("lo"), max(col("p")).as("hi"),
@@ -344,22 +352,29 @@ object Stats {
     * the inequality readout next to pareto_contribution's ABC shares.
     * Uses the rank identity G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
     * ascending per-segment ranks (ties broken by custkey — determinism
-    * only; any tie order yields the same G for equal values). Spend
-    * and the rank-weighted sum ride exact DECIMAL accumulators; the
-    * final expression is one fixed double sequence, rounded 1e-9. One
-    * segment exchange carries the window and the aggregation.
+    * only; any tie order yields the same G for equal values). The rank
+    * is NOT a per-segment row_number window — |segments| = 5 would
+    * bound the sort parallelism at 5 tasks (r6 verdict #3); it's the
+    * grouped distributed rank ([[RangeRank.withRankAscGrouped]]),
+    * identical values by construction. Spend and the rank-weighted sum
+    * ride exact DECIMAL accumulators; the final expression is one
+    * fixed double sequence, rounded 1e-9.
     */
   def giniIndex(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp0"))
       .select(col("o_custkey"), col("sp0").cast(DecimalType(18, 2)).as("sp"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("sp").asc, col("c_custkey").asc)
-    Tables.customer(spark, dir)
+    val joined = Tables.customer(spark, dir)
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment"), col("c_custkey"), col("sp"))
-      .withColumn("i", row_number().over(w).cast(DecimalType(10, 0)))
+    // cuts sampled from the pre-join spend relation: same key values,
+    // and the eager approxQuantile action never executes the join
+    // (cutoffs steer balance only, never the answer)
+    val cuts = RangeRank.sampleCuts(spend.select(col("sp")), Seq("sp"))("sp")
+    RangeRank.withRankAscGrouped(joined, Seq("c_mktsegment"), "sp",
+        Seq(col("c_custkey").asc), "rnk", cuts = Some(cuts))
+      .withColumn("i", col("rnk").cast(DecimalType(10, 0)))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("sp")).cast("double").as("ssp"),

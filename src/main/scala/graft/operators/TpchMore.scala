@@ -609,7 +609,12 @@ object TpchMore {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntry"))
       .agg(count(lit(1)).as("numcust"),
-        round(sum(col("c_acctbal").cast("double")), 9).as("totacctbal"))
+        // DECIMAL accumulator, double at the end: a raw double SUM is
+        // aggregation-order dependent and can flip the 9-dp round when
+        // a total lands within an ulp of a boundary (the pagerank
+        // sf0.001 lesson) — money rides DECIMAL, per the module doc
+        sum(col("c_acctbal").cast(DecimalType(18, 2)))
+          .cast("double").as("totacctbal"))
       .orderBy(col("cntry"))
   }
 
@@ -617,7 +622,7 @@ object TpchMore {
     """WITH avg_bal AS (SELECT avg(CAST(c_acctbal AS DOUBLE)) AS ab
       |                 FROM customer WHERE c_acctbal > 0.0)
       |SELECT c_nationkey AS cntry, count(*) AS numcust,
-      |  round(SUM(CAST(c_acctbal AS DOUBLE)), 9) AS totacctbal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM customer, avg_bal
       |WHERE CAST(c_acctbal AS DOUBLE) > ab
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

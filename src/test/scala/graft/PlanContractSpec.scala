@@ -416,4 +416,40 @@ class PlanContractSpec extends AnyFunSuite {
       "only the scalar bounds row may broadcast")
     assert(!p.contains("CodegenFallback"), "curve walk must stay codegen'd")
   }
+
+  test("rrf_fusion: both rankings bucket-partitioned — corpus never single-partitions") {
+    val p = finalPlan("rrf_fusion")
+    // the two tf rankings are RangeRank.withRankMajorDesc passes: the
+    // corpus-sized rank windows partition by (tf, doc_id bucket) and
+    // no WindowExec runs over an unpartitioned corpus — the only
+    // single-partition stages are the two bounded |tf|×buckets offset
+    // cumsums and the final 20-row TakeOrdered tail
+    assert(count(p, "Exchange hashpartitioning(tf1") >= 1
+      && count(p, "Exchange hashpartitioning(tf2") >= 1,
+      "rank windows must partition by (tf, bucket):\n" + p.take(2000))
+    val corpusSingle = "Exchange SinglePartition"
+    assert(count(p, corpusSingle) <= 3,
+      "documents relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("equi_depth_histogram: grouped distributed rank — parallelism not bounded by |returnflag|") {
+    val p = finalPlan("equi_depth_histogram")
+    assert(!p.contains("ntile("), "no per-flag ntile window over the fact table")
+    // the rank window partitions by (flag, sampled price bucket) — a
+    // hash exchange carrying the bucket column — never by flag alone
+    assert(count(p, "Exchange hashpartitioning(l_returnflag") >= 1
+      && p.contains("__rr_b_rnk"),
+      "rank must ride the (flag, bucket) exchange:\n" + p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      "fact table must never single-partition:\n" + p.take(2000))
+  }
+
+  test("gini_index: grouped distributed rank — parallelism not bounded by |segment|") {
+    val p = finalPlan("gini_index")
+    assert(count(p, "Exchange hashpartitioning(c_mktsegment") >= 1
+      && p.contains("__rr_b_rnk"),
+      "rank must ride the (segment, bucket) exchange:\n" + p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      "customer relation must never single-partition:\n" + p.take(2000))
+  }
 }
