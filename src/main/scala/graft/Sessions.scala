@@ -39,6 +39,13 @@ object Sessions {
       // operators never depend on this value for correctness.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "1m"))
+      // Scan-split sizing, same reasoning as the advisory above: the
+      // 128 MB default is a cluster number — at bench SF it gives the
+      // whole lineitem file to 1-3 tasks, so every scan-rooted stage
+      // (joins, partial aggs) starts parallelism-starved. Env knob for
+      // A/B; operators never depend on it for correctness.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 only
       // reads it via this conf (as LongType nanos — normalized back to
       // TimestampType in Tables.events).

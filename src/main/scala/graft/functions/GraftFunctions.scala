@@ -73,6 +73,16 @@ object GraftFunctions {
       es => GramTfExpr(es(0), es(1))),
     ("pair_structs", "pair_structs(items) - all unordered (ia < ib) pairs of a long array",
       es => PairStructsExpr(es.head)),
+    ("pair_structs_tagged", "pair_structs_tagged(members) - canonical pairs of an id-sorted struct array, tags carried",
+      es => PairStructsTaggedExpr(es.head)),
+    ("min_k_distinct_tagged", "min_k_distinct_tagged(key, tag, k) - k smallest distinct keys with their tags; O(k) buffer",
+      es => {
+        require(es(2).foldable, "min_k_distinct_tagged: k must be a literal")
+        val kk = es(2).eval()
+        require(kk != null, "min_k_distinct_tagged: k must be non-null")
+        MinKDistinctTaggedAgg(es(0), es(1), kk.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("lcc_easting", "lcc_easting(lon, lat) - EPSG:6365 forward easting (m)",
       es => LccEastingExpr(es(0), es(1))),
     ("lcc_northing", "lcc_northing(lon, lat) - EPSG:6365 forward northing (m)",

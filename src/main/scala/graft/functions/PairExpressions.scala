@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 object PairHelpers {
   /** All unordered pairs of a long array as (lo, hi) structs; equal
@@ -60,6 +60,73 @@ object PairHelpers {
   * CF histories, basket sizes, df-capped postings) — do not feed this
   * an uncapped set.
   */
+object PairTaggedHelpers {
+  /** All unordered pairs of an array<struct<id, tag>> (sorted by id,
+    * as [[MinKDistinctTaggedAgg]] emits) as canonical
+    * (ia < ib, ta, tb) structs — the home-labeled twin of
+    * [[PairHelpers.pairStructs]] for pre-enriched co-location groups.
+    */
+  def pairStructsTagged(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n > 46340) throw new IllegalArgumentException(
+      s"pair_structs_tagged: input set of $n elements would emit " +
+        s"~${n.toLong * (n - 1) / 2} pairs — cap the group first")
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    var i = 0
+    while (i < n - 1) {
+      if (!arr.isNullAt(i)) {
+        val ri = arr.getStruct(i, 2)
+        val a = ri.getLong(0)
+        val ta = ri.getUTF8String(1)
+        var j = i + 1
+        while (j < n) {
+          if (!arr.isNullAt(j)) {
+            val rj = arr.getStruct(j, 2)
+            val b = rj.getLong(0)
+            if (a != b) {
+              // input sorted ascending by id => (a, b) already canonical
+              out.add(new GenericInternalRow(
+                Array[Any](a, b, ta, rj.getUTF8String(1))))
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `pair_structs_tagged(members)` → array<struct(ia, ib, ta, tb)>:
+  * every canonical pair of an id-sorted array<struct<id, tag>> with
+  * both members' tags carried through — pairs emerge already labeled,
+  * so no downstream join is needed to attach per-member attributes.
+  * Same capped-group contract as [[PairStructsExpr]].
+  */
+case class PairStructsTaggedExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ia", LongType, nullable = false),
+    StructField("ib", LongType, nullable = false),
+    StructField("ta", StringType, nullable = false),
+    StructField("tb", StringType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 &&
+      fs(0).dataType == LongType && fs(1).dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_structs_tagged expects ARRAY<STRUCT<BIGINT, STRING>>, got ${t.sql}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    PairTaggedHelpers.pairStructsTagged(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PairTaggedHelpers.pairStructsTagged($a)")
+  override def prettyName: String = "pair_structs_tagged"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class PairStructsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ia", LongType, nullable = false),

@@ -148,13 +148,29 @@ object Aggregations {
   /** A2-at-scale: approx_count_distinct variant of the sizes
     * aggregation (SURVEY §2.9 note — the opt-in sketch path for 100 TB
     * distincts; exact remains the oracle-checked default). HLL values
-    * are engine-specific → rows-only check.
+    * are engine-specific, so the raw estimate can't hash-match DuckDB;
+    * instead the query OUTPUTS the tolerance-band verdict (r6 verdict
+    * #4): the exact distinct count (oracle-comparable), the event
+    * count, and `within_band` = |HLL − exact| / exact ≤ 5% (the sketch
+    * runs at rsd = 0.02, so 5% is a ⩾2.5σ band). The oracle emits
+    * literal TRUE — a sketch drifting out of band flips the hash and
+    * fails the scorecard row, making this a real check, not a
+    * formality. Both aggregates ride the same single exchange.
     */
   def countDistinctApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("apx"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users_exact"), col("n_events"),
+        (abs(col("apx") - col("n_users_exact")).cast("double")
+          / col("n_users_exact") <= 0.05).as("within_band"))
+
+  private val countDistinctApproxSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |  count(*) AS n_events, true AS within_band
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Equi-width histogram via `width_bucket` (F11 family): quantity
     * distribution in 10 buckets over [0, 50), with the under/overflow
@@ -275,7 +291,7 @@ object Aggregations {
     Op("incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Op("histogram_bins", histogramBins, Some(histogramBinsSql)),
     Op("corr_covar", corrCovar, Some(corrCovarSql)),
-    Op("count_distinct_approx", countDistinctApprox, None),
+    Op("count_distinct_approx", countDistinctApprox, Some(countDistinctApproxSql)),
     Op("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),
     Op("case_bins", caseBins, Some(caseBinsSql)),
     Op("global_scalars", globalScalars, Some(globalScalarsSql)),

@@ -386,20 +386,44 @@ object Analytics {
 
   /** Sketch-based quantiles — the 100 TB path (exact `percentile`
     * sorts every group in memory; the approx sketch is a bounded-size
-    * mergeable summary with map-side partials). Scalar columns (not an
-    * array) so the driver canonizer can hash rows; rows-only — DuckDB's
-    * approx_quantile is a different sketch, so no value oracle is
-    * possible. Error bound vs the exact percentiles is spec-asserted
-    * (R2Spec).
+    * mergeable summary with map-side partials). DuckDB's
+    * approx_quantile is a different sketch, so the raw estimates can't
+    * hash-match; the query OUTPUTS the rank-error verdict instead (r6
+    * verdict #4): for each quantile q, the returned value v must
+    * satisfy count(x < v)/n ≤ q + ε and count(x ≥ ... ≤ v)/n ≥ q − ε —
+    * the published guarantee of Spark's accuracy-1000 sketch is rank
+    * error ≤ 1/1000; ε = 0.005 adds slack. The rank counts are a
+    * second exact pass joined on the broadcast 3-row sketch output —
+    * the scorecard row fails iff the sketch ever drifts out of its
+    * guaranteed rank band. Exact n anchors the oracle comparison.
     */
-  def percentileApproxSketch(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def percentileApproxSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
         expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
-        expr("approx_percentile(l_quantity, 0.99, 1000)").as("ap99"),
-        count(lit(1)).as("n"))
+        expr("approx_percentile(l_quantity, 0.99, 1000)").as("ap99"))
+    val eps = 0.005
+    def okCols(q: Double, ap: String, tag: String) = Seq(
+      ((sum((col("l_quantity") < col(ap)).cast("long")).cast("double")
+        / count(lit(1))) <= q + eps).as(s"lo_ok_$tag"),
+      ((sum((col("l_quantity") <= col(ap)).cast("long")).cast("double")
+        / count(lit(1))) >= q - eps).as(s"hi_ok_$tag"))
+    val checks = okCols(0.5, "ap50", "50") ++ okCols(0.9, "ap90", "90") ++
+      okCols(0.99, "ap99", "99")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), checks: _*)
+  }
+
+  private val percentileApproxSketchSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS lo_ok_50, true AS hi_ok_50,
+      |  true AS lo_ok_90, true AS hi_ok_90,
+      |  true AS lo_ok_99, true AS hi_ok_99
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Exact median/quantiles via sort-based percentile (Spark
     * `percentile` ≡ DuckDB `quantile_cont`: same linear interpolation
@@ -924,8 +948,18 @@ object Analytics {
     val c = g.select(col("v"),
       sum(col("a")).over(Window.orderBy(col("v"))).as("ca"),
       sum(col("b")).over(Window.orderBy(col("v"))).as("cb"))
-    val tot = g.agg(sum(col("a")).as("n0"), sum(col("b")).as("n1"))
+    val tot = g.agg(sum(col("a")).as("n0"), sum(col("b")).as("n1"),
+      count(lit(1)).as("sup"))
+    // runtime guard on the bounded-domain assumption (r6 verdict #7):
+    // the global cumulative window above is only legitimate because the
+    // support is value-domain-sized. A future continuous-valued column
+    // would silently single-partition the corpus — fail loudly instead.
+    // The count rides the existing totals agg (no extra pass).
     val j = c.crossJoin(broadcast(tot))
+      .where(when(col("sup") <= Stats.MaxWindowSupport, lit(true))
+        .otherwise(raise_error(concat(lit("ks_test: support cardinality "),
+          col("sup"), lit(" exceeds the bounded-domain contract — " +
+            "a continuous column must pre-bucket before this window")))))
       .select(col("v"), col("n0"), col("n1"),
         abs(col("ca") * col("n1") - col("cb") * col("n0")).as("diff"))
     val m = j.agg(max(col("diff")).as("md"))
@@ -1008,7 +1042,7 @@ object Analytics {
     Op("ab_test", abTest, Some(abTestSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
-    Op("percentile_approx_sketch", percentileApproxSketch, None),
+    Op("percentile_approx_sketch", percentileApproxSketch, Some(percentileApproxSketchSql)),
     Op("scalar_extended", scalarExtended, Some(scalarExtendedSql)),
     Op("safe_casts", safeCasts, Some(safeCastsSql)),
     Op("listagg_names", listaggNames, Some(listaggNamesSql)),

@@ -77,12 +77,30 @@ object Extraction {
       |  l_returnflag, l_linestatus, l_shipdate
       |FROM lineitem""".stripMargin
 
-  /** P11: bernoulli sampling (no oracle — nondeterministic across
-    * engines; driver records rows-only)
-    * (/root/reference/scripts/HomeAgebGenerator.py:82).
+  /** P11: bernoulli sampling
+    * (/root/reference/scripts/HomeAgebGenerator.py:82). The sampled
+    * rows themselves are engine-specific (seeded XORShift per
+    * partition), so no row oracle exists; the query OUTPUTS the
+    * binomial confidence-interval verdict instead (r6 verdict #4): the
+    * sampled count k ~ Binomial(n, 0.005) must land within ±6σ of
+    * n·p (false-fail odds ≈ 1e-9 even at sf0.001's k ≈ 30). The exact
+    * total anchors the oracle comparison; the sample itself still
+    * executes — the aggregation sits ON the sampled relation.
     */
-  def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).sample(withReplacement = false, 0.005, seed = 42L)
+  def sampleBernoulli(spark: SparkSession, dir: String): DataFrame = {
+    val p = 0.005
+    val sampled = Tables.lineitem(spark, dir)
+      .sample(withReplacement = false, p, seed = 42L)
+      .agg(count(lit(1)).as("k"))
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(sampled))
+      .select(col("n_total"),
+        (abs(col("k") - col("n_total") * p)
+          <= lit(6.0) * sqrt(col("n_total") * p * (1 - p))).as("within_ci"))
+  }
+
+  private val sampleBernoulliSql =
+    """SELECT count(*) AS n_total, true AS within_ci FROM lineitem""".stripMargin
 
   /** U1+U2: union of per-day slices, schema-aligned
     * (/root/reference/src/transforms/NTLTransforms.py:54-80 — replaced
@@ -301,7 +319,7 @@ object Extraction {
     Op("night_hours", nightHours, Some(nightHoursSql)),
     Op("prefix_filter", prefixFilter, Some(prefixFilterSql)),
     Op("drop_columns", dropColumns, Some(dropColumnsSql)),
-    Op("sample_bernoulli", sampleBernoulli, None),
+    Op("sample_bernoulli", sampleBernoulli, Some(sampleBernoulliSql)),
     Op("union_days", unionDays, Some(unionDaysSql)),
     Op("scalar_datetime", scalarDatetime, Some(scalarDatetimeSql)),
     Op("scalar_string", scalarString, Some(scalarStringSql)),

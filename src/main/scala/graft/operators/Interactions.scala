@@ -195,7 +195,16 @@ object Interactions {
     * downgrade to broadcast at toy SF; the hint keeps the plan
     * shuffle-shaped where it matters.
     */
-  def observedContacts(spark: SparkSession, dir: String): DataFrame = {
+  /** The r2–r6 two-join spelling, kept for the A/B harness
+    * (DevContactsAB) and the equivalence spec: pairs explode unlabeled,
+    * then two device-key shuffle-hash joins attach the homes. Replaced
+    * as the registered query by [[observedContacts]] (the fused
+    * spelling) in r7 — measured 0.65 → 0.50 s at sf0.1 with identical
+    * results; at 100 TB the win grows, because the two joins this
+    * removes shuffle the PAIR relation (n(n−1) per co-location group),
+    * the largest relation in the query.
+    */
+  private[graft] def observedContactsJoined(spark: SparkSession, dir: String): DataFrame = {
     // fused dedup (r2): count DISTINCT pairs inside the home-level
     // aggregation instead of a separate pair-distinct exchange —
     // Spark's two-phase distinct-agg dedups map-side on
@@ -205,7 +214,8 @@ object Interactions {
     // volume, recovered by a home-level mirror-sum M = C + Cᵀ — was
     // measured and rejected: the two extra stages cost more than the
     // halved shuffle wins, and both shapes are linear in the pair
-    // count at any scale.)
+    // count at any scale. The r7 fused spelling mirrors at the MATRIX
+    // level instead, where the mirror is free.)
     val pairs = interactionPairsRaw(spark, dir)
     val homes = homeCells(spark, dir)
     pairs
@@ -217,6 +227,53 @@ object Interactions {
         .hint("shuffle_hash"), Seq("b_caid"))
       .groupBy(col("a_home"), col("b_home"))
       .agg(countDistinct(col("a_caid"), col("b_caid")).as("observed_contacts"))
+  }
+
+  /** Observed contacts per (a_home, b_home): distinct interacting
+    * pairs labeled with each side's home cell, then counted
+    * (matrix_transforms.py:65-90). Fused single-join spelling (r6
+    * verdict #1, registered in r7): homes enrich the PRESENCE rows
+    * (event-cardinality) before the (cell, tw) grouping, the group
+    * collects (caid, home) structs (`min_k_distinct_tagged` — same
+    * deterministic smallest-k subset as the untagged path), and
+    * canonical pairs emerge already home-labeled
+    * (`pair_structs_tagged`), so the pair relation — the LARGEST
+    * relation in this query, n(n−1) per group — never shuffles
+    * through a join at all. The bidirectional count is recovered at
+    * the MATRIX level (M = C + Cᵀ over the |cells|² relation — tiny
+    * at any scale), not by mirroring pairs. One device-key exchange
+    * on events replaces two on pairs; the homes catalog stays
+    * shuffle-side (device cardinality, never broadcastable —
+    * VERDICT r3 #3).
+    */
+  def observedContacts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val origin = ev.agg(min(col("ts")).as("origin_ts"))
+    val homes = homeCells(spark, dir)
+    val presence = ev.crossJoin(broadcast(origin))
+      .select(
+        col("user_id").as("caid"),
+        col("event_type").as("cell"),
+        expr("(unix_micros(ts) - unix_micros(origin_ts)) div 600000000").as("tw"))
+    val enriched = presence.join(homes.hint("shuffle_hash"), Seq("caid"))
+    val grouped = enriched.groupBy(col("cell"), col("tw"))
+      .agg(call_function("min_k_distinct_tagged",
+        col("caid"), col("home_cell"), lit(GroupCap + 1)).as("members"))
+      .where(size(col("members")) >= 2)
+      .withColumn("members",
+        when(size(col("members")) <= lit(GroupCap), col("members"))
+          .otherwise(slice(col("members"), 1, GroupCap)))
+    val canon = grouped
+      .select(explode(call_function("pair_structs_tagged", col("members"))).as("p"))
+      .select(col("p.ia").as("a_caid"), col("p.ib").as("b_caid"),
+        col("p.ta").as("a_home"), col("p.tb").as("b_home"))
+    val c = canon.groupBy(col("a_home"), col("b_home"))
+      .agg(countDistinct(col("a_caid"), col("b_caid")).as("cnt"))
+    c.select(col("a_home"), col("b_home"), col("cnt"))
+      .unionAll(c.select(col("b_home").as("a_home"),
+        col("a_home").as("b_home"), col("cnt")))
+      .groupBy(col("a_home"), col("b_home"))
+      .agg(sum(col("cnt")).as("observed_contacts"))
   }
 
   private val observedContactsSql =

