@@ -91,6 +91,22 @@ object GraftFunctions {
       es => LccLonExpr(es(0), es(1))),
     ("lcc_lat", "lcc_lat(easting, northing) - EPSG:6365 inverse latitude (deg)",
       es => LccLatExpr(es(0), es(1))),
+    ("utm_easting", "utm_easting(lon, lat, zone) - WGS84 UTM forward easting (m)",
+      es => UtmEastingExpr(es(0), es(1), es(2))),
+    ("utm_northing", "utm_northing(lon, lat, zone) - WGS84 UTM forward northing (m)",
+      es => UtmNorthingExpr(es(0), es(1), es(2))),
+    ("utm_lon", "utm_lon(easting, northing, zone) - WGS84 UTM inverse longitude (deg)",
+      es => UtmLonExpr(es(0), es(1), es(2))),
+    ("utm_lat", "utm_lat(easting, northing, zone) - WGS84 UTM inverse latitude (deg)",
+      es => UtmLatExpr(es(0), es(1), es(2))),
+    ("webmerc_x", "webmerc_x(lon) - EPSG:3857 forward x (m)",
+      es => WebmercXExpr(es.head)),
+    ("webmerc_y", "webmerc_y(lat) - EPSG:3857 forward y (m)",
+      es => WebmercYExpr(es.head)),
+    ("webmerc_lon", "webmerc_lon(x) - EPSG:3857 inverse longitude (deg)",
+      es => WebmercLonExpr(es.head)),
+    ("webmerc_lat", "webmerc_lat(y) - EPSG:3857 inverse latitude (deg)",
+      es => WebmercLatExpr(es.head)),
     ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
       es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
     ("bloom_build", "bloom_build(key, items, fpp) - serialized bloom filter over long keys",

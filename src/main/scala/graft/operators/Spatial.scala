@@ -490,6 +490,90 @@ object Spatial {
        |FROM frac""".stripMargin
   }
 
+  /** F20 generalized (r6 verdict missing #2): the CRS family past the
+    * single EPSG:6365 LCC pair — WGS84 UTM (Transverse Mercator,
+    * Snyder pp. 60-64, zone 14N covering the reference's Mexico
+    * geography) forward + inverse round-trip, and Web Mercator
+    * (EPSG:3857) forward, over synthetic lon/lat derived from
+    * customer. Same catalog-side discipline as [[crsReproject]]:
+    * projection runs once per catalog row, never per ping.
+    *
+    * Oracle-checkable: every formula is a FIXED double-op sequence
+    * (explicit x·x·x powers, no libm pow) the SQL mirror replays
+    * term-for-term with the engine's own derived constants spliced as
+    * literals ([[graft.functions.TmHelpers.SqlConsts]]); meters round
+    * to 3 dp (mm), degrees to 6 dp (0.1 m), and the inverse consumes
+    * the ROUNDED forward columns so its parity follows from theirs.
+    */
+  def crsUtmWebmerc(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (lit(-102.0) + (col("c_custkey") % 600).cast("double") / 100.0).as("lon"),
+        (lit(14.0) + (abs(col("c_acctbal")) % 1500.0) / 100.0).as("lat"))
+      .withColumn("utm_e", round(call_function("utm_easting",
+        col("lon"), col("lat"), lit(14)), 3))
+      .withColumn("utm_n", round(call_function("utm_northing",
+        col("lon"), col("lat"), lit(14)), 3))
+      .withColumn("lon2", round(call_function("utm_lon",
+        col("utm_e"), col("utm_n"), lit(14)), 6))
+      .withColumn("lat2", round(call_function("utm_lat",
+        col("utm_e"), col("utm_n"), lit(14)), 6))
+      .withColumn("wm_x", round(call_function("webmerc_x", col("lon")), 3))
+      .withColumn("wm_y", round(call_function("webmerc_y", col("lat")), 3))
+
+  private val crsUtmWebmercSql: String = {
+    import graft.functions.TmHelpers.{SqlConsts => T}
+    def L(v: Double): String = s"CAST($v AS DOUBLE)"
+    val a = L(T.a); val e2 = L(T.e2); val ep2 = L(T.ep2); val k0 = L(T.k0)
+    val fe = L(T.falseE); val pi = L(T.pi); val qpi = L(T.quarterPi)
+    val lon0 = L(T.lon0Rad(14))
+    s"""WITH pts AS (SELECT c_custkey,
+       |    -102.0 + CAST(c_custkey % 600 AS DOUBLE) / 100.0 AS lon,
+       |    14.0 + (abs(c_acctbal) % 1500.0) / 100.0 AS lat FROM customer),
+       |f0 AS (SELECT *, lat / 180.0 * $pi AS phi, lon / 180.0 * $pi AS lam FROM pts),
+       |f1 AS (SELECT *, sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp FROM f0),
+       |f2 AS (SELECT *,
+       |    $a / sqrt(1 - $e2 * sp * sp) AS nv,
+       |    tp * tp AS t,
+       |    $ep2 * cp * cp AS c,
+       |    (lam - $lon0) * cp AS aa,
+       |    $a * (${L(T.m0c)} * phi - ${L(T.m2c)} * sin(2 * phi)
+       |      + ${L(T.m4c)} * sin(4 * phi) - ${L(T.m6c)} * sin(6 * phi)) AS m
+       |  FROM f1),
+       |fwd AS (SELECT c_custkey, lon, lat,
+       |    round($fe + $k0 * nv * (aa + (1 - t + c) * (aa * aa * aa) / 6
+       |      + (5 - 18 * t + t * t + 72 * c - 58 * $ep2)
+       |        * (aa * aa * aa * aa * aa) / 120), 3) AS utm_e,
+       |    round($k0 * (m + nv * tp * ((aa * aa) / 2
+       |      + (5 - t + 9 * c + 4 * c * c) * (aa * aa * aa * aa) / 24
+       |      + (61 - 58 * t + t * t + 600 * c - 330 * $ep2)
+       |        * (aa * aa * aa * aa * aa * aa) / 720)), 3) AS utm_n
+       |  FROM f2),
+       |i0 AS (SELECT *, (utm_n / $k0) / ($a * ${L(T.m0c)}) AS mu FROM fwd),
+       |i1 AS (SELECT *, mu + ${L(T.f2c)} * sin(2 * mu) + ${L(T.f4c)} * sin(4 * mu)
+       |    + ${L(T.f6c)} * sin(6 * mu) + ${L(T.f8c)} * sin(8 * mu) AS phi1 FROM i0),
+       |i2 AS (SELECT *, sin(phi1) AS sp1, cos(phi1) AS cp1, tan(phi1) AS tp1 FROM i1),
+       |i3 AS (SELECT *, $ep2 * cp1 * cp1 AS c1, tp1 * tp1 AS t1,
+       |    1 - $e2 * sp1 * sp1 AS om FROM i2),
+       |i4 AS (SELECT *, $a / sqrt(om) AS n1,
+       |    $a * (1 - $e2) / (om * sqrt(om)) AS r1 FROM i3),
+       |i5 AS (SELECT *, (utm_e - $fe) / (n1 * $k0) AS d FROM i4),
+       |inv AS (SELECT c_custkey, lon, lat, utm_e, utm_n,
+       |    round(($lon0 + (d - (1 + 2 * t1 + c1) * (d * d * d) / 6
+       |      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * $ep2 + 24 * t1 * t1)
+       |        * (d * d * d * d * d) / 120) / cp1) * 180.0 / $pi, 6) AS lon2,
+       |    round((phi1 - (n1 * tp1 / r1) * ((d * d) / 2
+       |      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * $ep2)
+       |        * (d * d * d * d) / 24
+       |      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * $ep2 - 3 * c1 * c1)
+       |        * (d * d * d * d * d * d) / 720)) * 180.0 / $pi, 6) AS lat2
+       |  FROM i5)
+       |SELECT c_custkey, lon, lat, utm_e, utm_n, lon2, lat2,
+       |  round($a * (lon / 180.0 * $pi), 3) AS wm_x,
+       |  round($a * ln(tan($qpi + (lat / 180.0 * $pi) / 2)), 3) AS wm_y
+       |FROM inv""".stripMargin
+  }
+
   /** Boundary geometry of the distinct H3 cells the events points
     * occupy (h3_to_geo_boundary analog) — the export step that hands
     * cell footprints to GIS/viz. WKT strings, not nested arrays, so
@@ -672,6 +756,7 @@ object Spatial {
     Op("geo_knn_join", geoKnnJoin, Some(geoKnnJoinSql)),
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
+    Op("crs_utm_webmerc", crsUtmWebmerc, Some(crsUtmWebmercSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3Cells, None),

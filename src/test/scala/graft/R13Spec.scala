@@ -93,6 +93,38 @@ class R13Spec extends AnyFunSuite {
       s"expected the support guard to trip, got: $e")
   }
 
+  test("UTM / Web Mercator: round-trip, goldens, invariants") {
+    import graft.functions.TmHelpers
+    // central meridian of zone 14 (lon0 = -99): easting is exactly the
+    // false easting, northing 0 at the equator
+    assert(TmHelpers.utmEasting(-99.0, 20.0, 14) == 500000.0)
+    assert(math.abs(TmHelpers.utmNorthing(-99.0, 0.0, 14)) < 1e-9)
+    // meridian arc at 45N times k0 — coarse published-range check
+    val n45 = TmHelpers.utmNorthing(-99.0, 45.0, 14)
+    assert(n45 > 4.9e6 && n45 < 5.05e6, s"N(45) out of range: $n45")
+    // easting strictly increases with longitude
+    assert(TmHelpers.utmEasting(-98.0, 20.0, 14) >
+      TmHelpers.utmEasting(-100.0, 20.0, 14))
+    // round-trip over a grid spanning the zone: < 1e-7 deg (~1 cm)
+    for (lon <- Seq(-101.5, -99.7, -96.2); lat <- Seq(14.2, 22.9, 28.9)) {
+      val e = TmHelpers.utmEasting(lon, lat, 14)
+      val n = TmHelpers.utmNorthing(lon, lat, 14)
+      assert(math.abs(TmHelpers.utmLon(e, n, 14) - lon) < 1e-7,
+        s"lon round-trip at ($lon, $lat)")
+      assert(math.abs(TmHelpers.utmLat(e, n, 14) - lat) < 1e-7,
+        s"lat round-trip at ($lon, $lat)")
+    }
+    // Web Mercator goldens: the square world — x(180°) = y(~85.0511°)
+    // = pi * R = 20037508.34 m (published EPSG:3857 bound)
+    assert(math.abs(TmHelpers.webmercX(180.0) - 20037508.342789244) < 1e-6)
+    assert(math.abs(TmHelpers.webmercY(85.05112877980659) - 20037508.342789244) < 1e-3)
+    // tan(pi/4) is one ulp off 1.0 in IEEE — equator y is ~1e-10 m
+    assert(math.abs(TmHelpers.webmercY(0.0)) < 1e-8)
+    for (lon <- Seq(-102.3, 3.7); lat <- Seq(-40.0, 19.43))
+      assert(math.abs(TmHelpers.webmercLon(TmHelpers.webmercX(lon)) - lon) < 1e-12 &&
+        math.abs(TmHelpers.webmercLat(TmHelpers.webmercY(lat)) - lat) < 1e-12)
+  }
+
   test("observed_contacts: fused spelling equals the two-join spelling") {
     import graft.operators.Interactions
     def m(df: org.apache.spark.sql.DataFrame) =
