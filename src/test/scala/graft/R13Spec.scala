@@ -93,6 +93,32 @@ class R13Spec extends AnyFunSuite {
       s"expected the support guard to trip, got: $e")
   }
 
+  test("RangeRank grouped/major variants equal window ranks on heavy-tie data") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.RangeRank
+    // 20k rows, 7 groups, 97 distinct keys (heavy ties), unique ids —
+    // the shapes the fixtures don't stress: many buckets sharing a
+    // tied key, offsets spanning groups and majors
+    val df = spark.range(20000).select(
+      (col("id") % 7).cast("string").as("g"),
+      pmod(col("id") * 2654435761L, lit(97)).as("k"),
+      col("id"))
+    val grouped = RangeRank.withRankAscGrouped(df, Seq("g"), "k",
+      Seq(col("id").asc), "rnk", buckets = 16)
+    val wG = Window.partitionBy(col("g")).orderBy(col("k").asc, col("id").asc)
+    val badG = grouped
+      .withColumn("exp", row_number().over(wG).cast("long"))
+      .where(col("rnk") =!= col("exp")).count()
+    assert(badG == 0, "grouped RangeRank must equal the per-group window rank")
+
+    val major = RangeRank.withRankMajorDesc(df, "k", "id", "r", buckets = 16)
+    val wM = Window.orderBy(col("k").desc, col("id").asc)
+    val badM = major
+      .withColumn("exp", row_number().over(wM).cast("long"))
+      .where(col("r") =!= col("exp")).count()
+    assert(badM == 0, "major-desc RangeRank must equal the global window rank")
+  }
+
   test("UTM / Web Mercator: round-trip, goldens, invariants") {
     import graft.functions.TmHelpers
     // central meridian of zone 14 (lon0 = -99): easting is exactly the

@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Skips are EXCEPTIONS ONLY — DuckDB-specific syntax (list_*,
   * unnest/ntile spellings, regexp_replace 'g' flags) that Spark cannot
   * execute. Any oracle that runs MUST match; at the time of writing
-  * 105 of 226 do, and the floor assertion keeps a refactor from
+  * 109 of 234 do (r13), and the floor assertion keeps a refactor from
   * silently degrading the sweep into all-skips.
   */
 class TpchSqlCrossCheckSpec extends AnyFunSuite {
@@ -71,7 +71,7 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
     // Spark-side run REGRESSES into an exception lands in `skipped` and
     // drops this below the floor — raise the floor when adding new
     // dialect-common ops, never lower it without a named reason.
-    assert(checked >= 105,
+    assert(checked >= 109,
       s"dialect-common sweep degraded: only $checked oracles cross-checked")
   }
 }
