@@ -47,15 +47,40 @@ object Analytics {
     * identical outputs), so double-valued ties stay deterministic; the
     * two ratio functions are single double divisions — bit-equal across
     * engines.
+    *
+    * Scale shape (r7, the equi_depth/gini class): |event_type| = 5
+    * would bound a naive per-type window's sort at 5 tasks over the
+    * whole fact table. Instead the row_number backbone is the grouped
+    * distributed rank ([[RangeRank.withRankAscGrouped]]); the four SQL
+    * rank functions derive from it exactly: rank = MIN(rn) over the
+    * tie group (peers share a value — a (type, value)-sized window),
+    * cume_dist = MAX(rn)/n, percent_rank = (rank−1)/(n−1) with the
+    * SQL-standard 0.0 for a single-row group, and dense_rank ranks the
+    * DISTINCT (type, value) relation through a second grouped
+    * RangeRank pass joined back on the (type, value) key. Every
+    * exchange is keyed corpus-wide; nothing sorts at |groups|
+    * parallelism.
     */
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val rn = RangeRank.withRankAscGrouped(ev, Seq("event_type"), "value",
+      Seq(col("event_id").asc), "rn", totalOut = Some("n"))
+    val tieW = Window.partitionBy(col("event_type"), col("value"))
+    val dv = ev.select(col("event_type"), col("value")).distinct()
+    val dvRanked = RangeRank.withRankAscGrouped(dv, Seq("event_type"),
+      "value", Seq.empty, "drnk")
+    rn
+      .withColumn("rnk", min(col("rn")).over(tieW))
+      .withColumn("cmax", max(col("rn")).over(tieW))
+      .join(dvRanked, Seq("event_type", "value"))
       .select(col("event_id"), col("event_type"), col("value"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        percent_rank().over(w).as("prnk"),
-        cume_dist().over(w).as("cdist"))
+        col("rnk"),
+        col("drnk"),
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .as("prnk"),
+        (col("cmax").cast("double") / col("n").cast("double")).as("cdist"))
   }
 
   private val windowRanksSql =
@@ -96,14 +121,27 @@ object Analytics {
     */
   def windowMoving(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").asc)
-      .rowsBetween(-3, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"),
+    // Distributed bounded frames (r7): |event_type| = 5 would bound
+    // the naive per-type frame window at 5 tasks over the whole
+    // events relation; boundedFrameStage buckets by sampled event_id
+    // ranges and prepends each bucket with its 3-row carry prefix, so
+    // the in-bucket frames see exactly the global frames.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val (staged, wb) = RangeRank.boundedFrameStage(ev, Seq("event_type"),
+      "event_id", "event_id", lookback = 3,
+      cuts = Some(RangeRank.sampleCutsMemo(s"events.event_id:$dir",
+        ev.select(col("event_id")), "event_id")))
+    val w = wb.rowsBetween(-3, Window.currentRow)
+    staged
+      .withColumn("mov_sum",
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .over(w).cast("double").as("mov_sum"),
-        count(lit(1)).over(w).as("n_frame"),
-        min(col("value")).over(w).as("mov_min"))
+          .over(w).cast("double"))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("mov_min", min(col("value")).over(w))
+      .where(!col("__rr_carry"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mov_sum"), col("n_frame"), col("mov_min"))
       .withColumn("mov_avg", col("mov_sum") / col("n_frame"))
   }
 
@@ -825,17 +863,23 @@ object Analytics {
     */
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     val d6 = DecimalType(18, 6)
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(-20, -1)
-    Tables.events(spark, dir)
+    // Distributed bounded frames (r7): same carry-prefix shape as
+    // windowMoving — the 20-row trailing stats never require a
+    // per-type corpus sort on |event_type| tasks.
+    val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val (staged, wb) = RangeRank.boundedFrameStage(ev, Seq("event_type"),
+      "ts", "event_id", lookback = 20,
+      cuts = Some(RangeRank.sampleCutsMemo(s"events.ts:$dir",
+        ev.select(col("ts")), "ts")))
+    val w = wb.rowsBetween(-20, -1)
+    staged
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("value").cast(d6)).over(w).cast("double"))
       .withColumn("ss",
         sum(col("value").cast(d6) * col("value").cast(d6)).over(w)
           .cast("double"))
-      .where(col("n") >= 5)
+      .where(!col("__rr_carry") && col("n") >= 5)
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - col("s") / col("n"))
           / sqrt((col("ss") - col("s") * col("s") / col("n"))

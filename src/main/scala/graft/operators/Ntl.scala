@@ -82,16 +82,31 @@ object Ntl {
     * NULLS LAST (/root/reference/scripts/IndexingHomeAgebs.py:75-79,
     * /root/reference/src/imputers/home_ageb_imputers.py:73).
     * NULLIF manufactures NULLs deterministically from the data.
+    *
+    * Scale shape (r7, the equi_depth/gini class): |o_orderstatus| = 3
+    * would bound a naive per-status window at 3 tasks over the whole
+    * orders relation. The (length, priority) prefix of the ordering is
+    * a BOUNDED domain (5 priorities), so the rank is
+    * [[RangeRank.withRankGroupedMajor]]: offsets over the
+    * 3 × |priorities| × buckets relation, in-bucket windows on the
+    * full composite — NULLS LAST encoded as the non-null
+    * (is-null, coalesce-to-empty) pair so the offsets join stays
+    * null-safe. Same values as the window spelling, orders-relation
+    * parallelism |status| × buckets.
     */
   def rankNullsLast(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(
-        length(col("o_orderpriority")).desc,
-        nullif(col("o_orderpriority"), lit("1-URGENT")).asc_nulls_last,
-        col("o_orderkey").asc)
-    o.select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-      .withColumn("rnk", row_number().over(w))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .withColumn("len", length(col("o_orderpriority")))
+      .withColumn("pn", nullif(col("o_orderpriority"), lit("1-URGENT")))
+      .withColumn("isn", col("pn").isNull)
+      .withColumn("pstr", coalesce(col("pn"), lit("")))
+    RangeRank.withRankGroupedMajor(o, Seq("o_orderstatus"),
+        Seq("len", "isn", "pstr"),
+        Seq(col("len").desc, col("isn").asc, col("pstr").asc),
+        "o_orderkey", "rnk")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("rnk"))
   }
 
   private val rankNullsLastSql =

@@ -326,12 +326,14 @@ object Recommend {
     * with ≥ on both axes and > on at least one. Computed by the
     * O(n log n) sweep, relationally: collapse to per-x maxima first
     * (same-x dominance resolves inside the group), then a point
-    * survives iff its y beats the running max over STRICTLY greater x —
-    * a 1-PRECEDING window over the x-distinct relation
-    * (value-domain-sized, deliberately single-partition like ks_test;
-    * the 1000-executor version runs the same sweep per x-range
-    * partition and merges on each partition's running max — a
-    * |partitions|-row exchange). Spend rides an exact DECIMAL(18,2)
+    * survives iff its y beats the running max over STRICTLY greater x.
+    * x = acctbal is near-unique, so the x-distinct relation is
+    * CUSTOMER-cardinality — the sweep is therefore the distributed
+    * [[RangeRank.withRunningMaxDescExclusive]] (per-x-range-bucket
+    * windows merged on the bounded per-bucket maxes), never a global
+    * single-partition window (r7 audit — the prior spelling's
+    * "value-domain-sized" claim didn't hold for a continuous axis).
+    * Spend rides an exact DECIMAL(18,2)
     * sum, so the join-back on (x, ymax) and the dominance compares are
     * all exact; no-order customers count as 0 spend.
     */
@@ -344,9 +346,15 @@ object Recommend {
       .select(col("c_custkey"), col("c_acctbal").as("x"),
         coalesce(col("sp"), lit(0).cast(DecimalType(18, 2))).as("y"))
     val gx = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
-    val w = Window.orderBy(col("x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val skyX = gx.withColumn("msp", max(col("ymax")).over(w))
+    // x = acctbal is near-UNIQUE, so the x-distinct relation is
+    // customer-cardinality — a global running-max window here would
+    // single-partition it (the shape the doc above used to hand-wave
+    // as "value-domain-sized"; r7 audit). The RangeRank exclusive
+    // running max runs the same sweep per sampled x-range bucket and
+    // merges on the bounded per-bucket maxes — exactly the
+    // "1000-executor version" the doc describes, now the only version.
+    val skyX = RangeRank.withRunningMaxDescExclusive(gx, "x",
+        col("ymax"), "msp")
       .where(col("msp").isNull || col("ymax") > col("msp"))
       .select(col("x"), col("ymax"))
     pts.join(skyX, pts("x") === skyX("x") && pts("y") === skyX("ymax"),

@@ -274,15 +274,45 @@ object Stats {
         round(col("s") / col("n"), 6).as("m6"),
         (round(lit(20) * sqrt((col("ss") - col("s") * col("s") / col("n"))
           / (col("n") - 1)), 6).cast(d6) * 1000000).cast("long").as("h"))
-    val wp = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.join(broadcast(m), Seq("event_type"))
+    // Distributed prefix shape (r7, the equi_depth/gini class):
+    // |event_type| = 5 would bound the naive per-type running windows
+    // at 5 tasks over the whole events relation. Instead rows bucket
+    // by sampled ts range cuts (balance only — ties stay together, so
+    // any cut set yields the same answer); ONE (type, bucket) exchange
+    // carries the in-bucket running sum s and running min-of-s mn;
+    // per-bucket totals/minima re-aggregate on the SAME partitioning
+    // (no second corpus exchange), cumulate over the bounded
+    // |types| × buckets relation, and broadcast back:
+    //   P_i  = off_b + s_i
+    //   min_{j≤i} P_j = least(minP_{<b}, off_b + mn_i)
+    // — integer-exact longs throughout, so bucketing cannot change a
+    // single output value.
+    val cuts = RangeRank.sampleCutsMemo(s"cusum.events.ts:$dir",
+      ev.select(col("ts")), "ts")
+    val keyed = ev.join(broadcast(m), Seq("event_type"))
       .select(col("event_type"), col("event_id"), col("ts"), col("h"),
         (round(col("value") - col("m6"), 6).cast(d6) * 1000000).cast("long")
           .as("d"))
-      .withColumn("p", sum(col("d")).over(wp))
-      .withColumn("cus", col("p") - min(col("p")).over(wp))
+      .withColumn("b", RangeRank.bucketAsc("ts", cuts))
+    val wIn = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = keyed
+      .withColumn("s", sum(col("d")).over(wIn))
+      .withColumn("mn", min(col("s")).over(wIn))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = windowed.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("d")).as("bt"), min(col("s")).as("bmin"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      // min over earlier buckets of (that bucket's offset + its min
+      // prefix): cumulate (off_k + bmin_k) exclusively
+      .withColumn("minP", min(col("off") + col("bmin")).over(wOff))
+      .select(col("event_type"), col("b"), col("off"), col("minP"))
+    windowed.join(broadcast(offs), Seq("event_type", "b"))
+      .withColumn("p", col("off") + col("s"))
+      .withColumn("cus",
+        col("p") - least(col("minP"), col("off") + col("mn")))
       .where(col("cus") > col("h"))
       .select(col("event_type"), col("event_id"),
         round(col("cus").cast("double") / 1000000, 6).as("cusum"))

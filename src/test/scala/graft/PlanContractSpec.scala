@@ -423,6 +423,60 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"), "curve walk must stay codegen'd")
   }
 
+  test("skyline_frontier: distributed running max — x-distinct relation never single-partitions") {
+    val p = finalPlan("skyline_frontier")
+    // x = acctbal is near-unique (customer-cardinality): the frontier
+    // sweep must be the bucket-partitioned RangeRank running max, with
+    // only the <=64-row per-bucket-max cumsum single-partitioning
+    assert(p.contains("windowspecdefinition(__rr_b_")
+      && count(p, "Exchange hashpartitioning(__rr_b_") >= 1,
+      "sweep must ride the bucket exchange:\n" + p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      "x-distinct relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("cusum_changepoint: one (type, bucket) exchange — no per-type corpus sort") {
+    val p = finalPlan("cusum_changepoint")
+    // the running sum/min ride the bucketed exchange; the bounded
+    // offsets cumsum is the only |types|-partitioned window
+    assert(count(p, "Exchange hashpartitioning(event_type#") >= 1
+      && p.contains("windowspecdefinition(event_type"),
+      "prefix windows must ride the (type, bucket) exchange:\n" + p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "nothing in cusum may single-partition:\n" + p.take(2000))
+  }
+
+  test("window_moving / anomaly_zscore: bounded frames ride bucketed windows") {
+    for (q <- Seq("window_moving", "anomaly_zscore")) {
+      val p = finalPlan(q)
+      assert(p.contains("__rr_b_frame"),
+        s"$q must use the carry-prefix bucket stage:\n" + p.take(1500))
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never single-partition:\n" + p.take(1500))
+    }
+  }
+
+  test("window_ranks: rank family rides grouped RangeRank — parallelism not bounded by |event_type|") {
+    val p = finalPlan("window_ranks")
+    // the row_number backbone and the dense-rank pass both partition
+    // by (type, sampled value bucket); the only single-partition
+    // stages are the two bounded offsets cumsums
+    assert(count(p, "Exchange hashpartitioning(event_type") >= 2
+      && p.contains("__rr_b_rn") && p.contains("__rr_b_drnk"),
+      "both rank passes must ride (type, bucket) exchanges:\n" + p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 2,
+      "events relation must never single-partition:\n" + p.take(2000))
+  }
+
+  test("rank_nulls_last: grouped-major RangeRank — parallelism not bounded by |status|") {
+    val p = finalPlan("rank_nulls_last")
+    assert(count(p, "Exchange hashpartitioning(o_orderstatus") >= 1
+      && p.contains("__rr_b_rnk"),
+      "rank must ride the (status, majors, bucket) exchange:\n" + p.take(2000))
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      "orders relation must never single-partition:\n" + p.take(2000))
+  }
+
   test("rrf_fusion: both rankings bucket-partitioned — corpus never single-partitions") {
     val p = finalPlan("rrf_fusion")
     // the two tf rankings are RangeRank.withRankMajorDesc passes: the

@@ -117,6 +117,50 @@ class R13Spec extends AnyFunSuite {
       .withColumn("exp", row_number().over(wM).cast("long"))
       .where(col("r") =!= col("exp")).count()
     assert(badM == 0, "major-desc RangeRank must equal the global window rank")
+
+    // exclusive running max (skyline sweep) on a tie-free key
+    val pts = spark.range(5000).select(
+      pmod(col("id") * 2654435761L, lit(100003)).cast("double").as("x"),
+      pmod(col("id") * 40503L, lit(997)).as("y"))
+      .groupBy(col("x")).agg(max(col("y")).as("y"))
+    val got = RangeRank.withRunningMaxDescExclusive(pts, "x", col("y"),
+      "m", buckets = 16)
+    val wX = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val badX = got
+      .withColumn("exp", max(col("y")).over(wX))
+      .where(!(col("m") <=> col("exp"))).count()
+    assert(badX == 0, "exclusive running max must equal the window spelling")
+  }
+
+  test("boundedFrameStage equals global frames when buckets are smaller than the lookback") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.RangeRank
+    // 400 rows / 3 groups / 64 buckets → ~2 rows per (group, bucket),
+    // far below lookback 20: every carry prefix must span MANY earlier
+    // buckets (the chaining case the candidate-union argument covers)
+    val df = spark.range(400).select(
+      (col("id") % 3).cast("string").as("g"),
+      col("id").as("k"),
+      pmod(col("id") * 40503L, lit(977)).as("v"))
+    val (staged, wb) = RangeRank.boundedFrameStage(df, Seq("g"), "k", "k",
+      lookback = 20)
+    val w = wb.rowsBetween(-20, -1)
+    val got = staged
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(!col("__rr_carry"))
+      .select(col("g"), col("k"), col("s"), col("n"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("k").asc)
+      .rowsBetween(-20, -1)
+    val exp = df
+      .withColumn("se", sum(col("v")).over(wg))
+      .withColumn("ne", count(lit(1)).over(wg))
+      .select(col("g"), col("k"), col("se"), col("ne"))
+    val bad = got.join(exp, Seq("g", "k"))
+      .where(!(col("s") <=> col("se")) || col("n") =!= col("ne")).count()
+    assert(bad == 0, "bucketed frames must equal the global window frames")
+    assert(got.count() == 400, "every input row must be emitted exactly once")
   }
 
   test("UTM / Web Mercator: round-trip, goldens, invariants") {
