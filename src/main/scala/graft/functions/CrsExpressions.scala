@@ -21,98 +21,35 @@ import org.apache.spark.sql.types._
   * FN 0 m).
   */
 object CrsHelpers {
-  private val A = 6378137.0 // GRS80 semi-major
-  private val F = 1.0 / 298.257222101
-  private val E2 = F * (2 - F)
-  private val E = math.sqrt(E2)
-
-  private val Lat0 = math.toRadians(12.0)
-  private val Lon0 = math.toRadians(-102.0)
-  private val Lat1 = math.toRadians(17.5)
-  private val Lat2 = math.toRadians(29.5)
-  private val FalseE = 2500000.0
-  private val FalseN = 0.0
-
-  private def mFn(phi: Double): Double = {
-    val s = math.sin(phi)
-    math.cos(phi) / math.sqrt(1 - E2 * s * s)
-  }
-
-  private def tFn(phi: Double): Double = {
-    val s = math.sin(phi)
-    math.tan(math.Pi / 4 - phi / 2) /
-      math.pow((1 - E * s) / (1 + E * s), E / 2)
-  }
-
-  private val m1 = mFn(Lat1)
-  private val m2 = mFn(Lat2)
-  private val t0 = tFn(Lat0)
-  private val t1 = tFn(Lat1)
-  private val t2 = tFn(Lat2)
-  private val n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-  private val bigF = m1 / (n * math.pow(t1, n))
-  private val rho0 = A * bigF * math.pow(t0, n)
-
-  /** Forward: geographic degrees → projected easting (m). */
-  def lccEasting(lon: Double, lat: Double): Double = {
-    val rho = A * bigF * math.pow(tFn(math.toRadians(lat)), n)
-    val theta = n * (math.toRadians(lon) - Lon0)
-    FalseE + rho * math.sin(theta)
-  }
-
-  /** Forward: geographic degrees → projected northing (m). */
-  def lccNorthing(lon: Double, lat: Double): Double = {
-    val rho = A * bigF * math.pow(tFn(math.toRadians(lat)), n)
-    val theta = n * (math.toRadians(lon) - Lon0)
-    FalseN + rho0 - rho * math.cos(theta)
-  }
-
-  /** Inverse: projected (m) → longitude degrees. */
-  def lccLon(easting: Double, northing: Double): Double = {
-    val x = easting - FalseE
-    val y = rho0 - (northing - FalseN)
-    val theta = math.atan2(x, y) // n > 0 for EPSG:6365
-    math.toDegrees(theta / n + Lon0)
-  }
-
-  /** Inverse: projected (m) → latitude degrees (iterative t⁻¹).
-    * Exactly 8 fixed-point rounds, no convergence early-exit: the
-    * contraction rate is ~e²/2 ≈ 0.003, so 8 rounds land within an
-    * ulp of the fixed point, and a FIXED count is what lets the
-    * DuckDB oracle unroll the identical iteration (same float ops in
-    * the same order) and hash-match bit-for-bit.
+  /** The reference's CRS, now one instance of the parameterized
+    * [[Lcc2sp]] family (LccProjection.scala) — this object keeps the
+    * original static entry points and SQL-constant bundle so the
+    * hardwired expressions and the crs_reproject oracle are
+    * bit-unchanged (the instance computes every derived constant in
+    * the identical expression order).
     */
-  def lccLat(easting: Double, northing: Double): Double = {
-    val x = easting - FalseE
-    val y = rho0 - (northing - FalseN)
-    val rho = math.sqrt(x * x + y * y) * (if (n < 0) -1 else 1)
-    val t = math.pow(rho / (A * bigF), 1 / n)
-    var phi = math.Pi / 2 - 2 * math.atan(t)
-    var i = 0
-    while (i < 8) {
-      val s = math.sin(phi)
-      phi = math.Pi / 2 - 2 * math.atan(
-        t * math.pow((1 - E * s) / (1 + E * s), E / 2))
-      i += 1
-    }
-    math.toDegrees(phi)
-  }
+  private val P = CrsRegistry.Epsg6365
+
+  def lccEasting(lon: Double, lat: Double): Double = P.easting(lon, lat)
+  def lccNorthing(lon: Double, lat: Double): Double = P.northing(lon, lat)
+  def lccLon(easting: Double, northing: Double): Double = P.lonOf(easting, northing)
+  def lccLat(easting: Double, northing: Double): Double = P.latOf(easting, northing)
 
   /** Constants a SQL mirror needs to replay the inverse projection
     * with zero cross-engine constant drift (injected as literals).
     */
   object SqlConsts {
-    val e: Double = E
-    val eHalf: Double = E / 2
-    val nConst: Double = n
-    val invN: Double = 1 / n
-    val aBigF: Double = A * bigF
-    val rho0C: Double = rho0
-    val lon0: Double = Lon0
-    val falseE: Double = FalseE
-    val falseN: Double = FalseN
-    val halfPi: Double = math.Pi / 2
-    val pi: Double = math.Pi
+    val e: Double = P.SqlC.e
+    val eHalf: Double = P.SqlC.eHalf
+    val nConst: Double = P.SqlC.nConst
+    val invN: Double = P.SqlC.invN
+    val aBigF: Double = P.SqlC.aBigF
+    val rho0C: Double = P.SqlC.rho0C
+    val lon0: Double = P.SqlC.lon0
+    val falseE: Double = P.SqlC.falseE
+    val falseN: Double = P.SqlC.falseN
+    val halfPi: Double = P.SqlC.halfPi
+    val pi: Double = P.SqlC.pi
   }
 }
 

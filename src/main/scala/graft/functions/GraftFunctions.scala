@@ -91,6 +91,14 @@ object GraftFunctions {
       es => LccLonExpr(es(0), es(1))),
     ("lcc_lat", "lcc_lat(easting, northing) - EPSG:6365 inverse latitude (deg)",
       es => LccLatExpr(es(0), es(1))),
+    ("lcc_crs_easting", "lcc_crs_easting(crs, lon, lat) - parameterized LCC forward easting (m)",
+      es => LccCrsEastingExpr(es(0), es(1), es(2))),
+    ("lcc_crs_northing", "lcc_crs_northing(crs, lon, lat) - parameterized LCC forward northing (m)",
+      es => LccCrsNorthingExpr(es(0), es(1), es(2))),
+    ("lcc_crs_lon", "lcc_crs_lon(crs, easting, northing) - parameterized LCC inverse longitude (deg)",
+      es => LccCrsLonExpr(es(0), es(1), es(2))),
+    ("lcc_crs_lat", "lcc_crs_lat(crs, easting, northing) - parameterized LCC inverse latitude (deg)",
+      es => LccCrsLatExpr(es(0), es(1), es(2))),
     ("utm_easting", "utm_easting(lon, lat, zone) - WGS84 UTM forward easting (m)",
       es => UtmEastingExpr(es(0), es(1), es(2))),
     ("utm_northing", "utm_northing(lon, lat, zone) - WGS84 UTM forward northing (m)",

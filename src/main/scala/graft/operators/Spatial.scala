@@ -574,6 +574,82 @@ object Spatial {
        |FROM inv""".stripMargin
   }
 
+  /** F20 parameterized (r7): the LCC family is no longer one
+    * hardwired CRS — [[graft.functions.Lcc2sp]] takes arbitrary
+    * published 2SP parameters, and this query exercises a SECOND
+    * registered instance (EPSG:3347, NAD83 / Statistics Canada
+    * Lambert) forward AND inverse over synthetic Canadian lon/lat
+    * derived from part. The SQL mirror is built by
+    * [[lccRoundTripSql]], a parameter-driven template that splices
+    * any instance's derived constants — adding a CRS adds no new
+    * oracle code. Meters round 3 dp, degrees 6 dp, inverse consumes
+    * the ROUNDED forward columns (the crs_utm_webmerc discipline).
+    */
+  def crsLccParam(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (lit(-120.0) + (col("p_partkey") % 4000).cast("double") / 100.0).as("lon"),
+        (lit(46.0) + (col("p_partkey") % 2800).cast("double") / 100.0).as("lat"))
+      .withColumn("e", round(call_function("lcc_crs_easting",
+        lit("EPSG:3347"), col("lon"), col("lat")), 3))
+      .withColumn("n", round(call_function("lcc_crs_northing",
+        lit("EPSG:3347"), col("lon"), col("lat")), 3))
+      .withColumn("lon2", round(call_function("lcc_crs_lon",
+        lit("EPSG:3347"), col("e"), col("n")), 6))
+      .withColumn("lat2", round(call_function("lcc_crs_lat",
+        lit("EPSG:3347"), col("e"), col("n")), 6))
+
+  /** Parameter-driven Snyder LCC forward+inverse SQL template: emits
+    * the same fixed op sequences as [[graft.functions.Lcc2sp]] with
+    * the instance's derived constants spliced as literals (the
+    * crsReprojectSql discipline, generalized to any instance).
+    * `ptsSql` must provide (keyCol, lon, lat).
+    */
+  private def lccRoundTripSql(proj: graft.functions.Lcc2sp,
+      ptsSql: String, keyCol: String): String = {
+    val C = proj.SqlC
+    def lit(v: Double): String = s"CAST($v AS DOUBLE)"
+    def step(phi: String): String =
+      s"${lit(C.halfPi)} - 2 * atan(t * pow((1 - ${lit(C.e)} * sin($phi)) / " +
+        s"(1 + ${lit(C.e)} * sin($phi)), ${lit(C.eHalf)}))"
+    val iters = (1 to 8).map(i =>
+      s"it$i AS (SELECT * REPLACE ((${step("phi")}) AS phi) FROM it${i - 1})")
+      .mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |tv AS (SELECT *,
+       |    tan(${lit(C.quarterPi)} - (lat / 180.0 * ${lit(C.pi)}) / 2)
+       |      / pow((1 - ${lit(C.e)} * sin(lat / 180.0 * ${lit(C.pi)}))
+       |        / (1 + ${lit(C.e)} * sin(lat / 180.0 * ${lit(C.pi)})),
+       |        ${lit(C.eHalf)}) AS tf
+       |  FROM pts),
+       |rho AS (SELECT *, ${lit(C.aBigF)} * pow(tf, ${lit(C.nConst)}) AS r,
+       |    ${lit(C.nConst)} * (lon / 180.0 * ${lit(C.pi)} - ${lit(C.lon0)}) AS th
+       |  FROM tv),
+       |fwd AS (SELECT $keyCol, lon, lat,
+       |    round(${lit(C.falseE)} + r * sin(th), 3) AS e,
+       |    round(${lit(C.falseN)} + ${lit(C.rho0C)} - r * cos(th), 3) AS n
+       |  FROM rho),
+       |xy AS (SELECT *, e - ${lit(C.falseE)} AS x,
+       |    ${lit(C.rho0C)} - (n - ${lit(C.falseN)}) AS y FROM fwd),
+       |it0 AS (SELECT *,
+       |    pow(sqrt(x * x + y * y) / ${lit(C.aBigF)}, ${lit(C.invN)}) AS t,
+       |    ${lit(C.halfPi)} - 2 * atan(pow(sqrt(x * x + y * y) / ${lit(C.aBigF)}, ${lit(C.invN)})) AS phi
+       |  FROM xy),
+       |$iters
+       |SELECT $keyCol, lon, lat, e, n,
+       |  round((atan2(x, y) / ${lit(C.nConst)} + ${lit(C.lon0)}) * 180.0 / ${lit(C.pi)}, 6) AS lon2,
+       |  round(phi * 180.0 / ${lit(C.pi)}, 6) AS lat2
+       |FROM it8""".stripMargin
+  }
+
+  private val crsLccParamSql: String = lccRoundTripSql(
+    graft.functions.CrsRegistry.Epsg3347,
+    """SELECT p_partkey,
+      |    -120.0 + CAST(p_partkey % 4000 AS DOUBLE) / 100.0 AS lon,
+      |    46.0 + CAST(p_partkey % 2800 AS DOUBLE) / 100.0 AS lat
+      |  FROM part""".stripMargin,
+    "p_partkey")
+
   /** Boundary geometry of the distinct H3 cells the events points
     * occupy (h3_to_geo_boundary analog) — the export step that hands
     * cell footprints to GIS/viz. WKT strings, not nested arrays, so
@@ -757,6 +833,7 @@ object Spatial {
     Op("point_in_polygon", pointInPolygon, Some(pointInPolygonSql), bench = true),
     Op("crs_reproject", crsReproject, Some(crsReprojectSql)),
     Op("crs_utm_webmerc", crsUtmWebmerc, Some(crsUtmWebmercSql)),
+    Op("crs_lcc_param", crsLccParam, Some(crsLccParamSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3Cells, None),
