@@ -16,6 +16,7 @@ object SparkEntry {
       GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
       WebCuration.ops ++
       Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
+      Profiling.ops ++
       graft.streaming.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
