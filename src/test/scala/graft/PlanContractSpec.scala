@@ -62,6 +62,10 @@ class PlanContractSpec extends AnyFunSuite {
     // tagged kernel must be in the executed plan
     assert(p.contains("pair_structs_tagged"),
       "pairs must emerge home-labeled from the tagged kernel:\n" + p.take(2000))
+    // the M = C + Cᵀ mirror must REUSE the canonical-count exchange —
+    // a recompute would run the whole pipeline twice
+    assert(p.contains("ReusedExchange"),
+      "matrix mirror must reuse the C exchange:\n" + p.take(2000))
   }
 
   test("topk_groups plans as TakeOrderedAndProject (never global sort)") {
