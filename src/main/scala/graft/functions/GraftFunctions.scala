@@ -91,6 +91,17 @@ object GraftFunctions {
       es => LccLonExpr(es(0), es(1))),
     ("lcc_lat", "lcc_lat(easting, northing) - EPSG:6365 inverse latitude (deg)",
       es => LccLatExpr(es(0), es(1))),
+    ("cuts_bucket", "cuts_bucket(key, cuts, asc) - binary-search range bucket over literal sorted cuts",
+      es => {
+        require(es(1).foldable && es(2).foldable,
+          "cuts_bucket: cuts and asc must be literals")
+        val arr = es(1).eval()
+        val asc = es(2).eval()
+        require(arr != null && asc != null, "cuts_bucket: cuts/asc must be non-null")
+        CutsBucketExpr(es(0),
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+          asc.asInstanceOf[Boolean])
+      }),
     ("lcc_crs_easting", "lcc_crs_easting(crs, lon, lat) - parameterized LCC forward easting (m)",
       es => LccCrsEastingExpr(es(0), es(1), es(2))),
     ("lcc_crs_northing", "lcc_crs_northing(crs, lon, lat) - parameterized LCC forward northing (m)",

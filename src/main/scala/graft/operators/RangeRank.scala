@@ -301,14 +301,14 @@ object RangeRank {
     * DESC NULLS LAST position). Monotone non-increasing in the key and
     * tie-preserving by construction.
     */
+  // both directions are the codegen'd binary-search expression
+  // (functions/CutsBucketExpr.scala): the earlier size(filter(...))
+  // higher-order spelling is CodegenFallback and broke the
+  // whole-stage span right above every RangeRank scan (r7 audit)
   private def bucketFromCuts(keyName: String, cuts: Array[Double]): Column =
     if (cuts.isEmpty) lit(0L)
-    else {
-      val arr = typedlit(cuts)
-      when(col(keyName).isNull, lit(cuts.length.toLong))
-        .otherwise(size(filter(arr,
-          c => c > col(keyName).cast("double"))).cast("long"))
-    }
+    else call_function("cuts_bucket",
+      col(keyName).cast("double"), typedlit(cuts), lit(false))
 
   /** Distributed BOUNDED ROWS frames (`ROWS BETWEEN lookback PRECEDING
     * AND …`) per group without the per-group corpus sort: rows bucket
@@ -381,10 +381,6 @@ object RangeRank {
     */
   private def bucketFromCutsAsc(keyName: String, cuts: Array[Double]): Column =
     if (cuts.isEmpty) lit(0L)
-    else {
-      val arr = typedlit(cuts)
-      when(col(keyName).isNull, lit(cuts.length.toLong))
-        .otherwise(size(filter(arr,
-          c => c < col(keyName).cast("double"))).cast("long"))
-    }
+    else call_function("cuts_bucket",
+      col(keyName).cast("double"), typedlit(cuts), lit(true))
 }
