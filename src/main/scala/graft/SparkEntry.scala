@@ -14,7 +14,7 @@ object SparkEntry {
       Imputation.ops ++ Scaling.ops ++ Spatial.ops ++
       Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
       GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
-      WebCuration.ops ++ Sketches.ops ++ Tokenizer.ops ++
+      WebCuration.ops ++ Sketches.ops ++ Tokenizer.ops ++ Classifier.ops ++
       Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
       Profiling.ops ++
       graft.streaming.StreamOps.ops

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.GraftFunctions.sum_order_free
+
+/** Model-based quality filtering — the fasttext-style classifier gate
+  * most public LLM corpora (CCNet, RefinedWeb, FineWeb) run after the
+  * rule-based gates (`gopher_rules`): score every document with a
+  * linear model over cheap text features, keep above a threshold.
+  * Both the APPLICATION (`quality_classifier`) and the TRAINING
+  * (`logreg_train` — distributed batch gradient descent) live
+  * in-engine, so the whole loop runs where the data is.
+  *
+  * Cross-engine determinism: the sigmoid's argument is rounded to 9 dp
+  * before `exp` and the score to 6 dp after (a last-ulp `exp`/`ln`
+  * divergence between libm implementations cannot flip a 9/6-dp
+  * boundary except within ~1e-8 of it); every gradient/loss SUM uses
+  * the order-free round-15 → DECIMAL discipline (`sum_order_free` —
+  * the pagerank lesson), and weights re-canonicalize at 12 dp between
+  * rounds exactly like pagerank's rank vector.
+  */
+object Classifier {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** The four features (all ratios of exact integers — deterministic):
+    * length in kchars, tokens in hectotokens, stopword ratio, distinct
+    * ratio. Spelled IDENTICALLY in [[featSql]].
+    */
+  private def features(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000).as("x1"),
+      (size(toks).cast("double") / 100).as("x2"),
+      (size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double")
+        / size(toks)).as("x3"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("x4"))
+
+  private val featSql =
+    """SELECT doc_id,
+      |  CAST(n_chars AS DOUBLE)/1000 AS x1,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE)/100 AS x2,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS x3,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS x4
+      |FROM documents""".stripMargin
+
+  /** Fixed published-style weights (a stand-in for a trained model's
+    * coefficients; `logreg_train` below is how they'd be fit).
+    */
+  private def zCol: Column =
+    lit(-1.0) + lit(2.4) * col("x1") + lit(0.8) * col("x2") +
+      lit(6.0) * col("x3") - lit(1.5) * col("x4")
+
+  private val zSql = "-1.0 + 2.4*x1 + 0.8*x2 + 6.0*x3 - 1.5*x4"
+
+  /** Apply the quality model: score = σ(w·x) per document, keep above
+    * 0.5. Pure row-local arithmetic fused into the scan — the filter
+    * a 100 TB curation pass runs at full scan bandwidth.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    features(Tables.documents(spark, dir))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6))
+      .select(col("doc_id"), col("score"), (col("score") > 0.5).as("keep"))
+
+  private val qualityClassifierSql =
+    s"""WITH feat AS ($featSql)
+       |SELECT doc_id,
+       |  round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score,
+       |  round(1.0/(1.0 + exp(-round($zSql, 9))), 6) > 0.5 AS keep
+       |FROM feat""".stripMargin
+
+  // ------------------------------------------------------------ training
+
+  private val Rounds = 3
+
+  /** σ(wx + b) with the 9-dp argument canonicalization. */
+  private def sigma(w: Column, b: Column, x: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-(w * x + b))), 9)
+
+  /** Distributed batch-gradient-descent training of a one-feature
+    * logistic model (label: lang = 'en', feature: length in kchars) —
+    * the `kmeansIterate`/`pagerank` shape applied to supervised
+    * training. Each round is ONE aggregation over the corpus (gradient
+    * sums combine map-side; `sum_order_free` keeps them
+    * aggregation-order-free) and the 1-row weight state broadcasts
+    * back — no driver loop state, the whole training unrolls into one
+    * lazy plan. Emits (round, w, b, loss): loss is the log-loss at the
+    * round's STARTING weights (the same σ pass the gradient uses), so
+    * its strict descent across rows is the convergence audit.
+    *
+    * At 100 TB this is exactly mini-batch GD with batch = corpus:
+    * the per-round cost is a scan + one scalar aggregate; a real run
+    * adds features, not structure.
+    */
+  def logregTrain(spark: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.documents(spark, dir)
+      .select((col("n_chars").cast("double") / 1000).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    var state = spark.range(1)
+      .select(lit(0.0).as("w"), lit(0.0).as("b"))
+    val rows = (1 to Rounds).map { r =>
+      val s = sigma(col("w"), col("b"), col("x"))
+      val g = feat.crossJoin(broadcast(state))
+        .groupBy(col("w"), col("b"))
+        .agg(
+          (sum_order_free((s - col("y")) * col("x")) / count(lit(1))).as("gw"),
+          (sum_order_free(s - col("y")) / count(lit(1))).as("gb"),
+          round(sum_order_free(-(col("y") * log(s)
+            + (lit(1.0) - col("y")) * log(lit(1.0) - s)))
+            / count(lit(1)), 9).as("loss"))
+        .select(round(col("w") - col("gw"), 12).as("w"),
+          round(col("b") - col("gb"), 12).as("b"), col("loss"))
+      state = g.select(col("w"), col("b"))
+      g.select(lit(r).as("round"), col("w"), col("b"), col("loss"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  private def trainRoundSql(i: Int): String = {
+    val sig = "round(1.0/(1.0+exp(-(w*x + b))), 9)"
+    s"""g$i AS (
+       |  SELECT round(w - CAST(SUM(CAST(round(($sig - y)*x, 15)
+       |      AS DECIMAL(28,15))) AS DOUBLE)/count(*), 12) AS w,
+       |    round(b - CAST(SUM(CAST(round($sig - y, 15)
+       |      AS DECIMAL(28,15))) AS DOUBLE)/count(*), 12) AS b,
+       |    round(CAST(SUM(CAST(round(-(y*ln($sig) + (1.0-y)*ln(1.0-$sig)), 15)
+       |      AS DECIMAL(28,15))) AS DOUBLE)/count(*), 9) AS loss
+       |  FROM feat CROSS JOIN it${i - 1} GROUP BY w, b),
+       |it$i AS (SELECT w, b FROM g$i)""".stripMargin
+  }
+
+  private val logregTrainSql =
+    s"""WITH feat AS (
+       |  SELECT CAST(n_chars AS DOUBLE)/1000 AS x,
+       |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
+       |${(1 to Rounds).map(trainRoundSql).mkString(",\n")}
+       |${(1 to Rounds).map(i => s"SELECT $i AS round, w, b, loss FROM g$i")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    Op("logreg_train", logregTrain, Some(logregTrainSql)),
+  )
+}

@@ -593,9 +593,90 @@ object Curation {
       |  round(q / p, 9) AS boost
       |FROM q""".stripMargin
 
+  /** FUZZY benchmark decontamination: `decontaminate` above catches
+    * verbatim 3-gram overlap; this catches NEAR-duplicate leakage — a
+    * test document whose lightly-edited twin sits in the train split —
+    * by running the dedup family's MinHash+LSH banding BETWEEN the two
+    * splits instead of within the corpus. Per test doc: how many train
+    * docs share an LSH band, the best signature-estimated Jaccard, and
+    * a contaminated verdict at the 0.5 threshold (the level the exact
+    * 8-hash signature resolves reliably).
+    *
+    * Scale shape: signatures come from the codegen'd per-row kernel
+    * (zero exchanges); both banded sides derive from the ONE banded
+    * exchange (split predicates are stateless hash filters pushed
+    * into each side, shuffle_hash pinned exactly like
+    * dedup_minhash_lsh); candidates ∝ band collisions, never
+    * test×train. In production the benchmark side is small enough to
+    * broadcast — the hint to flip is documented here, not defaulted,
+    * because at fixture scale both sides are the same subtree and the
+    * reused exchange wins.
+    */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.dedupMinhashSig(spark, dir)
+    val nh = Dedup.NumHashes
+    val bandCols = (0 until 2).map { bi =>
+      struct(lit(bi).as("band_id"),
+        xxhash64((0 until 4).map(j => col(s"mh${bi * 4 + j}")): _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"),
+        array((0 until nh).map(i => col(s"mh$i")): _*).as("sig"),
+        splitBucket(col("doc_id")).as("bucket"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("bucket"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+    val test = banded.where(col("bucket") === 9).alias("a").hint("shuffle_hash")
+    val train = banded.where(col("bucket") < 8).alias("b")
+    val est = (0 until nh)
+      .map(i => when(element_at(col("a.sig"), i + 1) ===
+        element_at(col("b.sig"), i + 1), 1).otherwise(0))
+      .reduce((x, y) => x + y).cast("double") / nh
+    test.join(train,
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_key") === col("b.band_key"))
+      .groupBy(col("a.doc_id").as("test_doc"), col("b.doc_id").as("train_doc"))
+      .agg(first(est).as("est_jaccard"))
+      .groupBy(col("test_doc"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(col("est_jaccard")).as("max_est"),
+        min(col("train_doc")).as("sample_train_doc"))
+      .select(col("test_doc"), col("n_candidates"), col("max_est"),
+        col("sample_train_doc"), (col("max_est") >= 0.5).as("contaminated"))
+  }
+
+  private val decontaminateFuzzySql = {
+    val bands = (0 until 2).map { bi =>
+      val key = (0 until 4).map(j => s"mh${bi * 4 + j}")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $bi AS band_id, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sig AS (SELECT * FROM (${Dedup.minhashSigSql}) t),
+       |banded AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS test_doc, b.doc_id AS train_doc
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE ${splitBucketSql.replace("doc_id", "a.doc_id")} = 9
+       |    AND ${splitBucketSql.replace("doc_id", "b.doc_id")} < 8),
+       |scored AS (
+       |  SELECT test_doc, train_doc, CAST($est AS DOUBLE) / ${Dedup.NumHashes}
+       |    AS est_jaccard
+       |  FROM cand JOIN sig sa ON cand.test_doc = sa.doc_id
+       |  JOIN sig sb ON cand.train_doc = sb.doc_id)
+       |SELECT test_doc, CAST(count(*) AS BIGINT) AS n_candidates,
+       |  max(est_jaccard) AS max_est, min(train_doc) AS sample_train_doc,
+       |  max(est_jaccard) >= 0.5 AS contaminated
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("source_temperature_weights", (s, d) => sourceTemperatureWeights(s, d),
       Some(sourceTemperatureWeightsSql)),
+    Op("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("importance_sample", importanceSample, Some(importanceSampleSql)),
     Op("text_normalize", textNormalize, Some(textNormalizeSql)),

@@ -113,7 +113,7 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  private val NumHashes = 8
+  private[operators] val NumHashes = 8
   private val BandSize = 4 // => 2 bands
   private val Mod60 = 1152921504606846976L // 2^60
 
@@ -155,7 +155,7 @@ object Dedup {
        |  CAST('0x' || substr(m, 16, 15) AS BIGINT) AS h2
        |FROM (SELECT doc_id, md5(shingle) AS m FROM sh)""".stripMargin
 
-  private val minhashSigSql: String =
+  private[operators] val minhashSigSql: String =
     s"WITH sh AS ($shinglesSql),\nhh AS ($hhSql)\nSELECT doc_id,\n  $mhSqlCols\nFROM hh GROUP BY doc_id"
 
   /** MinHash signatures as a query (oracle-checked exactly). */

@@ -302,6 +302,88 @@ object WebCuration {
        |  CAST(sum(n_clean) AS BIGINT) AS n_chars, min(doc_id) AS first_doc
        |FROM survivors GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------- boilerplate lines
+
+  /** Deterministic multi-line page per document: a nav header and
+    * copyright footer SHARED by every page of the source (df = 100% —
+    * the boilerplate population), a promo line rotating over 4 variants
+    * (df ≈ 25% — below threshold, must survive), and the document text
+    * (unique). The htmlCol discipline: both engines build byte-identical
+    * pages from the same parquet.
+    */
+  private def pageCol: Column =
+    concat(lit("NAV "), col("source"), lit(" | home | login\n"),
+      col("text"), lit("\nPromo of the week no "),
+      expr("(doc_id div 20) % 4").cast("string"),
+      lit("\nCopyright "), col("source"))
+
+  private val pageColSql =
+    """'NAV ' || source || ' | home | login' || chr(10) || text || chr(10) || 'Promo of the week no ' || CAST((doc_id // 20) % 4 AS VARCHAR) || chr(10) || 'Copyright ' || source"""
+
+  /** RefinedWeb-style per-domain boilerplate removal: a line appearing
+    * in more than 30% of a source's documents (nav bars, footers,
+    * cookie banners) is template, not content — strip it everywhere and
+    * reassemble the documents. The rule most crawl pipelines run
+    * between HTML extraction and the dedup family (line-level EXACT
+    * corpus dedup is `passage_dedup`'s job; this is the per-domain
+    * frequency gate).
+    *
+    * Scale shape: one (source, line-hash) exchange computes document
+    * frequencies (the join and group key is the 8-byte xxhash64 of the
+    * line — join-key-only, so oracle parity is unaffected, the dedup
+    * family's discipline); the per-source doc counts broadcast; the
+    * per-document reassembly is the second exchange. Line order is
+    * restored by an in-row sort of (pos, line) structs before the
+    * join — the `listagg_names` discipline, reproducible under any
+    * partitioning.
+    */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(pageCol, "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val srcn = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val df = lines.groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val marked = lines
+      .join(df, Seq("source", "lh"))
+      .join(broadcast(srcn), Seq("source"))
+      .withColumn("boiler",
+        col("df").cast("double") / col("n_docs") > 0.3)
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("boiler"), 1)).as("n_boiler"),
+        nullif(array_join(transform(
+          array_sort(collect_list(when(!col("boiler"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n"), lit("")).as("clean_text"))
+  }
+
+  private val boilerplateLinesSql =
+    s"""WITH pages AS (
+       |  SELECT doc_id, source, $pageColSql AS page
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+       |    (string_split(page, chr(10)))[i + 1] AS line
+       |  FROM pages, UNNEST(range(0, len(string_split(page, chr(10))))) AS t(i)),
+       |srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |df AS (
+       |  SELECT source, line, count(DISTINCT doc_id) AS df
+       |  FROM lines GROUP BY 1, 2),
+       |marked AS (
+       |  SELECT l.doc_id, l.pos, l.line,
+       |    CAST(d.df AS DOUBLE) / s.n_docs > 0.3 AS boiler
+       |  FROM lines l
+       |  JOIN df d ON l.source = d.source AND l.line = d.line
+       |  JOIN srcn s ON l.source = s.source)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(count(*) FILTER (boiler) AS BIGINT) AS n_boiler,
+       |  string_agg(line, chr(10) ORDER BY pos) FILTER (NOT boiler)
+       |    AS clean_text
+       |FROM marked GROUP BY 1""".stripMargin
+
   /** kernel name → (Column kernel, equivalent DuckDB SQL expression
     * over a column literally named `s`) — the contract surface for
     * `tools/fuzz_kernels.py`, which replays an ADVERSARIAL corpus
@@ -327,5 +409,6 @@ object WebCuration {
     Op("url_dedup", urlDedup, Some(urlDedupSql)),
     Op("perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     Op("crawl_pipeline", crawlPipeline, Some(crawlPipelineSql)),
+    Op("boilerplate_lines", boilerplateLines, Some(boilerplateLinesSql)),
   )
 }
