@@ -15,6 +15,7 @@ object SparkEntry {
       Analytics.ops ++ Temporal.ops ++ Clustering.ops ++
       GraphMetrics.ops ++ Curation.ops ++ Chunking.ops ++ Behavior.ops ++
       WebCuration.ops ++ Sketches.ops ++ Tokenizer.ops ++ Classifier.ops ++
+      Linalg.ops ++
       Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
       Profiling.ops ++
       graft.streaming.StreamOps.ops

@@ -280,6 +280,63 @@ object Curation {
        |    ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
        |  FROM documents)""".stripMargin
 
+  /** Concat-and-split sequence packing — the GPT-style pretraining
+    * step [[shardPack]] deliberately avoids: the corpus is laid out as
+    * one deterministic token stream and cut into fixed-length training
+    * sequences of [[SeqLen]] tokens, so every sequence is exactly full
+    * (zero padding) and documents CROSS boundaries. Emits, per
+    * document, its global token offset, the first/last sequence it
+    * lands in, and how many boundary cuts it suffers — the packing
+    * audit (cut rate vs padding waste) a pipeline runs when choosing
+    * between packed and padded batching.
+    *
+    * Scale shape: identical to [[shardPack]]'s distributed prefix sum
+    * — 64 hash buckets give the deterministic stream order, the 64
+    * per-bucket totals broadcast as offsets, and the in-bucket running
+    * sum is a partitioned window. The sequence arithmetic is then
+    * row-local. Nothing single-partitions at any corpus size.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.CrossHash.hash60(col("doc_id").cast("string"))
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("bucket", col("h") % 64)
+    val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    t.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .withColumn("off", col("boff") + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("off"),
+        expr(s"off div $SeqLen").as("first_seq"),
+        expr(s"(off + n_tokens - 1) div $SeqLen").as("last_seq"),
+        expr(s"(off + n_tokens - 1) div $SeqLen - off div $SeqLen")
+          .as("n_cuts"))
+  }
+
+  private val SeqLen = 64
+
+  private val sequencePackSql =
+    s"""SELECT doc_id, n_tokens, off,
+       |  off // $SeqLen AS first_seq,
+       |  (off + n_tokens - 1) // $SeqLen AS last_seq,
+       |  (off + n_tokens - 1) // $SeqLen - off // $SeqLen AS n_cuts
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC,
+       |      doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM (
+       |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      ${graft.functions.CrossHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |    FROM documents))""".stripMargin
+
   /** Deterministic rate-based stratified sampling: each source keeps a
     * configured percentage of its documents, membership decided by the
     * portable hash — the mixture-downsampling complement to
@@ -691,5 +748,6 @@ object Curation {
     Op("quota_sample", (s, d) => quotaSample(s, d), Some(quotaSampleSql)),
     Op("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql), bench = true),
     Op("shard_pack", (s, d) => shardPack(s, d), Some(shardPackSql), bench = true),
+    Op("sequence_pack", sequencePack, Some(sequencePackSql)),
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.GraftFunctions.{sum_order_free, vec_dot}
+
+/** Distributed numerical linear algebra over the embedding corpus —
+  * the decomposition step LLM-data pipelines run for semantic dedup
+  * preconditioning, embedding whitening, and drift monitoring.
+  *
+  * `pca_power` extracts the TOP PRINCIPAL COMPONENT of the (mean-
+  * centered) embedding matrix by unrolled power iteration: v_{r+1} =
+  * normalize(Xᵀ(X v_r)) — the `pagerank`/`logreg_train` shape applied
+  * to eigendecomposition. Emits (round, dim, loading, lambda) so the
+  * convergence of both the direction and the eigenvalue estimate is
+  * auditable across rounds.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - each round is ONE corpus aggregation: the per-row score x·v is a
+  *    row-local codegen'd fold (`vec_dot`); the d per-dim sums
+  *    Σ score·x_j combine map-side. Nothing corpus-sized shuffles —
+  *    the exchange payload is d=64 partial rows per task.
+  *  - all driver-visible state is O(d): the mean vector, the iterate,
+  *    and the 1-row norm, each broadcast back into the plan. The whole
+  *    training is one lazy composition; no loop state leaves the plan.
+  *  - cross-engine determinism: the fold runs in FIXED list order on
+  *    both engines (vec_dot ≡ DuckDB list_reduce); every
+  *    aggregation-order-dependent sum uses the round-15 → DECIMAL
+  *    discipline (`sum_order_free`); the iterate re-canonicalizes at
+  *    12 dp per round exactly like pagerank's rank vector, so a
+  *    last-ulp division drift cannot compound.
+  */
+object Linalg {
+
+  private val Dim = 64
+  private val Rounds = 3
+
+  /** vec_id, centered double vector cv — shared by every round. */
+  private def centered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val mu = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(sum_order_free(col("x")) / count(lit(1)), 12).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("mv"))
+    e.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mv"), (a, b) => a - b).as("cv"))
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val c = centered(spark, dir)
+    // v_0 = (1/8, ..., 1/8): unit vector, exact in binary floating point
+    var state = spark.range(1)
+      .select(array_repeat(lit(0.125), Dim).as("vv"))
+    val rows = (1 to Rounds).map { r =>
+      val w = c.crossJoin(broadcast(state))
+        .select(col("cv"), vec_dot(col("cv"), col("vv")).as("s"))
+        .select(col("s"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum_order_free(col("s") * col("x")).as("w"))
+      val nrm = w.agg(sqrt(sum_order_free(col("w") * col("w"))).as("nrm"))
+      val it = w.crossJoin(broadcast(nrm))
+        .select(col("dim"), round(col("w") / col("nrm"), 12).as("loading"),
+          col("nrm"))
+      state = it.groupBy()
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("loading")))),
+          s => s.getField("loading")).as("vv"))
+      it.select(lit(r).as("round"), col("dim"), col("loading"),
+        round(col("nrm"), 9).as("lambda"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  // ---- oracle: the identical unrolled rounds as CTEs ----------------
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  private def ofSum(term: String): String =
+    s"CAST(SUM(CAST(round($term, 15) AS DECIMAL(28,15))) AS DOUBLE)"
+
+  private def roundSql(r: Int): String =
+    s"""s$r AS (SELECT cv, ${dotSql("cv", "vv")} AS s FROM c, v${r - 1}),
+       |w$r AS (
+       |  SELECT CAST(dim AS INTEGER) AS dim, ${ofSum("s * cv[dim + 1]")} AS w
+       |  FROM s$r, UNNEST(range(0, $Dim)) AS t(dim)
+       |  GROUP BY 1),
+       |n$r AS (SELECT sqrt(${ofSum("w * w")}) AS nrm FROM w$r),
+       |it$r AS (
+       |  SELECT dim, round(w / nrm, 12) AS loading, nrm
+       |  FROM w$r, n$r),
+       |v$r AS (SELECT list(loading ORDER BY dim) AS vv FROM it$r)""".stripMargin
+
+  private val pcaPowerSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim + 1] AS x
+       |  FROM e, UNNEST(range(0, $Dim)) AS t(dim)),
+       |mu AS (
+       |  SELECT dim, round(${ofSum("x")} / count(*), 12) AS m
+       |  FROM ex GROUP BY dim),
+       |muv AS (SELECT list(m ORDER BY dim) AS mv FROM mu),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(v) + 1), i -> v[i] - mv[i]) AS cv
+       |  FROM e, muv),
+       |v0 AS (SELECT list_transform(range(1, $Dim + 1), i -> 0.125) AS vv),
+       |${(1 to Rounds).map(roundSql).mkString(",\n")}
+       |${(1 to Rounds)
+          .map(r => s"SELECT $r AS round, dim, loading, round(nrm, 9) AS lambda FROM it$r")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("pca_power", pcaPower, Some(pcaPowerSql)),
+  )
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.functions.CrossHash
+import graft.functions.GraftFunctions.sum_order_free
 
 /** Text-analysis operators for LLM data pipelines: token counting,
   * quality scoring, language-ID (marker-word profiles), winnowing
@@ -787,8 +788,76 @@ object TextAnalysis {
       |WHERE token != ''
       |GROUP BY 1 ORDER BY est DESC, token ASC LIMIT 20""".stripMargin
 
+  /** Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    * ln(freq) on ln(rank) over the top-500 vocabulary (the
+    * [[vocabTopTokens]] relation), emitting slope (the Zipf exponent,
+    * ≈ −1 for natural language), intercept, and R² — the one-row
+    * corpus-health diagnostic that flags template-dominated or
+    * synthetic text before training.
+    *
+    * Scale shape: the corpus contributes exactly one token-count
+    * exchange with map-side partials, collapsed to 500 rows by
+    * TakeOrderedAndProject; the rank window and the OLS moment
+    * aggregation run over that BOUNDED 500-row set (documented
+    * bounded-domain window, never corpus-sized). Cross-engine
+    * determinism: ln outputs canonicalize at 12 dp before the moment
+    * sums (libm last-ulp discipline), the five sums are order-free
+    * DECIMAL accumulations, and the closed-form slope/intercept/R² are
+    * then exact functions of identical inputs.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocabTopTokens(spark, dir)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")), 12).as("x"),
+      round(log(col("n").cast("double")), 12).as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("k"),
+      sum_order_free(col("x")).as("sx"),
+      sum_order_free(col("y")).as("sy"),
+      sum_order_free(col("x") * col("x")).as("sxx"),
+      sum_order_free(col("y") * col("y")).as("syy"),
+      sum_order_free(col("x") * col("y")).as("sxy"))
+    val kd = col("k").cast("double")
+    val cov = kd * col("sxy") - col("sx") * col("sy")
+    val varx = kd * col("sxx") - col("sx") * col("sx")
+    val vary = kd * col("syy") - col("sy") * col("sy")
+    m.select(col("k").as("n_tokens"),
+      round(cov / varx, 9).as("slope"),
+      round((col("sy") - (cov / varx) * col("sx")) / kd, 9).as("intercept"),
+      round(cov * cov / (varx * vary), 9).as("r2"))
+  }
+
+  private val zipfFitSql =
+    s"""WITH tf AS ($vocabTopTokensSql),
+       |r AS (
+       |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+       |  FROM tf),
+       |xy AS (
+       |  SELECT round(ln(CAST(rank AS DOUBLE)), 12) AS x,
+       |    round(ln(CAST(n AS DOUBLE)), 12) AS y
+       |  FROM r),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(SUM(CAST(round(x, 15) AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(round(y, 15) AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(round(x * x, 15) AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(round(y * y, 15) AS DECIMAL(28,15))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(round(x * y, 15) AS DECIMAL(28,15))) AS DOUBLE) AS sxy
+       |  FROM xy)
+       |SELECT k AS n_tokens,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 9) AS slope,
+       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 9)
+       |    AS intercept,
+       |  round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+       |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 9) AS r2
+       |FROM m""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("zipf_fit", zipfFit, Some(zipfFitSql)),
     Op("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql), bench = true),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
