@@ -119,7 +119,63 @@ object Linalg {
           .map(r => s"SELECT $r AS round, dim, loading, round(nrm, 9) AS lambda FROM it$r")
           .mkString("\nUNION ALL\n")}""".stripMargin
 
+  /** Per-dimension standardization ("whitening" in the diagonal
+    * approximation): z_j = (x_j − μ_j)/σ_j with corpus-wide μ/σ — the
+    * normalization step before cosine-based semantic dedup or k-means,
+    * so no dimension dominates by scale.
+    *
+    * Scale shape: ONE corpus aggregation produces the 64 (μ, σ) pairs
+    * (map-side-combined, order-free decimal sums); they broadcast back
+    * as two arrays and the transform is a pure row-local map fused
+    * into the scan. μ and E[x²] canonicalize at 12 dp so σ — and
+    * therefore every output element — is an exact function of
+    * identical inputs on both engines; outputs round at 9 dp.
+    */
+  def embeddingWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val st = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(sum_order_free(col("x")) / count(lit(1)), 12).as("mu"),
+        round(sum_order_free(col("x") * col("x")) / count(lit(1)), 12).as("ex2"))
+      .select(col("dim"), col("mu"),
+        sqrt(col("ex2") - col("mu") * col("mu")).as("sg"))
+    val sa = st.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).as("mv"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sg")))),
+          s => s.getField("sg")).as("sv"))
+    e.crossJoin(broadcast(sa))
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0, ${Dim - 1}), " +
+          "i -> round((v[i] - mv[i]) / sv[i], 9))").as("w"))
+  }
+
+  private val embeddingWhitenSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim + 1] AS x
+       |  FROM e, UNNEST(range(0, $Dim)) AS t(dim)),
+       |st AS (
+       |  SELECT dim, round(${ofSum("x")} / count(*), 12) AS mu,
+       |    round(${ofSum("x * x")} / count(*), 12) AS ex2
+       |  FROM ex GROUP BY dim),
+       |sa AS (
+       |  SELECT list(mu ORDER BY dim) AS mv,
+       |    list(sqrt(ex2 - mu * mu) ORDER BY dim) AS sv
+       |  FROM st)
+       |SELECT vec_id,
+       |  list_transform(range(1, $Dim + 1),
+       |    i -> round((v[i] - mv[i]) / sv[i], 9)) AS w
+       |FROM e, sa""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("pca_power", pcaPower, Some(pcaPowerSql)),
+    Op("embedding_whiten", embeddingWhiten, Some(embeddingWhitenSql)),
   )
 }

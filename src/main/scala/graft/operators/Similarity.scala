@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
-import graft.functions.GraftFunctions.vec_dot
+import graft.functions.GraftFunctions.{sum_order_free, vec_dot}
 
 /** Similarity search over the embeddings table (Array[Float], dim 64).
   *
@@ -759,7 +759,110 @@ object Similarity {
        |LEFT JOIN m ON q.query_id = m.query_id""".stripMargin
   }
 
+  // ------------------------------------------------ product quantization
+
+  private val PqM = 8 // subspaces of 64/8 = 8 dims each
+  private val PqSub = 8
+
+  /** IVF's storage-side twin: PRODUCT QUANTIZATION. Each vector is
+    * compressed to [[PqM]] one-byte codes (nearest codeword per
+    * 8-dim subspace); a query precomputes its per-(subspace, codeword)
+    * distance table and scores any candidate with [[PqM]] table
+    * lookups + adds (asymmetric distance computation, Jégou et al.
+    * 2011) — never touching the raw floats. Together with [[annIvf]]
+    * this is the IVF-PQ layout real 100 TB vector stores run.
+    *
+    * Codebook here = deterministic seed subvectors (vec_id 0/50/100/
+    * 150), the same convention as [[annIvf]]'s coarse centroids; a
+    * production pipeline would refine them with [[Clustering]]'s
+    * k-means rounds — the assignment/ADC plumbing below is unchanged.
+    *
+    * Scale shape: the 32-row codebook and the 10-query × 32-entry
+    * distance table BROADCAST; code assignment is one argmin over
+    * n×[[PqM]]×4 locally-generated rows (windowed on (vec_id, m) —
+    * full parallelism, key cardinality n×8); ADC is a broadcast join
+    * + one map-side-combined (query, cand) sum. Nothing corpus-sized
+    * shuffles except the n×8 code relation itself.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // (k, m, cw): codeword k of subspace m
+    val cb = e.where(col("vec_id") % 50 === 0 && col("vec_id") < 200)
+      .select((col("vec_id") / 50).cast("int").as("k"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("k"), col("m"),
+        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cw"))
+    def sub(v: Column, m: Column): Column = slice(v, m * PqSub + 1, lit(PqSub))
+    // cast BEFORE subtracting: the raw arrays are float, and a float
+    // subtraction would diverge from the oracle's double math
+    def l2(a: Column, b: Column): Column = {
+      val d = zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+      vec_dot(d, d)
+    }
+    val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("k").asc)
+    val codes = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"), col("k"),
+        l2(sub(col("v"), col("m")), col("cw")).as("dist"))
+      .withColumn("rnk", row_number().over(wAssign))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val dtab = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("m"), col("k"),
+        l2(sub(col("qv"), col("m")), col("cw")).as("qdist"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("k"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(round(sum_order_free(col("qdist")), 9).as("adc_dist"))
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 3)
+  }
+
+  private val annPqSql = {
+    def l2Sql(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, v) -> acc + v)"
+    val subV = s"v[m * $PqSub + 1 : m * $PqSub + $PqSub]"
+    val subQ = s"qv[m * $PqSub + 1 : m * $PqSub + $PqSub]"
+    s"""WITH emb AS ($embSql),
+       |cb AS (
+       |  SELECT CAST(vec_id // 50 AS INTEGER) AS k, CAST(m AS INTEGER) AS m,
+       |    $subV AS cw
+       |  FROM emb, UNNEST(range(0, $PqM)) AS t(m)
+       |  WHERE vec_id % 50 = 0 AND vec_id < 200),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT e.vec_id, c.m, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+       |        ORDER BY ${l2Sql(subV.replace("v[", "e.v["), "c.cw")} ASC, c.k ASC)
+       |        AS rnk
+       |    FROM emb e CROSS JOIN cb c)
+       |  WHERE rnk = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.k,
+       |    ${l2Sql(subQ.replace("qv[", "q.v["), "c.cw")} AS qdist
+       |  FROM emb q CROSS JOIN cb c
+       |  WHERE q.vec_id < 10)
+       |SELECT query_id, cand_id, adc_dist, rnk FROM (
+       |  SELECT query_id, cand_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, cand_id ASC) AS rnk
+       |  FROM (
+       |    SELECT d.query_id, codes.vec_id AS cand_id,
+       |      round(CAST(SUM(CAST(round(d.qdist, 15) AS DECIMAL(28,15)))
+       |        AS DOUBLE), 9) AS adc_dist
+       |    FROM codes JOIN dtab d ON codes.m = d.m AND codes.code = d.k
+       |    WHERE d.query_id != codes.vec_id
+       |    GROUP BY 1, 2))
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_rank_metrics", annRankMetrics, Some(annRankMetricsSql)),
     Op("sem_dedup", semDedup, Some(semDedupSql)),
     Op("hard_negatives", hardNegatives, Some(hardNegativesSql)),

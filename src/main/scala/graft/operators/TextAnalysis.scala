@@ -312,7 +312,11 @@ object TextAnalysis {
     "l_data" -> Seq("data", "row", "column", "table"),
   )
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** documents + one count column per language profile + the argmax
+    * `pred_lang` — the shared front end of [[langId]] and
+    * [[langConfusion]].
+    */
+  private def langScored(spark: SparkSession, dir: String): DataFrame = {
     val scored = LangMarkers.foldLeft(Tables.documents(spark, dir)) {
       case (df, (lang, markers)) =>
         val list = markers.map(w => s"'$w'").mkString(", ")
@@ -329,11 +333,17 @@ object TextAnalysis {
         .foldLeft(col(l) > 0)(_ && _)
       when(geAll, lit(l)).otherwise(acc)
     }
-    scored.select(
-      (col("doc_id") +: LangMarkers.map(m => col(m._1))) :+ pred.as("pred_lang"): _*)
+    scored.withColumn("pred_lang", pred)
   }
 
-  private val langIdSql = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langScored(spark, dir).select(
+      (col("doc_id") +: LangMarkers.map(m => col(m._1))) :+ col("pred_lang"): _*)
+
+  /** The scored-and-predicted relation as SQL (mirrors [[langScored]]):
+    * doc_id, lang (the labeled truth), per-profile counts, pred_lang.
+    */
+  private val langScoredSql = {
     def cnt(markers: Seq[String]) = {
       val list = markers.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
@@ -346,11 +356,45 @@ object TextAnalysis {
         .mkString(" AND ")
       s"CASE WHEN $cond THEN '$l' ELSE $acc END"
     }
-    s"""SELECT doc_id, ${LangMarkers.map(_._1).mkString(", ")}, $pred AS pred_lang
-       |FROM (SELECT doc_id, text,
+    s"""SELECT doc_id, lang, ${LangMarkers.map(_._1).mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM (SELECT doc_id, lang, text,
        |  $cols
        |FROM documents)""".stripMargin
   }
+
+  private val langIdSql =
+    s"""SELECT doc_id, ${LangMarkers.map(_._1).mkString(", ")}, pred_lang
+       |FROM ($langScoredSql)""".stripMargin
+
+  /** Language-ID confusion matrix: predicted profile vs the labeled
+    * `lang` column, with per-cell counts and the row-normalized rate —
+    * the accuracy audit a pipeline runs before trusting a cheap
+    * classifier to route 100 TB. Output is |langs|² rows at any corpus
+    * size; the count aggregation combines map-side, and the per-label
+    * totals it normalizes by are a broadcast-sized second aggregate of
+    * the SAME grouped relation (no second corpus pass).
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langScored(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_label"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_label"), 9).as("rate"))
+  }
+
+  private val langConfusionSql =
+    s"""WITH scored AS ($langScoredSql),
+       |cells AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM scored GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_label FROM cells GROUP BY 1)
+       |SELECT lang, pred_lang, n,
+       |  round(CAST(n AS DOUBLE) / n_label, 9) AS rate
+       |FROM cells JOIN totals USING (lang)""".stripMargin
 
   /** Winnowing fingerprint (rolling-hash family): word-4-gram hashes,
     * per-window (w=4) minimum over the position-ordered hash sequence,
@@ -868,6 +912,7 @@ object TextAnalysis {
       Some(invertedIndexCappedSql)),
     Op("ngram_explode", ngramExplode, Some(ngramExplodeSql)),
     Op("lang_id", langId, Some(langIdSql)),
+    Op("lang_confusion", langConfusion, Some(langConfusionSql)),
     Op("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Op("vocab_top_tokens", vocabTopTokens, Some(vocabTopTokensSql)),
     Op("profile_columns", profileColumns, Some(profileColumnsSql)),
