@@ -29,13 +29,13 @@ object Classifier {
     * length in kchars, tokens in hectotokens, stopword ratio, distinct
     * ratio. Spelled IDENTICALLY in [[featSql]].
     */
-  private def features(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+  private def features(df: DataFrame, extra: Column*): DataFrame =
+    df.select((col("doc_id") +: extra) ++ Seq(
       (col("n_chars").cast("double") / 1000).as("x1"),
       (size(toks).cast("double") / 100).as("x2"),
       (size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double")
         / size(toks)).as("x3"),
-      (size(array_distinct(toks)).cast("double") / size(toks)).as("x4"))
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("x4")): _*)
 
   private val featSql =
     """SELECT doc_id,
@@ -145,8 +145,52 @@ object Classifier {
        |${(1 to Rounds).map(i => s"SELECT $i AS round, w, b, loss FROM g$i")
           .mkString("\nUNION ALL\n")}""".stripMargin
 
+  /** Reliability diagram for the quality model: scores bucketed into
+    * fixed-width 0.1 bins, each bin reporting its document count, mean
+    * predicted score, and empirical positive rate (label: lang = 'en',
+    * the [[logregTrain]] target) — the calibration audit run before a
+    * classifier's threshold is trusted to gate a corpus.
+    *
+    * Scale shape: the bin key is a stateless row-local expression (no
+    * ranking, no quantiles), so the whole diagram is ONE map-side-
+    * combined aggregation to ≤10 rows. Mean scores use the order-free
+    * decimal sum; the positive rate is a ratio of exact integers.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    features(Tables.documents(spark, dir),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6))
+      .groupBy(floor(col("score") * 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum_order_free(col("score")) / count(lit(1)), 9).as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 9).as("pos_rate"))
+
+  private val calibrationBinsSql =
+    s"""WITH feat AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(n_chars AS DOUBLE)/1000 AS x1,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE)/100 AS x2,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x3,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x4
+       |  FROM documents),
+       |scored AS (
+       |  SELECT y, round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |  FROM feat)
+       |SELECT CAST(floor(score * 10) AS INTEGER) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(CAST(round(score, 15) AS DECIMAL(28,15))) AS DOUBLE)
+       |    / count(*), 9) AS mean_score,
+       |  round(CAST(SUM(y) AS DOUBLE) / count(*), 9) AS pos_rate
+       |FROM scored GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Op("logreg_train", logregTrain, Some(logregTrainSql)),
+    Op("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
   )
 }

@@ -175,8 +175,87 @@ object Sketches {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------- KMV overlap
+
+  /** Pairwise cross-source overlap from the KMV sketches: for every
+    * source pair, the Jaccard ESTIMATE computed entirely from the two
+    * bottom-k sketches (merge to the union sketch U = k smallest of
+    * A ∪ B, then Ĵ = |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U| — the classic
+    * KMV set-operation estimator), next to the exact Jaccard anchor.
+    * This is how a 100 TB ingest decides WHICH source pairs need a
+    * dedup pass without ever joining the corpora: sketches are ≤ k
+    * longs per source, so all |sources|² work happens on a broadcast-
+    * sized relation.
+    *
+    * Scale shape: one corpus scan builds the per-source sketches
+    * map-side (`min_k_distinct`); the pair enumeration, merge, and
+    * estimate are pure array expressions over the tiny sketch table.
+    * The exact anchor costs one content-hash exchange — the same
+    * exchange `dedup_exact` pays — and is the part you'd DROP at
+    * 100 TB; it exists here to expose the estimator's error.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(spark, dir)
+      .select(col("source"), CrossHash.hash60(col("text")).as("h"))
+    val sk = keys.groupBy(col("source"))
+      .agg(call_function("min_k_distinct", col("h"), lit(K)).as("sk"),
+        countDistinct(col("h")).as("n_exact"))
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"),
+        col("n_exact").as("na"))
+      .crossJoin(sk.select(col("source").as("source_b"), col("sk").as("skb"),
+        col("n_exact").as("nb")))
+      .where(col("source_a") < col("source_b"))
+    val dk = keys.distinct()
+    val inter = dk.select(col("source").as("source_a"), col("h"))
+      .join(dk.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val u = slice(array_sort(array_union(col("ska"), col("skb"))), 1, K)
+    val commonInU = size(array_intersect(u,
+      array_intersect(col("ska"), col("skb"))))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
+      .select(col("source_a"), col("source_b"),
+        round(commonInU.cast("double") / size(u), 6).as("est_jaccard"),
+        round(col("n_ab").cast("double")
+          / (col("na") + col("nb") - col("n_ab")), 6).as("exact_jaccard"),
+        col("n_ab"))
+  }
+
+  private val kmvOverlapSql =
+    s"""WITH keys AS (
+       |  SELECT source, ${CrossHash.hash60Sql("text")} AS h FROM documents),
+       |dk AS (SELECT DISTINCT source, h FROM keys),
+       |sk AS (
+       |  SELECT source, (list(h ORDER BY h))[1:$K] AS sk,
+       |    CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM dk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS source_a, a.sk AS ska, a.n_exact AS na,
+       |    b.source AS source_b, b.sk AS skb, b.n_exact AS nb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM dk a JOIN dk b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source_a, source_b, na, nb,
+       |    list_sort(list_distinct(ska || skb))[1:$K] AS u, ska, skb
+       |  FROM pairs)
+       |SELECT e.source_a, e.source_b,
+       |  round(CAST(len(list_filter(u,
+       |      x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+       |    / len(u), 6) AS est_jaccard,
+       |  round(CAST(COALESCE(i.n_ab, 0) AS DOUBLE)
+       |    / (na + nb - COALESCE(i.n_ab, 0)), 6) AS exact_jaccard,
+       |  COALESCE(i.n_ab, 0) AS n_ab
+       |FROM est e LEFT JOIN inter i USING (source_a, source_b)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Op("cms_counts", cmsCounts, Some(cmsCountsSql)),
+    Op("kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
   )
 }

@@ -333,7 +333,57 @@ object Temporal {
       |FROM h WHERE dt IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** Exponentially-weighted moving average of the daily event count
+    * with α = 1/2 and a 30-day lookback — the smoothed ingest-volume
+    * trend a pipeline dashboard tracks. The α = 1/2 choice is not
+    * cosmetic: every weight is a POWER OF TWO, so the weighted sum is
+    * computed in EXACT integer arithmetic (count · 2^(29−lag), summed
+    * as BIGINT) and the single final division by 2^30 is exact in
+    * binary floating point — a bit-identical cross-engine result with
+    * no pow(), no rounding step, no term-order hazard. Semantics:
+    * ewma_t = Σ_{j=0..29} x_{t−j} · 2^{−(j+1)} (truncated-window EWMA
+    * with implicit zero history before the first day).
+    *
+    * Scale shape: events collapse to ONE map-side-combined daily
+    * aggregate (rows ∝ days, not events); the 30-lag expansion and the
+    * re-aggregation run on that bounded relation; the min-day origin
+    * is a broadcast 1-row scalar (the time_bucket_origin pattern).
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lo = daily.agg(min(col("day")).as("lo"))
+    val idx = daily.crossJoin(broadcast(lo))
+      .select(col("day"), col("n"), datediff(col("day"), col("lo")).as("d"))
+    val lagged = idx.select(col("n").as("xn"), col("d").as("src_d"),
+      explode(sequence(lit(0), lit(29))).as("j"))
+      .select(col("xn"), col("j"), (col("src_d") + col("j")).as("d"))
+    idx.join(lagged, Seq("d"))
+      .groupBy(col("day"), col("n"))
+      .agg(sum(expr("xn * shiftleft(CAST(1 AS BIGINT), 29 - j)")).as("s"))
+      .select(col("day"), col("n"),
+        (col("s").cast("double") / lit(1073741824.0)).as("ewma"))
+  }
+
+  private val ewmaSmoothSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |lo AS (SELECT min(day) AS lo FROM daily),
+      |idx AS (
+      |  SELECT day, n, (day - lo) AS d FROM daily, lo),
+      |lagged AS (
+      |  SELECT n AS xn, j, d + j AS d
+      |  FROM idx, UNNEST(range(0, 30)) AS t(j))
+      |SELECT i.day, i.n,
+      |  CAST(CAST(SUM(xn * (CAST(1 AS BIGINT) << CAST(29 - j AS INTEGER)))
+      |    AS BIGINT) AS DOUBLE) / 1073741824.0 AS ewma
+      |FROM idx i JOIN lagged l ON i.d = l.d
+      |GROUP BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ewma_smooth", ewmaSmooth, Some(ewmaSmoothSql)),
     Op("resample_ffill", resampleFfill, Some(resampleFfillSql)),
     Op("interval_overlap", intervalOverlap, Some(intervalOverlapSql)),
     Op("time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
