@@ -730,10 +730,56 @@ object Curation {
        |FROM scored GROUP BY 1""".stripMargin
   }
 
+  /** Corpus-level complement of [[decontaminateFuzzy]]: what FRACTION
+    * of each test document's 3-grams already appears anywhere in the
+    * train split — the n-gram coverage statistic contamination reports
+    * quote (a near-1 coverage means memorizable, even when no single
+    * train doc is a near-duplicate). Per test doc: distinct grams,
+    * grams covered by train, the coverage ratio.
+    *
+    * Scale shape: grams ride as the codegen'd per-row 8-byte hash set
+    * (`shingle_hash_set` — zero pre-distinct exchange); the train side
+    * collapses to its distinct gram-hash set ONCE and the coverage
+    * join is hash-keyed (join-key-only: the dedup family's discipline,
+    * so the string-gram oracle matches output-for-output). Both sides
+    * derive from the one exploded scan; candidates ∝ gram matches,
+    * never test×train.
+    */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_hash_set
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"),
+        explode(shingle_hash_set(col("text"))).as("g"))
+    val train = sh.where(col("bucket") < 8)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    sh.where(col("bucket") === 9)
+      .join(train, Seq("g"), "left")
+      .groupBy(col("doc_id").as("test_doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_covered"))
+      .select(col("test_doc"), col("n_grams"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_grams"), 9)
+          .as("coverage"))
+  }
+
+  private val ngramCoverageSql =
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |b AS (
+       |  SELECT doc_id, ${splitBucketSql} AS bucket, shingle FROM sh),
+       |train AS (
+       |  SELECT DISTINCT shingle, 1 AS hit FROM b WHERE bucket < 8)
+       |SELECT b.doc_id AS test_doc, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(t.hit) AS BIGINT) AS n_covered,
+       |  round(CAST(count(t.hit) AS DOUBLE) / count(*), 9) AS coverage
+       |FROM b LEFT JOIN train t ON b.shingle = t.shingle
+       |WHERE bucket = 9
+       |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("source_temperature_weights", (s, d) => sourceTemperatureWeights(s, d),
       Some(sourceTemperatureWeightsSql)),
     Op("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
+    Op("ngram_coverage", ngramCoverage, Some(ngramCoverageSql)),
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("importance_sample", importanceSample, Some(importanceSampleSql)),
     Op("text_normalize", textNormalize, Some(textNormalizeSql)),

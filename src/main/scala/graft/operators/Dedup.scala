@@ -29,7 +29,7 @@ object Dedup {
   // one codegen'd pass per row (graft.functions.TextShingleExpressions)
   // instead of exploding shingle strings through exchanges.
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """SELECT DISTINCT doc_id, source,
       |  unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
       |    i -> array_to_string((string_split(text, ' '))[i + 1:i + 3], ' '))) AS shingle

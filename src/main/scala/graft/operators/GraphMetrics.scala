@@ -411,7 +411,66 @@ object GraphMetrics {
        |  WHERE r.h < 3)
        |SELECT node, min(d) AS dist FROM reach GROUP BY 1""".stripMargin
 
+  /** Link prediction by common-neighbor Jaccard: for every NON-edge
+    * pair sharing at least one neighbor, J = |N(u)∩N(v)| /
+    * |N(u)∪N(v)| — the classic similarity heuristic for "who should be
+    * connected" (contact recommendation, graph densification QA).
+    *
+    * Scale shape: the wedge join (adjacency self-joined on the shared
+    * neighbor) is the SAME shape as [[graphTriangles]] — candidates ∝
+    * wedge count, bounded here by cell capacity; degrees join back on
+    * the node key; existing edges are removed by an anti-join on the
+    * canonical (src, dst) orientation. No cartesian anywhere.
+    */
+  def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val common = adj.select(col("node").as("node_a"), col("nbr"))
+      .join(adj.select(col("node").as("node_b"), col("nbr")), Seq("nbr"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("cn"))
+    common
+      .join(e, common("node_a") === e("src") && common("node_b") === e("dst"),
+        "left_anti")
+      .join(deg.select(col("node").as("node_a"), col("d").as("da")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("d").as("db")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("cn"),
+        round(col("cn").cast("double") / (col("da") + col("db") - col("cn")), 9)
+          .as("jaccard"))
+  }
+
+  private val graphJaccardLinksSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |adj AS (
+       |  SELECT src AS node, dst AS nbr FROM edges
+       |  UNION ALL
+       |  SELECT dst AS node, src AS nbr FROM edges),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+       |common AS (
+       |  SELECT a.node AS node_a, b.node AS node_b,
+       |    CAST(count(*) AS BIGINT) AS cn
+       |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+       |  GROUP BY 1, 2),
+       |nonedge AS (
+       |  SELECT c.* FROM common c
+       |  LEFT JOIN edges e ON c.node_a = e.src AND c.node_b = e.dst
+       |  WHERE e.src IS NULL)
+       |SELECT node_a, node_b, cn,
+       |  round(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 9) AS jaccard
+       |FROM nonedge
+       |JOIN deg da ON nonedge.node_a = da.node
+       |JOIN deg db ON nonedge.node_b = db.node""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("graph_jaccard_links", graphJaccardLinks, Some(graphJaccardLinksSql)),
     Op("sssp_bounded", (s, d) => ssspBounded(s, d), Some(ssspBoundedSql)),
     Op("kcore_membership", (s, d) => kcoreMembership(s, d), Some(kcoreMembershipSql)),
     Op("clustering_coefficient", clusteringCoefficient, Some(clusteringCoefficientSql)),

@@ -174,8 +174,60 @@ object Linalg {
        |    i -> round((v[i] - mv[i]) / sv[i], 9)) AS w
        |FROM e, sa""".stripMargin
 
+  // ------------------------------------------------- random projection
+
+  private val ProjK = 16
+
+  /** Johnson–Lindenstrauss sign projection to [[ProjK]] dimensions:
+    * y_j = (Σ_i v_i · s_ij)/√[[ProjK]] with s_ij ∈ {−1, +1} drawn
+    * deterministically from the portable content hash of (j, i) — the
+    * dimensionality-reduction step before a cheaper ANN index or a
+    * coarser LSH, reproducible across engines, runs, and cluster
+    * sizes (no RNG state to ship).
+    *
+    * Scale shape: the 16×64 sign matrix is a 16-row broadcast built
+    * from literals (never touches the corpus); the projection itself
+    * is a row-local codegen'd fold (`vec_dot`) per (vector, j) — no
+    * exchange AT ALL: the output stays long-form (vec_id, j, y).
+    * √16 = 4 makes the final scaling an exact binary division.
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val signs = spark.range(ProjK).select(col("id").cast("int").as("j"))
+      .select(col("j"), explode(sequence(lit(0), lit(Dim - 1))).as("i"))
+      .select(col("j"), col("i"),
+        when(graft.functions.CrossHash.hash60(
+          concat(col("j").cast("string"), lit("_"), col("i").cast("string")))
+          % 2 === 0, lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+      .groupBy(col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sign")))),
+        s => s.getField("sign")).as("sgn"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("j"),
+        round(vec_dot(col("v"), col("sgn")) / 4, 9).as("y"))
+  }
+
+  private val randomProjectionSql = {
+    val h = graft.functions.CrossHash.hash60Sql(
+      "CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+    s"""WITH cells AS (
+       |  SELECT CAST(j AS INTEGER) AS j, CAST(i AS INTEGER) AS i,
+       |    CASE WHEN $h % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END AS sign
+       |  FROM range(0, $ProjK) t(j), range(0, $Dim) u(i)),
+       |m AS (SELECT j, list(sign ORDER BY i) AS sgn FROM cells GROUP BY 1),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id, j, round(${dotSql("v", "sgn")} / 4, 9) AS y
+       |FROM e, m""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("pca_power", pcaPower, Some(pcaPowerSql)),
     Op("embedding_whiten", embeddingWhiten, Some(embeddingWhitenSql)),
+    Op("random_projection", randomProjection, Some(randomProjectionSql)),
   )
 }
