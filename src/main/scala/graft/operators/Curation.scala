@@ -750,8 +750,11 @@ object Curation {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"),
         explode(shingle_hash_set(col("text"))).as("g"))
+    // the train gram set is corpus-derived — pin the shuffle join so a
+    // small fixture can't bake in a broadcast that 100 TB would OOM
     val train = sh.where(col("bucket") < 8)
       .select(col("g")).distinct().withColumn("hit", lit(1))
+      .hint("shuffle_hash")
     sh.where(col("bucket") === 9)
       .join(train, Seq("g"), "left")
       .groupBy(col("doc_id").as("test_doc"))

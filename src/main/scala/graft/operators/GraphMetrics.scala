@@ -424,19 +424,26 @@ object GraphMetrics {
     */
   def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
+    // every join side below (adjacency, edge list, degrees) is graph-
+    // sized — pin shuffle-hash so fixture-scale broadcasts can't hide
+    // a 100 TB OOM; only the wedge aggregation's own exchange remains
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
     val common = adj.select(col("node").as("node_a"), col("nbr"))
+      .hint("shuffle_hash")
       .join(adj.select(col("node").as("node_b"), col("nbr")), Seq("nbr"))
       .where(col("node_a") < col("node_b"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("cn"))
     common
-      .join(e, common("node_a") === e("src") && common("node_b") === e("dst"),
+      .join(e.hint("shuffle_hash"),
+        common("node_a") === e("src") && common("node_b") === e("dst"),
         "left_anti")
-      .join(deg.select(col("node").as("node_a"), col("d").as("da")), Seq("node_a"))
-      .join(deg.select(col("node").as("node_b"), col("d").as("db")), Seq("node_b"))
+      .join(deg.select(col("node").as("node_a"), col("d").as("da"))
+        .hint("shuffle_hash"), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("d").as("db"))
+        .hint("shuffle_hash"), Seq("node_b"))
       .select(col("node_a"), col("node_b"), col("cn"),
         round(col("cn").cast("double") / (col("da") + col("db") - col("cn")), 9)
           .as("jaccard"))

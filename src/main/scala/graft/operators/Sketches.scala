@@ -206,7 +206,9 @@ object Sketches {
         col("n_exact").as("nb")))
       .where(col("source_a") < col("source_b"))
     val dk = keys.distinct()
+    // both anchor-join sides are corpus-derived: shuffle-hash, no sort
     val inter = dk.select(col("source").as("source_a"), col("h"))
+      .hint("shuffle_hash")
       .join(dk.select(col("source").as("source_b"), col("h")), Seq("h"))
       .where(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
@@ -214,7 +216,7 @@ object Sketches {
     val u = slice(array_sort(array_union(col("ska"), col("skb"))), 1, K)
     val commonInU = size(array_intersect(u,
       array_intersect(col("ska"), col("skb"))))
-    pairs.join(inter, Seq("source_a", "source_b"), "left")
+    pairs.join(broadcast(inter), Seq("source_a", "source_b"), "left")
       .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
       .select(col("source_a"), col("source_b"),
         round(commonInU.cast("double") / size(u), 6).as("est_jaccard"),

@@ -346,8 +346,10 @@ object WebCuration {
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val df = lines.groupBy(col("source"), col("lh"))
       .agg(countDistinct(col("doc_id")).as("df"))
+    // df is the per-source line vocabulary — sub-linear but corpus-
+    // derived, so pin the shuffle join (only srcn broadcasts)
     val marked = lines
-      .join(df, Seq("source", "lh"))
+      .join(df.hint("shuffle_hash"), Seq("source", "lh"))
       .join(broadcast(srcn), Seq("source"))
       .withColumn("boiler",
         col("df").cast("double") / col("n_docs") > 0.3)
