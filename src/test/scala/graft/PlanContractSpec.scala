@@ -516,4 +516,51 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "Exchange SinglePartition") <= 1,
       "customer relation must never single-partition:\n" + p.take(2000))
   }
+
+  test("ngram_coverage: train gram set joins by shuffle, never broadcast") {
+    val p = finalPlan("ngram_coverage")
+    assert(p.contains("ShuffledHashJoin") && count(p, "BroadcastHashJoin") == 0,
+      "the train-split gram set is corpus-derived — a broadcast here " +
+        "OOMs at 100 TB:\n" + p.take(2000))
+  }
+
+  test("boilerplate_lines: line-frequency relation shuffles, only source totals broadcast") {
+    val p = finalPlan("boilerplate_lines")
+    assert(count(p, "ShuffledHashJoin") == 1,
+      "the (source, line-hash) df join must stay a shuffle join:\n" + p.take(2000))
+    assert(count(p, "BroadcastHashJoin") == 1,
+      "exactly one broadcast: the |sources|-row doc-count relation:\n"
+        + p.take(2000))
+  }
+
+  test("graph_jaccard_links: wedge/degree/anti joins all shuffle-hash, no sort") {
+    val p = finalPlan("graph_jaccard_links")
+    assert(count(p, "ShuffledHashJoin") == 4,
+      "wedge join + 2 degree joins + edge anti-join, all pinned:\n"
+        + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "graph-sized relations must neither sort nor cross:\n" + p.take(2000))
+  }
+
+  test("random_projection: zero exchanges — the projection fuses into the scan") {
+    val p = finalPlan("random_projection")
+    // the 16-row sign matrix is the only thing that moves: its
+    // construction may shuffle its 1024 literal cells (keyed on j),
+    // but the corpus side must stay an unshuffled scan → projection
+    assert(count(p, "Exchange hashpartitioning")
+        == count(p, "Exchange hashpartitioning(j#"),
+      "a row-local projection must not shuffle the corpus:\n" + p.take(2000))
+    assert(p.contains("dotexpr"), "the fold must be the codegen'd kernel")
+  }
+
+  test("pca_power: per-round state broadcasts; corpus never single-partitions") {
+    val p = finalPlan("pca_power")
+    assert(!p.contains("Exchange SinglePartition")
+      || count(p, "Exchange SinglePartition") <= 7,
+      // 3 rounds × (64-row norm + state collect) + mean vector — all
+      // O(d) relations; the corpus-side aggregations must stay hashed
+      "only O(d) state relations may single-partition:\n" + p.take(3000))
+    assert(count(p, "Exchange hashpartitioning(dim") >= 1,
+      "per-dim sums must ride a hashed exchange:\n" + p.take(2000))
+  }
 }
