@@ -37,16 +37,19 @@ object Classifier {
         / size(toks)).as("x3"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("x4")): _*)
 
-  private val featSql =
-    """SELECT doc_id,
-      |  CAST(n_chars AS DOUBLE)/1000 AS x1,
+  private val featColsSql =
+    """CAST(n_chars AS DOUBLE)/1000 AS x1,
       |  CAST(len(string_split(text, ' ')) AS DOUBLE)/100 AS x2,
       |  CAST(len(list_filter(string_split(text, ' '),
       |    t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS x3,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS x4
-      |FROM documents""".stripMargin
+      |    / len(string_split(text, ' ')) AS x4""".stripMargin
+
+  private val featSql =
+    s"""SELECT doc_id,
+       |  $featColsSql
+       |FROM documents""".stripMargin
 
   /** Fixed published-style weights (a stand-in for a trained model's
     * coefficients; `logreg_train` below is how they'd be fit).
@@ -188,9 +191,60 @@ object Classifier {
        |  round(CAST(SUM(y) AS DOUBLE) / count(*), 9) AS pos_rate
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Preference-pair construction (the DPO/RLHF data shape): within
+    * each source, pair the 3 highest-scoring documents against the 3
+    * lowest-scoring ones as (chosen, rejected) with the score margin —
+    * the mechanical step that turns a scored corpus into preference
+    * training data when no human labels exist (model-ranked pairs).
+    *
+    * Scale shape: both extremes come from ONE aggregation using the
+    * bounded-heap `topk_pairs` (bottom-k = top-k of the negated
+    * score) — no window, no per-source sort, state 2×3 pairs per
+    * source; the 3×3 pair expansion is a row-local nested explode of
+    * that |sources|-row relation.
+    */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = features(Tables.documents(spark, dir), col("source"))
+      .select(col("source"), col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6).as("score"))
+    scored.groupBy(col("source"))
+      .agg(
+        call_function("topk_pairs", col("score"), col("doc_id"), lit(3))
+          .as("top"),
+        call_function("topk_pairs", -col("score"), col("doc_id"), lit(3))
+          .as("bot"))
+      .select(col("source"), explode(col("top")).as("c"), col("bot"))
+      .select(col("source"), col("c"), explode(col("bot")).as("r"))
+      .select(col("source"),
+        col("c.id").as("chosen_doc"), col("r.id").as("rejected_doc"),
+        col("c.score").as("chosen_score"), (-col("r.score")).as("rejected_score"),
+        round(col("c.score") + col("r.score"), 6).as("margin"))
+      .where(col("chosen_doc") =!= col("rejected_doc") && col("margin") > 0)
+  }
+
+  private val preferencePairsSql =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |  FROM (SELECT doc_id, source, $featColsSql FROM documents)),
+       |ranked AS (
+       |  SELECT source, doc_id, score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id ASC) AS rt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score ASC, doc_id ASC) AS rb
+       |  FROM scored)
+       |SELECT t.source, t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+       |  t.score AS chosen_score, b.score AS rejected_score,
+       |  round(t.score - b.score, 6) AS margin
+       |FROM ranked t JOIN ranked b
+       |  ON t.source = b.source AND t.rt <= 3 AND b.rb <= 3
+       |WHERE t.doc_id != b.doc_id AND round(t.score - b.score, 6) > 0""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Op("logreg_train", logregTrain, Some(logregTrainSql)),
     Op("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
+    Op("preference_pairs", preferencePairs, Some(preferencePairsSql)),
   )
 }

@@ -154,6 +154,32 @@ class CurationClassifierSpec extends AnyFunSuite {
         s"${(r12(wantW), r12(wantB))}")
   }
 
+  test("preference_pairs: chosen/rejected are each source's true extremes, heap-built") {
+    val scored = SparkEntry.queries("quality_classifier")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    val df = SparkEntry.queries("preference_pairs")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    src.foreach { case (s, ids) =>
+      val bySc = ids.sortBy(id => (-scored(id), id))
+      val top3 = bySc.take(3).toSet
+      val bot3 = ids.sortBy(id => (scored(id), id)).take(3).toSet
+      val mine = got.filter(_._1 == s)
+      assert(mine.map(_._2).toSet == top3, s"source $s chosen set")
+      assert(mine.map(_._3).toSet == bot3, s"source $s rejected set")
+      mine.foreach { case (_, c, r, m) =>
+        assert(m > 0 && math.abs(m - (scored(c) - scored(r))) < 1e-9)
+      }
+    }
+    // heap aggregate, not a ranking window: no sort of the corpus
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "extremes must come from the bounded heap")
+  }
+
   test("boilerplate_lines: template lines out, content lines kept in order") {
     val raw = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
