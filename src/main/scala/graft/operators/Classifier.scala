@@ -241,8 +241,118 @@ object Classifier {
        |  ON t.source = b.source AND t.rt <= 3 AND b.rb <= 3
        |WHERE t.doc_id != b.doc_id AND round(t.score - b.score, 6) > 0""".stripMargin
 
+  /** Exact tie-aware ROC AUC of the quality score against the lang =
+    * 'en' label — the rank-sum (Mann–Whitney) identity AUC =
+    * (R₁ − n₁(n₁+1)/2)/(n₁n₀) with MIDRANKS for tied scores, computed
+    * entirely in integer arithmetic: per distinct score, 2·midrank =
+    * 2·(count below) + n + 1 is an exact long, so the one rounding
+    * step is the final division. The eval metric that belongs next to
+    * [[calibrationBins]] before a gate threshold is chosen.
+    *
+    * Scale shape: scores collapse to the distinct-score relation in
+    * one map-side-combined exchange; the "count below" prefix runs the
+    * cusum/shard_pack DISTRIBUTED prefix shape (sampled score-range
+    * buckets → in-bucket exclusive window + bounded per-bucket offsets
+    * broadcast) — never a global single-partition window, no matter
+    * how many distinct scores the corpus has. Cut sampling steers
+    * BALANCE only: ties stay in one group, so any cut set yields the
+    * same AUC.
+    */
+  def aucScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = features(Tables.documents(spark, dir),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .select(col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6).as("score"))
+    val g = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val cuts = RangeRank.sampleCutsMemo(s"auc.score:$dir",
+      scored.select(col("score")), "score")
+    val wIn = Window.partitionBy(col("b")).orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyed = g.withColumn("b", RangeRank.bucketAsc("score", cuts))
+      .withColumn("cum_in", coalesce(sum(col("n")).over(wIn), lit(0L)))
+    val offs = keyed.groupBy(col("b")).agg(sum(col("n")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    keyed.join(broadcast(offs), Seq("b"))
+      .select(col("n"), col("npos"),
+        (col("npos") * (lit(2) * (col("off") + col("cum_in")) + col("n") + 1))
+          .as("contrib"))
+      .agg(sum(col("npos")).as("n1"), sum(col("n") - col("npos")).as("n0"),
+        sum(col("contrib")).as("r1x2"))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double")
+          / (lit(2) * col("n1") * col("n0")), 9).as("auc"))
+  }
+
+  private val aucScoreSql =
+    s"""WITH feat AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, $featColsSql
+       |  FROM documents),
+       |scored AS (
+       |  SELECT y, round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |  FROM feat),
+       |g AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS npos
+       |  FROM scored GROUP BY 1),
+       |c AS (
+       |  SELECT n, npos,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY score ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum
+       |  FROM g)
+       |SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+       |  round(CAST(CAST(SUM(npos * (2 * cum + n + 1)) AS BIGINT)
+       |      - CAST(SUM(npos) AS BIGINT) * (CAST(SUM(npos) AS BIGINT) + 1)
+       |      AS DOUBLE)
+       |    / (2 * CAST(SUM(npos) AS BIGINT) * CAST(SUM(n - npos) AS BIGINT)),
+       |    9) AS auc
+       |FROM c""".stripMargin
+
+  /** Leave-one-out target encoding of the `source` category against
+    * the lang = 'en' label: enc_i = (Σ_src y − y_i)/(n_src − 1) — the
+    * standard leakage-free categorical feature for downstream models
+    * (each document's own label is excluded from its encoding).
+    *
+    * Scale shape: one grouped aggregate collapses to |sources| rows,
+    * broadcasts back, and the encoding is a pure row-local expression.
+    * A singleton category yields NULL (0/0 guarded by nullif) rather
+    * than a fabricated value, on both engines.
+    */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"), sum(col("y")).as("s_src"))
+    d.join(broadcast(g), Seq("source"))
+      .select(col("doc_id"), col("source"), col("y"),
+        round((col("s_src") - col("y")).cast("double")
+          / nullif(col("n_src") - 1, lit(0)), 9).as("enc"))
+  }
+
+  private val targetEncodingSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+      |    CAST(SUM(y) AS BIGINT) AS s_src
+      |  FROM d GROUP BY 1)
+      |SELECT doc_id, d.source, y,
+      |  round(CAST(s_src - y AS DOUBLE) / nullif(n_src - 1, 0), 9) AS enc
+      |FROM d JOIN g ON d.source = g.source""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    Op("auc_score", aucScore, Some(aucScoreSql)),
+    Op("target_encoding", targetEncoding, Some(targetEncodingSql)),
     Op("logreg_train", logregTrain, Some(logregTrainSql)),
     Op("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
     Op("preference_pairs", preferencePairs, Some(preferencePairsSql)),

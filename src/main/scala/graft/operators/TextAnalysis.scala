@@ -832,6 +832,37 @@ object TextAnalysis {
       |WHERE token != ''
       |GROUP BY 1 ORDER BY est DESC, token ASC LIMIT 20""".stripMargin
 
+  /** The hashing trick (Weinberger et al. 2009): every token maps to
+    * one of 64 signed buckets via the portable content hash — the
+    * fixed-width, vocabulary-free document feature vector that feeds
+    * linear classifiers at corpus scale (no dictionary to build, ship,
+    * or grow). The signed second hash makes collisions cancel in
+    * expectation instead of biasing upward. Output stays long-form
+    * (doc_id, bucket, v) — ≤64 rows per document, zero dense padding.
+    *
+    * Scale shape: explode → ONE map-side-combined (doc, bucket)
+    * aggregation; no joins, no windows, no broadcast.
+    */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"),
+        (CrossHash.hash60(col("tok")) % 64).as("bucket"),
+        when(CrossHash.hash60Seeded(col("tok"), 1) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("v"))
+
+  private val featureHashingSql =
+    s"""SELECT doc_id, ${CrossHash.hash60Sql("tok")} % 64 AS bucket,
+       |  CAST(SUM(CASE WHEN ${CrossHash.hash60SeededSql("tok", 1)} % 2 = 0
+       |    THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents)
+       |WHERE tok != ''
+       |GROUP BY 1, 2""".stripMargin
+
   /** Zipf's-law fit of the corpus rank-frequency curve: OLS of
     * ln(freq) on ln(rank) over the top-500 vocabulary (the
     * [[vocabTopTokens]] relation), emitting slope (the Zipf exponent,
@@ -901,6 +932,7 @@ object TextAnalysis {
 
   val ops: Seq[Op] = Seq(
     Op("token_count", tokenCount, Some(tokenCountSql)),
+    Op("feature_hashing", featureHashing, Some(featureHashingSql)),
     Op("zipf_fit", zipfFit, Some(zipfFitSql)),
     Op("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql), bench = true),

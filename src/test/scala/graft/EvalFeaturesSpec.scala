@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r14 batch 5: auc_score, target_encoding, feature_hashing. */
+class EvalFeaturesSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("auc_score equals the pair-counting definition of AUC") {
+    val lang = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = SparkEntry.queries("quality_classifier")(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getDouble(1), lang(r.getLong(0)) == "en"))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    // brute-force definition: P(pos > neg) + 0.5 P(pos == neg)
+    var wins = 0.0
+    for (p <- pos; q <- neg)
+      wins += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val wantAuc = BigDecimal(wins / (pos.length.toLong * neg.length))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SparkEntry.queries("auc_score")(spark, sf).collect().head
+    assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+    assert(row.getDouble(2) == wantAuc,
+      s"auc ${row.getDouble(2)} != pair-counting $wantAuc")
+    // the fixture's lang labels are independent of the stand-in
+    // weights' features, so the metric must report near-chance
+    // discrimination (observed ≈ 0.448) — an AUC far from 0.5 here
+    // would mean the metric, not the model, is broken
+    assert(row.getDouble(2) > 0.3 && row.getDouble(2) < 0.7,
+      s"stand-in model on random labels must score near chance: ${row.getDouble(2)}")
+  }
+
+  test("auc_score plan: prefix runs bucketed — no corpus-wide single partition") {
+    val df = SparkEntry.queries("auc_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the only SinglePartition exchanges allowed are the bounded
+    // bucket-offsets relation and the final 1-row aggregate
+    val n = p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition")
+    assert(n <= 2, s"distinct-score relation must not single-partition:\n"
+      + p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(score"),
+      "the distinct-score aggregation must be a hashed exchange")
+  }
+
+  test("target_encoding is the exact leave-one-out mean") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.getString(2) == "en") 1L else 0L))
+    val bySrc = rows.groupBy(_._2)
+      .map { case (s, g) => s -> ((g.length, g.map(_._3).sum)) }
+    val got = SparkEntry.queries("target_encoding")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got.size == rows.length)
+    rows.foreach { case (id, src, y) =>
+      val (n, s) = bySrc(src)
+      val want =
+        if (n == 1) None
+        else Some(BigDecimal((s - y).toDouble / (n - 1))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) == ((y, want)), s"doc $id: ${got(id)} != ($y, $want)")
+    }
+  }
+
+  test("feature_hashing matches the driver hash model and has zero global bias") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map { tok =>
+        ((id, hash60(tok) % 64),
+          if (hash60(s"s1:$tok") % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val got = SparkEntry.queries("feature_hashing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // signed hashing cancels in expectation: the corpus-wide mean
+    // bucket value must sit near zero relative to total token mass
+    val totalAbs = docs.map(_._2.split(" ").count(_.nonEmpty)).map(_.toLong).sum
+    val bias = math.abs(got.values.sum.toDouble) / totalAbs
+    // the fixture's vocabulary is small (hundreds of distinct tokens),
+    // so sign-cancellation variance is ~1/√V, not 1/√N — observed
+    // ≈ 0.067; a systematic-sign bug would push this toward 1
+    assert(bias < 0.2, s"signed buckets must not skew globally, bias=$bias")
+  }
+}
