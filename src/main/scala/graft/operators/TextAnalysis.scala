@@ -511,6 +511,78 @@ object TextAnalysis {
         round(exp(-col("alp")), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995,
+    * Chen & Goodman 1999) — the smoothing the MLE model above cannot
+    * provide: P(w₂|w₁) = max(c₁₂−d, 0)/c₁ + (d·N₁₊(w₁·)/c₁)·
+    * (N₁₊(·w₂)/B), discount d = 3/4 (exact in binary), continuation
+    * probability from distinct-context counts, B = distinct bigram
+    * types. The per-document average log-probability is the signal
+    * CCNet-style quality bucketing actually wants: unlike raw MLE it
+    * doesn't reward memorized high-frequency continuations.
+    *
+    * Scale shape: all smoothing statistics live on the BIGRAM-TYPE
+    * relation (sub-corpus, Heaps' law), windowed by vocabulary keys
+    * (w₁ / w₂ — full parallelism); B is a broadcast 1-row scalar; the
+    * per-doc average uses the order-free decimal sum over 15-dp terms
+    * with the log argument canonicalized at 12 dp (the libm
+    * discipline).
+    */
+  def lmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bi = t.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val w1w = Window.partitionBy(col("w1"))
+    val w2w = Window.partitionBy(col("w2"))
+    val bg2 = bg
+      .withColumn("c1", sum(col("c2")).over(w1w))
+      .withColumn("n1fw", count(lit(1)).over(w1w))
+      .withColumn("cont", count(lit(1)).over(w2w))
+    val b = bg.agg(count(lit(1)).as("bt"))
+    val p = greatest(col("c2") - 0.75, lit(0.0)) / col("c1") +
+      lit(0.75) * col("n1fw") / col("c1") *
+        (col("cont") / col("bt").cast("double"))
+    bi.join(bg2, Seq("w1", "w2")).crossJoin(broadcast(b))
+      .select(col("doc_id"), log(round(p, 12)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum_order_free(col("lp")) / count(lit(1)), 9).as("avg_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
+  }
+
+  private val lmKneserNeySql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(toks[1:len(toks) - 1]) AS w1,
+      |    unnest(toks[2:len(toks)]) AS w2
+      |  FROM t),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+      |bg2 AS (
+      |  SELECT w1, w2, c2,
+      |    CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+      |    CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1fw,
+      |    CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS cont
+      |  FROM bg),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bg),
+      |lp AS (
+      |  SELECT doc_id,
+      |    ln(round(greatest(c2 - 0.75, 0.0) / c1
+      |      + 0.75 * n1fw / c1 * (cont / CAST(bt AS DOUBLE)), 12)) AS lp
+      |  FROM bi JOIN bg2 USING (w1, w2) CROSS JOIN b)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(SUM(CAST(round(lp, 15) AS DECIMAL(28,15))) AS DOUBLE)
+      |    / count(*), 9) AS avg_logp,
+      |  round(exp(-round(CAST(SUM(CAST(round(lp, 15) AS DECIMAL(28,15)))
+      |    AS DOUBLE) / count(*), 9)), 6) AS ppl
+      |FROM lp GROUP BY 1""".stripMargin
+
   // shared with WebCuration.perplexityBuckets (CTE reuse — an edit to
   // the perplexity spec cannot leave the bucket oracle validating a
   // stale model)
@@ -937,6 +1009,7 @@ object TextAnalysis {
     Op("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("ngram_novelty", ngramNovelty, Some(ngramNoveltySql), bench = true),
     Op("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
+    Op("lm_kneser_ney", lmKneserNey, Some(lmKneserNeySql)),
     Op("text_quality", textQuality, Some(textQualitySql), bench = true),
     Op("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Op("inverted_index", invertedIndex, Some(invertedIndexSql), bench = true),

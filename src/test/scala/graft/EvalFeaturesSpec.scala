@@ -63,6 +63,50 @@ class EvalFeaturesSpec extends AnyFunSuite {
       "the distinct-score aggregation must be a hashed exchange")
   }
 
+  test("lm_kneser_ney equals a driver-side KN model and never beats MLE on training data") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val bigrams = toks.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, g) => k -> g.size }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size }
+    val cont = c2.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size }
+    val bt = c2.size.toDouble
+    def r(v: Double, dp: Int) =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    def prob(w1: String, w2: String): Double =
+      math.max(c2((w1, w2)) - 0.75, 0.0) / c1(w1) +
+        0.75 * n1fw(w1) / c1(w1) * (cont(w2) / bt)
+    val want = bigrams.groupBy(_._1).map { case (id, g) =>
+      val lps = g.map(b => math.log(r(prob(b._2, b._3), 12).toDouble))
+      val alp = (lps.map(v => r(v, 15)).foldLeft(BigDecimal(0))(_ + _).toDouble
+        / g.size)
+      id -> ((g.size.toLong, r(alp, 9).toDouble))
+    }
+    val got = SparkEntry.queries("lm_kneser_ney")(spark, sf).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getDouble(2))))
+      .toMap
+    assert(got == want)
+    // MLE maximizes the CORPUS training likelihood (per-document the
+    // continuation term can nose ahead by a few 1e-6 — observed on
+    // doc 69) — so the claim to pin is bigram-weighted and global
+    val mle = SparkEntry.queries("lm_perplexity")(spark, sf).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    val totalKn = got.map { case (id, (n, alp)) => n * alp }.sum
+    val totalMle = got.map { case (id, (n, _)) => n * mle(id) }.sum
+    assert(totalKn <= totalMle + 1e-6,
+      s"corpus KN log-likelihood $totalKn must not beat MLE $totalMle")
+    // interpolated KN must leave probability mass for unseen
+    // continuations: per context, observed mass stays under 1
+    c1.keys.take(50).foreach { w1 =>
+      val mass = c2.keys.filter(_._1 == w1).map(k => prob(k._1, k._2)).sum
+      assert(mass < 1.0 + 1e-9, s"context $w1 observed mass $mass")
+    }
+  }
+
   test("target_encoding is the exact leave-one-out mean") {
     val rows = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang")).collect()
