@@ -502,13 +502,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+    // avg_logp is an aggregation-order-dependent double sum → the
+    // pagerank discipline (order-free 15-dp decimal terms), and ppl
+    // exponentiates the CANONICALIZED 9-dp average so a last-ulp sum
+    // or exp() divergence cannot flip the 6-dp output
     bi.join(bg, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log(col("c2").cast("double") / col("c1"))).as("alp"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("alp"), 9).as("avg_logp"),
-        round(exp(-col("alp")), 6).as("ppl"))
+        round(sum_order_free(log(col("c2").cast("double") / col("c1")))
+          / count(lit(1)), 9).as("avg_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
   }
 
   /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995,
@@ -598,8 +602,10 @@ object TextAnalysis {
       |    SUM(count(*)) OVER (PARTITION BY w1) AS c1
       |  FROM bi GROUP BY 1, 2)
       |SELECT bi.doc_id, count(*) AS n_bigrams,
-      |  round(avg(ln(CAST(bg.c2 AS DOUBLE) / bg.c1)), 9) AS avg_logp,
-      |  round(exp(-avg(ln(CAST(bg.c2 AS DOUBLE) / bg.c1))), 6) AS ppl
+      |  round(CAST(SUM(CAST(round(ln(CAST(bg.c2 AS DOUBLE) / bg.c1), 15)
+      |    AS DECIMAL(28,15))) AS DOUBLE) / count(*), 9) AS avg_logp,
+      |  round(exp(-round(CAST(SUM(CAST(round(ln(CAST(bg.c2 AS DOUBLE) / bg.c1), 15)
+      |    AS DECIMAL(28,15))) AS DOUBLE) / count(*), 9)), 6) AS ppl
       |FROM bi JOIN bg USING (w1, w2)
       |GROUP BY 1""".stripMargin
 
