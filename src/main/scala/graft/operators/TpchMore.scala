@@ -596,9 +596,14 @@ object TpchMore {
     * broadcast.
     */
   def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    // the threshold is a MEMBERSHIP boundary: an order-dependent double
+    // avg could flip a customer sitting within an ulp of it, changing
+    // the row set (worse than a value drift). Exact DECIMAL sum, one
+    // double division — deterministic on both engines.
     val avgBal = Tables.customer(spark, dir)
       .where(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal").cast("double")).as("ab"))
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("ab"))
     val recent = Tables.orders(spark, dir)
       .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
       .select(col("o_custkey"))
@@ -619,8 +624,10 @@ object TpchMore {
   }
 
   private val q22Sql =
-    """WITH avg_bal AS (SELECT avg(CAST(c_acctbal AS DOUBLE)) AS ab
-      |                 FROM customer WHERE c_acctbal > 0.0)
+    """WITH avg_bal AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*) AS ab
+      |  FROM customer WHERE c_acctbal > 0.0)
       |SELECT c_nationkey AS cntry, count(*) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM customer, avg_bal
