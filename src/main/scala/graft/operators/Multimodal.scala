@@ -176,7 +176,42 @@ object Multimodal {
        |FROM folded""".stripMargin
   }
 
+  /** WebDataset tar-shard ROUND-TRIP as an oracle-checked query: the
+    * documents table is written as tar shards of 100 samples
+    * (`<id>.txt` + `<id>.json` per sample — the standard multimodal
+    * training layout, [[graft.sources.WebDataset]]), read back through
+    * the distributed binaryFile + tar-parse path, and the reassembled
+    * samples are compared against what DuckDB derives from the parquet
+    * directly — byte lengths, metadata fields, component counts, and
+    * shard membership all have to survive the format. The write is the
+    * amortized once-per-ingest cost, same convention as
+    * `bucketed_join_agg`'s bucketed tables.
+    */
+  def webdatasetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_wds_${Integer.toHexString(dir.hashCode)}"
+    val d = new java.io.File(out)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
+      f.delete(); ()
+    }
+    if (d.exists()) rm(d)
+    graft.sources.WebDataset.writeShards(
+      Tables.documents(spark, dir), out, samplesPerShard = 100)
+    graft.sources.WebDataset.readSamples(spark, out)
+      .select(col("doc_id"),
+        expr("doc_id div 100").as("shard"),
+        col("n_components"),
+        octet_length(col("text")).cast("long").as("n_text_bytes"),
+        col("lang"), col("source"))
+  }
+
+  private val webdatasetRoundtripSql =
+    """SELECT doc_id, doc_id // 100 AS shard, CAST(2 AS BIGINT) AS n_components,
+      |  CAST(strlen(text) AS BIGINT) AS n_text_bytes, lang, source
+      |FROM documents""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Op("multimodal_resize", multimodalResize, Some(multimodalResizeSql)),
