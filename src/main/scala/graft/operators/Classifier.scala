@@ -60,30 +60,50 @@ object Classifier {
 
   private val zSql = "-1.0 + 2.4*x1 + 0.8*x2 + 6.0*x3 - 1.5*x4"
 
+  /** The ONE 6-dp score expression every operator in this file gates,
+    * bins, ranks, and evaluates — spelled once (Scala + SQL pair) so a
+    * discipline change cannot leave e.g. [[calibrationBins]] auditing
+    * a different score than [[qualityClassifier]] applies.
+    */
+  private def scoreCol: Column =
+    round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6)
+
+  private val scoreSql = s"round(1.0/(1.0 + exp(-round($zSql, 9))), 6)"
+
   /** Apply the quality model: score = σ(w·x) per document, keep above
     * 0.5. Pure row-local arithmetic fused into the scan — the filter
     * a 100 TB curation pass runs at full scan bandwidth.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     features(Tables.documents(spark, dir))
-      .withColumn("score",
-        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6))
+      .withColumn("score", scoreCol)
       .select(col("doc_id"), col("score"), (col("score") > 0.5).as("keep"))
 
   private val qualityClassifierSql =
     s"""WITH feat AS ($featSql)
        |SELECT doc_id,
-       |  round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score,
-       |  round(1.0/(1.0 + exp(-round($zSql, 9))), 6) > 0.5 AS keep
+       |  $scoreSql AS score,
+       |  $scoreSql > 0.5 AS keep
        |FROM feat""".stripMargin
 
   // ------------------------------------------------------------ training
 
   private val Rounds = 3
 
-  /** σ(wx + b) with the 9-dp argument canonicalization. */
+  /** σ(wx + b) with the 9-dp ARGUMENT canonicalization (the same
+    * discipline as [[scoreCol]] — review r14 caught the argument going
+    * into exp unrounded here, contradicting the header contract), then
+    * clamped to [1e-9, 1−1e-9] so a saturated sigmoid cannot feed
+    * log(0) into the loss: Spark's log(0) = NULL would silently DROP
+    * the row's loss term while DuckDB's ln(0) = -inf errors in the
+    * DECIMAL cast — both engines now see the same finite value. The
+    * clamp only binds at |wx+b| ≳ 21, far outside the fixture's range,
+    * so fixture results are unchanged.
+    */
   private def sigma(w: Column, b: Column, x: Column): Column =
-    round(lit(1.0) / (lit(1.0) + exp(-(w * x + b))), 9)
+    least(greatest(
+      round(lit(1.0) / (lit(1.0) + exp(-round(w * x + b, 9))), 9),
+      lit(1e-9)), lit(0.999999999))
 
   /** Distributed batch-gradient-descent training of a one-feature
     * logistic model (label: lang = 'en', feature: length in kchars) —
@@ -125,7 +145,7 @@ object Classifier {
   }
 
   private def trainRoundSql(i: Int): String = {
-    val sig = "round(1.0/(1.0+exp(-(w*x + b))), 9)"
+    val sig = "least(greatest(round(1.0/(1.0+exp(-round(w*x + b, 9))), 9), 1e-9), 0.999999999)"
     s"""g$i AS (
        |  SELECT round(w - CAST(SUM(CAST(round(($sig - y)*x, 15)
        |      AS DECIMAL(28,15))) AS DOUBLE)/count(*), 12) AS w,
@@ -163,7 +183,7 @@ object Classifier {
     features(Tables.documents(spark, dir),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .withColumn("score",
-        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6))
+        scoreCol)
       .groupBy(floor(col("score") * 10).cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
         round(sum_order_free(col("score")) / count(lit(1)), 9).as("mean_score"),
@@ -182,7 +202,7 @@ object Classifier {
        |      / len(string_split(text, ' ')) AS x4
        |  FROM documents),
        |scored AS (
-       |  SELECT y, round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |  SELECT y, $scoreSql AS score
        |  FROM feat)
        |SELECT CAST(floor(score * 10) AS INTEGER) AS bin,
        |  CAST(count(*) AS BIGINT) AS n,
@@ -206,7 +226,7 @@ object Classifier {
   def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
     val scored = features(Tables.documents(spark, dir), col("source"))
       .select(col("source"), col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6).as("score"))
+        scoreCol.as("score"))
     scored.groupBy(col("source"))
       .agg(
         call_function("topk_pairs", col("score"), col("doc_id"), lit(3))
@@ -225,7 +245,7 @@ object Classifier {
   private val preferencePairsSql =
     s"""WITH scored AS (
        |  SELECT source, doc_id,
-       |    round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |    $scoreSql AS score
        |  FROM (SELECT doc_id, source, $featColsSql FROM documents)),
        |ranked AS (
        |  SELECT source, doc_id, score,
@@ -263,7 +283,7 @@ object Classifier {
     val scored = features(Tables.documents(spark, dir),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .select(col("y"),
-        round(lit(1.0) / (lit(1.0) + exp(-round(zCol, 9))), 6).as("score"))
+        scoreCol.as("score"))
     val g = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
     val cuts = RangeRank.sampleCutsMemo(s"auc.score:$dir",
@@ -277,15 +297,22 @@ object Classifier {
     val offs = keyed.groupBy(col("b")).agg(sum(col("n")).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
       .select(col("b"), col("off"))
+    // review r14: contrib ≈ 2·npos·N and r1x2 ≈ 2·n1·N overflow BIGINT
+    // once n1·N > ~4.6e18 (the multi-billion-row regime the docstring
+    // promises) — ride DECIMAL(38,0), which is exact and order-free;
+    // a single-label corpus (n0 = 0 or n1 = 0) yields NULL on both
+    // engines (nullif), not Infinity-vs-NULL divergence
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     keyed.join(broadcast(offs), Seq("b"))
       .select(col("n"), col("npos"),
-        (col("npos") * (lit(2) * (col("off") + col("cum_in")) + col("n") + 1))
+        (col("npos").cast(d38)
+          * (lit(2) * (col("off") + col("cum_in")) + col("n") + 1))
           .as("contrib"))
       .agg(sum(col("npos")).as("n1"), sum(col("n") - col("npos")).as("n0"),
         sum(col("contrib")).as("r1x2"))
       .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double")
-          / (lit(2) * col("n1") * col("n0")), 9).as("auc"))
+        round((col("r1x2") - col("n1").cast(d38) * (col("n1") + 1)).cast("double")
+          / nullif(lit(2.0) * col("n1") * col("n0"), lit(0.0)), 9).as("auc"))
   }
 
   private val aucScoreSql =
@@ -293,7 +320,7 @@ object Classifier {
        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, $featColsSql
        |  FROM documents),
        |scored AS (
-       |  SELECT y, round(1.0/(1.0 + exp(-round($zSql, 9))), 6) AS score
+       |  SELECT y, $scoreSql AS score
        |  FROM feat),
        |g AS (
        |  SELECT score, CAST(count(*) AS BIGINT) AS n,
@@ -307,10 +334,12 @@ object Classifier {
        |  FROM g)
        |SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
        |  CAST(SUM(n - npos) AS BIGINT) AS n_neg,
-       |  round(CAST(CAST(SUM(npos * (2 * cum + n + 1)) AS BIGINT)
-       |      - CAST(SUM(npos) AS BIGINT) * (CAST(SUM(npos) AS BIGINT) + 1)
+       |  round(CAST(SUM(CAST(npos AS DECIMAL(38,0)) * (2 * cum + n + 1))
+       |      - CAST(CAST(SUM(npos) AS BIGINT) AS DECIMAL(38,0))
+       |        * (CAST(SUM(npos) AS BIGINT) + 1)
        |      AS DOUBLE)
-       |    / (2 * CAST(SUM(npos) AS BIGINT) * CAST(SUM(n - npos) AS BIGINT)),
+       |    / nullif(2.0 * CAST(SUM(npos) AS BIGINT)
+       |        * CAST(SUM(n - npos) AS BIGINT), 0.0),
        |    9) AS auc
        |FROM c""".stripMargin
 

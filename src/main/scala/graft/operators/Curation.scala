@@ -672,9 +672,13 @@ object Curation {
   def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.dedupMinhashSig(spark, dir)
     val nh = Dedup.NumHashes
-    val bandCols = (0 until 2).map { bi =>
+    val bs = Dedup.BandSize
+    // band construction derives from Dedup's (NumHashes, BandSize) —
+    // hardcoding 2×4 here would silently desynchronize the banding
+    // from the estimate if the dedup family's parameters change
+    val bandCols = (0 until nh / bs).map { bi =>
       struct(lit(bi).as("band_id"),
-        xxhash64((0 until 4).map(j => col(s"mh${bi * 4 + j}")): _*).as("band_key"))
+        xxhash64((0 until bs).map(j => col(s"mh${bi * bs + j}")): _*).as("band_key"))
     }
     val banded = sig
       .select(col("doc_id"),
@@ -703,8 +707,8 @@ object Curation {
   }
 
   private val decontaminateFuzzySql = {
-    val bands = (0 until 2).map { bi =>
-      val key = (0 until 4).map(j => s"mh${bi * 4 + j}")
+    val bands = (0 until Dedup.NumHashes / Dedup.BandSize).map { bi =>
+      val key = (0 until Dedup.BandSize).map(j => s"mh${bi * Dedup.BandSize + j}")
         .mkString("concat_ws('_', ", ", ", ")")
       s"SELECT doc_id, $bi AS band_id, $key AS band_key FROM sig"
     }.mkString("\nUNION ALL\n")

@@ -114,7 +114,7 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------
 
   private[operators] val NumHashes = 8
-  private val BandSize = 4 // => 2 bands
+  private[operators] val BandSize = 4 // => 2 bands
   private val Mod60 = 1152921504606846976L // 2^60
 
   /** Per-doc MinHash signature: k independent 60-bit hash mins in one

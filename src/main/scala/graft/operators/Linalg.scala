@@ -80,8 +80,10 @@ object Linalg {
 
   // ---- oracle: the identical unrolled rounds as CTEs ----------------
 
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+  // the ONE sequential-fold dot-product spelling, shared with the
+  // similarity family — an edit to the fold discipline there cannot
+  // leave these oracles validating different arithmetic
+  private def dotSql(a: String, b: String): String = Similarity.dotSql(a, b)
 
   private def ofSum(term: String): String =
     s"CAST(SUM(CAST(round($term, 15) AS DECIMAL(28,15))) AS DOUBLE)"
@@ -148,10 +150,13 @@ object Linalg {
           s => s.getField("mu")).as("mv"),
         transform(array_sort(collect_list(struct(col("dim"), col("sg")))),
           s => s.getField("sg")).as("sv"))
+    // nullif guards a zero-variance (constant) dimension: without it
+    // Spark emits NaN/Infinity where DuckDB emits NULL (review r14) —
+    // a degenerate dimension must read as "no information" on both
     e.crossJoin(broadcast(sa))
       .select(col("vec_id"),
         expr(s"transform(sequence(0, ${Dim - 1}), " +
-          "i -> round((v[i] - mv[i]) / sv[i], 9))").as("w"))
+          "i -> round((v[i] - mv[i]) / nullif(sv[i], 0D), 9))").as("w"))
   }
 
   private val embeddingWhitenSql =
@@ -171,7 +176,7 @@ object Linalg {
        |  FROM st)
        |SELECT vec_id,
        |  list_transform(range(1, $Dim + 1),
-       |    i -> round((v[i] - mv[i]) / sv[i], 9)) AS w
+       |    i -> round((v[i] - mv[i]) / nullif(sv[i], 0.0), 9)) AS w
        |FROM e, sa""".stripMargin
 
   // ------------------------------------------------- random projection

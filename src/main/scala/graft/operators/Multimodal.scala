@@ -188,18 +188,20 @@ object Multimodal {
     * `bucketed_join_agg`'s bucketed tables.
     */
   def webdatasetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_wds_${Integer.toHexString(dir.hashCode)}"
-    val d = new java.io.File(out)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rm) }
-      f.delete(); ()
-    }
-    if (d.exists()) rm(d)
+    // a FRESH temp dir per invocation (review r14): a fixed hash-keyed
+    // path could collide across fixture dirs or concurrent sessions,
+    // and a still-lazy DataFrame from a prior call could read a
+    // half-deleted directory
+    val out = java.nio.file.Files.createTempDirectory("graft_wds_").toString
     graft.sources.WebDataset.writeShards(
       Tables.documents(spark, dir), out, samplesPerShard = 100)
+    // the shard column is parsed from the ACTUAL tar file the sample
+    // came back from — deriving it from doc_id would make the oracle's
+    // shard-membership check vacuous (review r14)
     graft.sources.WebDataset.readSamples(spark, out)
       .select(col("doc_id"),
-        expr("doc_id div 100").as("shard"),
+        regexp_extract(col("shard_file"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard"),
         col("n_components"),
         octet_length(col("text")).cast("long").as("n_text_bytes"),
         col("lang"), col("source"))

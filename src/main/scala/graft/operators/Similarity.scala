@@ -32,7 +32,7 @@ object Similarity {
 
   private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
 
   private val embSql =

@@ -353,13 +353,20 @@ object WebCuration {
       .join(broadcast(srcn), Seq("source"))
       .withColumn("boiler",
         col("df").cast("double") / col("n_docs") > 0.3)
+    // NULL means "no lines survived" — NOT "survivors joined to the
+    // empty string" (a kept empty line must yield '', matching
+    // DuckDB's FILTERed string_agg; review r14). Distinguish by the
+    // survivor COUNT, not by the joined value.
     marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("boiler"), 1)).as("n_boiler"),
-        nullif(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(when(!col("boiler"),
             struct(col("pos"), col("line"))))),
-          s => s.getField("line")), "\n"), lit("")).as("clean_text"))
+          s => s.getField("line")), "\n").as("joined"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        when(col("n_lines") === col("n_boiler"), lit(null))
+          .otherwise(col("joined")).as("clean_text"))
   }
 
   private val boilerplateLinesSql =
