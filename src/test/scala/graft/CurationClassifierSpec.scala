@@ -154,6 +154,33 @@ class CurationClassifierSpec extends AnyFunSuite {
         s"${(r12(wantW), r12(wantB))}")
   }
 
+  test("logreg_train survives sigmoid saturation: clamp keeps every loss finite") {
+    // n_chars = 1e8 → x = 1e5 → after round 1 the argument w·x+b is
+    // deep in saturation; without the [1e-9, 1−1e-9] clamp the y=0
+    // rows' log(1−σ) would be log(0) (NULL on Spark, -inf in DuckDB)
+    import spark.implicits._
+    val docs = (0L to 19L).map { id =>
+      val huge = id < 10
+      (id, "a b c", if (huge) "en" else "xx", "s0",
+        if (huge) 100000000L else 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sat").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("logreg_train")(spark, dir)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 3)
+    rows.foreach { case (round, w, b, loss) =>
+      assert(!loss.isNaN && !loss.isInfinite && loss > 0,
+        s"round $round loss must be finite and positive, got $loss")
+      assert(!w.isNaN && !b.isNaN, s"round $round weights must stay finite")
+    }
+    // with the en-labeled rows at x = 1e5 the model saturates: the
+    // clamped per-row loss floor is -ln(1-1e-9) ≈ 1e-9, so rounds
+    // 2-3 must report a loss that the clamp kept bounded
+    assert(rows.forall(_._4 < 50), "clamp must bound the saturated loss")
+  }
+
   test("preference_pairs: chosen/rejected are each source's true extremes, heap-built") {
     val scored = SparkEntry.queries("quality_classifier")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
