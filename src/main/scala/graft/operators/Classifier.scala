@@ -343,6 +343,46 @@ object Classifier {
        |    9) AS auc
        |FROM c""".stripMargin
 
+  /** Brier score of the quality model against the lang = 'en' label,
+    * with the climatology reference (base·(1−base)) and the skill
+    * score 1 − brier/ref — the mean-squared counterpart of
+    * [[aucScore]]: AUC measures ranking, Brier measures probability
+    * accuracy, and only the pair tells you whether a model is
+    * mis-ranked, mis-calibrated, or both. One map-side-combined
+    * scalar aggregation; squared errors ride the order-free decimal
+    * sum; base-rate terms are exact integer ratios.
+    */
+  def brierScore(spark: SparkSession, dir: String): DataFrame =
+    features(Tables.documents(spark, dir),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .select(col("y"), scoreCol.as("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        round(sum_order_free((col("score") - col("y"))
+          * (col("score") - col("y"))) / count(lit(1)), 9).as("brier"))
+      .select(col("n"), col("n_pos"), col("brier"),
+        round((col("n_pos").cast("double") / col("n"))
+          * (lit(1.0) - col("n_pos").cast("double") / col("n")), 9).as("brier_ref"))
+      .withColumn("skill",
+        round(lit(1.0) - col("brier")
+          / nullif(col("brier_ref"), lit(0.0)), 9))
+
+  private val brierScoreSql =
+    s"""WITH feat AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, $featColsSql
+       |  FROM documents),
+       |scored AS (SELECT y, $scoreSql AS score FROM feat),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    round(CAST(SUM(CAST(round((score - y) * (score - y), 15)
+       |      AS DECIMAL(28,15))) AS DOUBLE) / count(*), 9) AS brier
+       |  FROM scored)
+       |SELECT n, n_pos, brier,
+       |  round((CAST(n_pos AS DOUBLE) / n)
+       |    * (1.0 - CAST(n_pos AS DOUBLE) / n), 9) AS brier_ref,
+       |  round(1.0 - brier / nullif(round((CAST(n_pos AS DOUBLE) / n)
+       |    * (1.0 - CAST(n_pos AS DOUBLE) / n), 9), 0.0), 9) AS skill
+       |FROM m""".stripMargin
+
   /** Leave-one-out target encoding of the `source` category against
     * the lang = 'en' label: enc_i = (Σ_src y − y_i)/(n_src − 1) — the
     * standard leakage-free categorical feature for downstream models
@@ -381,6 +421,7 @@ object Classifier {
   val ops: Seq[Op] = Seq(
     Op("quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Op("auc_score", aucScore, Some(aucScoreSql)),
+    Op("brier_score", brierScore, Some(brierScoreSql)),
     Op("target_encoding", targetEncoding, Some(targetEncodingSql)),
     Op("logreg_train", logregTrain, Some(logregTrainSql)),
     Op("calibration_bins", calibrationBins, Some(calibrationBinsSql)),

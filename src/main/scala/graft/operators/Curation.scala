@@ -650,6 +650,36 @@ object Curation {
       |  round(q / p, 9) AS boost
       |FROM q""".stripMargin
 
+  /** The mixture PLAN the temperature weights imply: given a training
+    * budget of 10× the corpus token count, how many tokens each source
+    * contributes (budget × q) and how many EPOCHS over that source
+    * this means (contribution / source size) — the per-source repeat
+    * table a data-mixing config actually encodes, and the place
+    * over-sampling of small sources (epochs ≫ 1, the memorization
+    * hazard) becomes visible. Pure arithmetic over the bounded
+    * |sources| relation of [[sourceTemperatureWeights]].
+    */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    sourceTemperatureWeights(spark, dir)
+      .withColumn("total", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_tokens"), col("p_sampled"),
+        round(lit(10.0) * col("total") * col("p_sampled"))
+          .cast("long").as("tokens_target"))
+      .withColumn("epochs",
+        round(col("tokens_target").cast("double") / col("n_tokens"), 6))
+  }
+
+  private val mixtureEpochsSql =
+    s"""WITH tw AS ($sourceTemperatureWeightsSql),
+       |t AS (SELECT *, SUM(n_tokens) OVER () AS total FROM tw)
+       |SELECT source, n_tokens, p_sampled,
+       |  CAST(round(10.0 * total * p_sampled) AS BIGINT) AS tokens_target,
+       |  round(CAST(CAST(round(10.0 * total * p_sampled) AS BIGINT) AS DOUBLE)
+       |    / n_tokens, 6) AS epochs
+       |FROM t""".stripMargin
+
   /** FUZZY benchmark decontamination: `decontaminate` above catches
     * verbatim 3-gram overlap; this catches NEAR-duplicate leakage — a
     * test document whose lightly-edited twin sits in the train split —
@@ -786,6 +816,7 @@ object Curation {
     Op("source_temperature_weights", (s, d) => sourceTemperatureWeights(s, d),
       Some(sourceTemperatureWeightsSql)),
     Op("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
+    Op("mixture_epochs", mixtureEpochs, Some(mixtureEpochsSql)),
     Op("ngram_coverage", ngramCoverage, Some(ngramCoverageSql)),
     Op("curation_pipeline", curationPipeline, Some(curationPipelineSql), bench = true),
     Op("importance_sample", importanceSample, Some(importanceSampleSql)),

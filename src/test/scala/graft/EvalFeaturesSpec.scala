@@ -107,6 +107,61 @@ class EvalFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("brier_score equals the driver model; no-signal model has near-zero skill") {
+    val lang = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = SparkEntry.queries("quality_classifier")(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getDouble(1), if (lang(r.getLong(0)) == "en") 1.0 else 0.0))
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r15(v: Double) =
+      BigDecimal(v).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    val n = scored.length
+    val brier = r9(scored.map { case (s, y) => r15((s - y) * (s - y)) }
+      .foldLeft(BigDecimal(0))(_ + _).toDouble / n)
+    val base = scored.map(_._2).sum / n
+    val ref = r9(base * (1 - base))
+    val row = SparkEntry.queries("brier_score")(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == scored.map(_._2).sum.toLong)
+    assert(row.getDouble(2) == brier && row.getDouble(3) == ref)
+    assert(row.getDouble(4) == r9(1.0 - brier / ref))
+    // random labels vs the stand-in model: skill must hover near zero
+    // (it can dip slightly negative — worse than climatology)
+    assert(math.abs(row.getDouble(4)) < 0.6,
+      s"no-signal model must have near-zero Brier skill: ${row.getDouble(4)}")
+  }
+
+  test("mixture_epochs reconciles with the temperature weights and the 10x budget") {
+    val tw = SparkEntry.queries("source_temperature_weights")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    val total = tw.values.map(_._1).sum
+    val got = SparkEntry.queries("mixture_epochs")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == tw.keySet)
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (s, (nTok, q, target, epochs)) =>
+      assert(nTok == tw(s)._1 && q == tw(s)._2)
+      assert(target == math.round(10.0 * total * q), s"source $s target")
+      assert(epochs == BigDecimal(target.toDouble / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the plan must spend the whole budget (up to per-source rounding)
+    val spent = got.values.map(_._3).sum
+    assert(math.abs(spent - 10.0 * total) <= got.size,
+      s"budget: $spent vs ${10L * total}")
+    // temperature flattening: the smallest source is repeated MORE
+    // often than the largest (q > p upsampling)
+    val smallest = got.minBy(_._2._1)._2._4
+    val largest = got.maxBy(_._2._1)._2._4
+    assert(smallest >= largest,
+      s"temperature must upsample small sources: $smallest vs $largest")
+  }
+
   test("target_encoding is the exact leave-one-out mean") {
     val rows = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang")).collect()
