@@ -201,6 +201,18 @@ object GraftFunctions {
             "(build it first via BloomExpressions.build)")
         BloomMightContainExpr(es(0), es(1).eval().asInstanceOf[Array[Byte]])
       }),
+    ("jaro_sim", "jaro_sim(a, b) - Jaro similarity (DuckDB-corner-exact)",
+      es => JaroExpr(es(0), es(1))),
+    ("jaro_winkler_sim", "jaro_winkler_sim(a, b) - Jaro-Winkler similarity (boost > 0.7, prefix <= 4)",
+      es => JaroWinklerExpr(es(0), es(1))),
+    ("damerau_levenshtein", "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein distance",
+      es => DamerauLevenshteinExpr(es(0), es(1))),
+    ("lev_bytes", "lev_bytes(a, b) - Levenshtein over BYTES (Spark's builtin walks code points; DuckDB's walks bytes)",
+      es => LevBytesExpr(es(0), es(1))),
+    ("char_jaccard", "char_jaccard(a, b) - Jaccard over distinct byte sets",
+      es => CharJaccardExpr(es(0), es(1))),
+    ("hamming_dist", "hamming_dist(a, b) - mismatching bytes for equal-length strings (-1 otherwise)",
+      es => HammingExpr(es(0), es(1))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -280,6 +292,16 @@ object GraftFunctions {
   def lcc_northing(lon: Column, lat: Column): Column =
     call_function("lcc_northing", lon, lat)
   def lcc_lon(e: Column, n: Column): Column = call_function("lcc_lon", e, n)
+  def jaro_sim(a: Column, b: Column): Column = call_function("jaro_sim", a, b)
+  def jaro_winkler_sim(a: Column, b: Column): Column =
+    call_function("jaro_winkler_sim", a, b)
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
+  def lev_bytes(a: Column, b: Column): Column = call_function("lev_bytes", a, b)
+  def char_jaccard(a: Column, b: Column): Column =
+    call_function("char_jaccard", a, b)
+  def hamming_dist(a: Column, b: Column): Column =
+    call_function("hamming_dist", a, b)
   def lcc_lat(e: Column, n: Column): Column = call_function("lcc_lat", e, n)
   def bloom_might_contain(key: Column, bloom: Column): Column =
     call_function("bloom_might_contain", key, bloom)

@@ -553,6 +553,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("dotexpr"), "the fold must be the codegen'd kernel")
   }
 
+  test("string_sim_pack: blocked self-join stays shuffle-hash, metrics fuse into one projection") {
+    val p = finalPlan("string_sim_pack")
+    // both join sides are the corpus-derived distinct name vocabulary,
+    // which grows with the catalog — never broadcast
+    assert(count(p, "ShuffledHashJoin") == 1
+      && count(p, "BroadcastHashJoin") == 0,
+      "blocked linkage must shuffle on the block key:\n" + p.take(2000))
+    // all six kernels are codegen'd expressions in a single projection
+    // over the joined pairs — no extra exchange after the join
+    assert(p.contains("jaroexpr") && p.contains("dameraulevenshteinexpr"),
+      "kernels must be the Catalyst expressions:\n" + p.take(2000))
+  }
+
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {
     val p = finalPlan("pca_power")
     assert(!p.contains("Exchange SinglePartition")
