@@ -7,11 +7,15 @@ import graft.{Op, Tables}
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic fake (byte-level arithmetic standing in
-  * for pixel decode). Everything around it — binary schema, metadata
-  * struct, per-frame explode shape, typed mapPartitions batch path —
-  * is the real plumbing a codec would slot into.
+  * Codec reality, by modality: IMAGE decode is REAL — the JDK ships
+  * PNG/JPEG/BMP/GIF codecs (`javax.imageio`), and [[imageDecode]]
+  * drives the actual encoder and decoder per row, oracle-checked
+  * through PNG's lossless round-trip identity. AUDIO/VIDEO codecs are
+  * genuinely absent from the container, so [[decodeBatch]] keeps a
+  * clearly-marked deterministic fake (byte-level arithmetic standing
+  * in for sample decode) inside the real plumbing — binary schema,
+  * metadata struct, per-frame explode shape, typed mapPartitions
+  * batch path — that a codec would slot into.
   */
 object Multimodal {
 
@@ -212,7 +216,113 @@ object Multimodal {
       |  CAST(strlen(text) AS BIGINT) AS n_text_bytes, lang, source
       |FROM documents""".stripMargin
 
+  final case class ImgIn(doc_id: Long)
+  final case class ImgFeat(doc_id: Long, width: Int, height: Int,
+      png_valid: Boolean, sum_r: Long, sum_g: Long, sum_b: Long,
+      px_checksum: Long, half_sum_rgb: Long)
+
+  /** REAL image decode through the JDK's bundled PNG codec
+    * (`javax.imageio` — present on every JVM; the "no codecs in the
+    * container" limitation only ever applied to native/Python codec
+    * libraries). Per document: deterministic RGB pixels are rendered
+    * into a BufferedImage, ENCODED to real PNG bytes, DECODED back
+    * through `ImageIO.read`, and every output feature is computed from
+    * the DECODED image only. PNG is lossless, so the oracle can state
+    * the same features as closed-form pixel arithmetic in SQL — any
+    * encoder/decoder infidelity, channel swap, or row-order bug breaks
+    * the hash. `png_valid` pins the signature bytes of the real
+    * encoder output (the tolerance-band-oracle pattern: the engine
+    * outputs its own verdict, the oracle expects literal TRUE) without
+    * hashing encoder-version-specific compression details.
+    *
+    * The half_* features are a REAL nearest-neighbor 2x downscale of
+    * the decoded pixels — the resize stage of an image-training
+    * pipeline, exact by construction.
+    *
+    * Scale shape: one mapPartitions projection, no exchange at all —
+    * decode parallelism is scan parallelism, the same shape a 100 TB
+    * image-corpus featurization runs (per-partition codec init,
+    * row-local work, no shuffle).
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[ImgIn]
+      .mapPartitions { batch =>
+        // per-partition codec setup: no disk-backed stream cache
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { in =>
+          val d = in.doc_id
+          val w = (8 + d % 9).toInt
+          val h = (4 + d % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((d * 7 + x * 31 + y * 131) % 256).toInt
+              val g = ((d * 11 + x * 17 + y * 29) % 256).toInt
+              val b = ((d * 13 + x * 23 + y * 37) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+          val valid = png.length > 8 && (png(0) & 0xff) == 0x89 &&
+            png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val (bw, bh) = (back.getWidth, back.getHeight)
+          var (sr, sg, sb, ck, half) = (0L, 0L, 0L, 0L, 0L)
+          val (hw, hh) = (bw / 2, bh / 2)
+          y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              val rgb = back.getRGB(x, y) & 0xffffff
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              ck += rgb.toLong * (y.toLong * bw + x + 1)
+              if (x % 2 == 0 && y % 2 == 0 && x / 2 < hw && y / 2 < hh)
+                half += rgb
+              x += 1
+            }
+            y += 1
+          }
+          ImgFeat(d, bw, bh, valid, sr, sg, sb, ck, half)
+        }
+      }.toDF()
+  }
+
+  private val imageDecodeSql =
+    """WITH px AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+      |    unnest(range((8 + doc_id % 9) * (4 + doc_id % 5))) AS i
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, w, h, i, i % w AS x, i // w AS y,
+      |    (doc_id * 7 + (i % w) * 31 + (i // w) * 131) % 256 AS r,
+      |    (doc_id * 11 + (i % w) * 17 + (i // w) * 29) % 256 AS g,
+      |    (doc_id * 13 + (i % w) * 23 + (i // w) * 37) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  TRUE AS png_valid,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(SUM((r * 65536 + g * 256 + b) * (i + 1)) AS BIGINT) AS px_checksum,
+      |  CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0
+      |      AND x < 2 * (w // 2) AND y < 2 * (h // 2)
+      |      THEN r * 65536 + g * 256 + b ELSE 0 END) AS BIGINT) AS half_sum_rgb
+      |FROM v GROUP BY doc_id, w, h""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("image_decode", imageDecode, Some(imageDecodeSql)),
     Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

@@ -46,7 +46,10 @@ object StringSim {
         jaro_sim(col("name_a"), col("name_b")).as("jaro"),
         jaro_winkler_sim(col("name_a"), col("name_b")).as("jw"),
         char_jaccard(col("name_a"), col("name_b")).as("jac"),
-        when(length(col("name_a")) === length(col("name_b")),
+        // BYTE length guard (octet_length/strlen), matching the
+        // kernel's own definition — char length would diverge on
+        // multibyte names
+        when(octet_length(col("name_a")) === octet_length(col("name_b")),
           hamming_dist(col("name_a"), col("name_b")).cast("long"))
           .as("hamming"))
   }
@@ -62,7 +65,7 @@ object StringSim {
       |  jaro_similarity(a.name, b.name) AS jaro,
       |  jaro_winkler_similarity(a.name, b.name) AS jw,
       |  jaccard(a.name, b.name) AS jac,
-      |  CASE WHEN length(a.name) = length(b.name)
+      |  CASE WHEN strlen(a.name) = strlen(b.name)
       |       THEN CAST(hamming(a.name, b.name) AS BIGINT) END AS hamming
       |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name""".stripMargin
 

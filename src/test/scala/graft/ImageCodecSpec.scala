@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-image-codec path (operators/Multimodal.imageDecode): the
+  * oracle already pins PNG's lossless round-trip feature-for-feature;
+  * this spec covers what SQL cannot — that the bytes on the wire are a
+  * real PNG a third-party decoder-agnostic check accepts, and that the
+  * JDK's LOSSY codec (JPEG) also works in this container, which is the
+  * fact the old "environment-blocked" claim got wrong.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("image_decode features equal an independent pixel-model recompute") {
+    val got = SparkEntry.queries("image_decode")(spark, sf)
+      .orderBy("doc_id").limit(20).collect()
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val (w, h) = ((8 + d % 9).toInt, (4 + d % 5).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getBoolean(3), s"doc $d: encoder did not produce a PNG")
+      var (sr, ck) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val red = (d * 7 + x * 31 + y * 131) % 256
+        val g = (d * 11 + x * 17 + y * 29) % 256
+        val b = (d * 13 + x * 23 + y * 37) % 256
+        sr += red
+        ck += (red * 65536 + g * 256 + b) * (y * w + x + 1)
+      }
+      assert(r.getLong(4) == sr, s"doc $d sum_r")
+      assert(r.getLong(7) == ck, s"doc $d px_checksum")
+    }
+  }
+
+  test("the container's JDK really ships lossy codecs too (JPEG)") {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 16)
+      img.setRGB(x, y, (x * 31 + y * 7) * 65793 & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no JPEG writer registered")
+    val jpg = bos.toByteArray
+    // JFIF signature
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    // lossy: dimensions survive exactly, pixels only approximately
+    assert(back.getWidth == 16 && back.getHeight == 9)
+    val err = (for (y <- 0 until 9; x <- 0 until 16) yield {
+      val a = img.getRGB(x, y); val b = back.getRGB(x, y)
+      math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff))
+    }).max
+    assert(err < 64, s"JPEG decode wildly off (max channel err $err)")
+  }
+}

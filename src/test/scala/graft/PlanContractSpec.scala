@@ -566,6 +566,16 @@ class PlanContractSpec extends AnyFunSuite {
       "kernels must be the Catalyst expressions:\n" + p.take(2000))
   }
 
+  test("image_decode: codec featurization is exchange-free (scan-parallel)") {
+    val p = finalPlan("image_decode")
+    // the 100 TB image-featurization shape: per-partition codec init,
+    // row-local encode/decode, parallelism = scan splits, zero shuffle
+    assert(!p.contains("Exchange"),
+      "decode must not move a single row:\n" + p.take(2000))
+    assert(p.contains("MapPartitions"),
+      "the typed batch path must survive planning:\n" + p.take(2000))
+  }
+
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {
     val p = finalPlan("pca_power")
     assert(!p.contains("Exchange SinglePartition")
