@@ -221,6 +221,61 @@ object Multimodal {
       png_valid: Boolean, sum_r: Long, sum_g: Long, sum_b: Long,
       px_checksum: Long, half_sum_rgb: Long)
 
+  /** Deterministic per-document test image, ENCODED as real PNG bytes
+    * through the JDK codec. Executor-side; callers set
+    * `ImageIO.setUseCache(false)` once per partition.
+    */
+  private[graft] def pngFor(d: Long): Array[Byte] = {
+    val w = (8 + d % 9).toInt
+    val h = (4 + d % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((d * 7 + x * 31 + y * 131) % 256).toInt
+        val g = ((d * 11 + x * 17 + y * 29) % 256).toInt
+        val b = ((d * 13 + x * 23 + y * 37) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: features computed from `ImageIO.read` of the PNG
+    * bytes only — never from the generating arithmetic.
+    */
+  private[graft] def decodeFeatures(d: Long, png: Array[Byte]): ImgFeat = {
+    val valid = png.length > 8 && (png(0) & 0xff) == 0x89 &&
+      png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val (bw, bh) = (back.getWidth, back.getHeight)
+    var (sr, sg, sb, ck, half) = (0L, 0L, 0L, 0L, 0L)
+    val (hw, hh) = (bw / 2, bh / 2)
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        val rgb = back.getRGB(x, y) & 0xffffff
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        ck += rgb.toLong * (y.toLong * bw + x + 1)
+        if (x % 2 == 0 && y % 2 == 0 && x / 2 < hw && y / 2 < hh)
+          half += rgb
+        x += 1
+      }
+      y += 1
+    }
+    ImgFeat(d, bw, bh, valid, sr, sg, sb, ck, half)
+  }
+
   /** REAL image decode through the JDK's bundled PNG codec
     * (`javax.imageio` — present on every JVM; the "no codecs in the
     * container" limitation only ever applied to native/Python codec
@@ -251,51 +306,7 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition codec setup: no disk-backed stream cache
         javax.imageio.ImageIO.setUseCache(false)
-        batch.map { in =>
-          val d = in.doc_id
-          val w = (8 + d % 9).toInt
-          val h = (4 + d % 5).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val r = ((d * 7 + x * 31 + y * 131) % 256).toInt
-              val g = ((d * 11 + x * 17 + y * 29) % 256).toInt
-              val b = ((d * 13 + x * 23 + y * 37) % 256).toInt
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          val png = bos.toByteArray
-          val valid = png.length > 8 && (png(0) & 0xff) == 0x89 &&
-            png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
-          val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(png))
-          val (bw, bh) = (back.getWidth, back.getHeight)
-          var (sr, sg, sb, ck, half) = (0L, 0L, 0L, 0L, 0L)
-          val (hw, hh) = (bw / 2, bh / 2)
-          y = 0
-          while (y < bh) {
-            var x = 0
-            while (x < bw) {
-              val rgb = back.getRGB(x, y) & 0xffffff
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              ck += rgb.toLong * (y.toLong * bw + x + 1)
-              if (x % 2 == 0 && y % 2 == 0 && x / 2 < hw && y / 2 < hh)
-                half += rgb
-              x += 1
-            }
-            y += 1
-          }
-          ImgFeat(d, bw, bh, valid, sr, sg, sb, ck, half)
-        }
+        batch.map(in => decodeFeatures(in.doc_id, pngFor(in.doc_id)))
       }.toDF()
   }
 
@@ -321,8 +332,82 @@ object Multimodal {
       |      THEN r * 65536 + g * 256 + b ELSE 0 END) AS BIGINT) AS half_sum_rgb
       |FROM v GROUP BY doc_id, w, h""".stripMargin
 
+  final case class DocMedia(doc_id: Long, text: String, lang: String,
+      source: String)
+
+  /** End-to-end multimodal ingest: REAL PNG components written into
+    * WebDataset tar shards next to their text + metadata (the standard
+    * image-caption training layout), read back through the distributed
+    * binaryFile + tar-parse path, and decoded with the REAL JDK codec
+    * off the storage read — features oracle-checked against the same
+    * closed-form pixel arithmetic as `image_decode`, plus the shard
+    * membership the tar filename carries. Any corruption in tar entry
+    * framing, binary-vs-text handling, shard assignment, or codec
+    * round-trip breaks the hash.
+    *
+    * Scale shape: encode is scan-parallel; the write's only exchange
+    * is the by-shard repartition every sharded ingest pays once; the
+    * read is one task per shard (how WebDataset loaders parallelize);
+    * decode rides the read partitions — no further exchange.
+    */
+  def imageShardPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // fresh temp dir per invocation (the webdataset_roundtrip rationale)
+    val out = java.nio.file.Files.createTempDirectory("graft_imgwds_").toString
+    val withPng = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[DocMedia]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(d => (d.doc_id, d.text, d.lang, d.source, pngFor(d.doc_id)))
+      }.toDF("doc_id", "text", "lang", "source", "png")
+    graft.sources.WebDataset.writeShards(withPng, out,
+      samplesPerShard = 100, binaryComponents = Seq("png" -> "png"))
+    graft.sources.WebDataset.readEntries(spark, out)
+      .where(col("ext") === "png")
+      .select(col("shard_file"), col("key"), col("data"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (shardFile, key, png) =>
+          val f = decodeFeatures(key, png)
+          (key, shardFile, f.width, f.height, f.png_valid,
+            f.sum_r, f.sum_g, f.sum_b, f.px_checksum)
+        }
+      }
+      .toDF("doc_id", "shard_file", "width", "height", "png_valid",
+        "sum_r", "sum_g", "sum_b", "px_checksum")
+      .select(col("doc_id"),
+        // shard from the ACTUAL tar file the component came back from
+        regexp_extract(col("shard_file"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard"),
+        col("width"), col("height"), col("png_valid"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("px_checksum"))
+  }
+
+  private val imageShardPipelineSql =
+    """WITH px AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+      |    unnest(range((8 + doc_id % 9) * (4 + doc_id % 5))) AS i
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, w, h, i,
+      |    (doc_id * 7 + (i % w) * 31 + (i // w) * 131) % 256 AS r,
+      |    (doc_id * 11 + (i % w) * 17 + (i // w) * 29) % 256 AS g,
+      |    (doc_id * 13 + (i % w) * 23 + (i // w) * 37) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id, doc_id // 100 AS shard,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  TRUE AS png_valid,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(SUM((r * 65536 + g * 256 + b) * (i + 1)) AS BIGINT) AS px_checksum
+      |FROM v GROUP BY doc_id, w, h""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("image_decode", imageDecode, Some(imageDecodeSql)),
+    Op("image_shard_pipeline", imageShardPipeline, Some(imageShardPipelineSql)),
     Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

@@ -36,16 +36,21 @@ object WebDataset {
 
   /** Write (doc_id, text, lang, source) rows as tar shards of
     * `samplesPerShard` samples: `<doc_id>.txt` carries the text bytes,
-    * `<doc_id>.json` the metadata. Returns the shard count.
+    * `<doc_id>.json` the metadata. `binaryComponents` adds one tar
+    * entry per (BINARY column, extension) pair — `<doc_id>.<ext>` —
+    * which is how real multimodal samples (`.png`, `.flac`, ...) ride
+    * next to their captions in this layout.
     */
   def writeShards(df: DataFrame, outDir: String,
-      samplesPerShard: Int = 100): Unit = {
+      samplesPerShard: Int = 100,
+      binaryComponents: Seq[(String, String)] = Nil): Unit = {
     new File(outDir).mkdirs()
     val rows = df
-      .select(expr(s"doc_id div $samplesPerShard").as("shard"),
+      .select(Seq(expr(s"doc_id div $samplesPerShard").as("shard"),
         col("doc_id"),
         col("text"),
         to_json(struct(col("doc_id"), col("lang"), col("source"))).as("meta"))
+        ++ binaryComponents.map { case (c, _) => col(c) }: _*)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
     rows.foreachPartition { (it: Iterator[Row]) =>
@@ -82,6 +87,9 @@ object WebDataset {
         val key = r.getLong(1)
         entry(s"$key.txt", r.getString(2).getBytes(UTF_8))
         entry(s"$key.json", r.getString(3).getBytes(UTF_8))
+        binaryComponents.zipWithIndex.foreach { case ((_, ext), i) =>
+          entry(s"$key.$ext", r.getAs[Array[Byte]](4 + i))
+        }
       }
       close()
     }

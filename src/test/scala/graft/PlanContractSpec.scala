@@ -576,6 +576,17 @@ class PlanContractSpec extends AnyFunSuite {
       "the typed batch path must survive planning:\n" + p.take(2000))
   }
 
+  test("image_shard_pipeline: decode rides the shard-read partitions, no exchange") {
+    val p = finalPlan("image_shard_pipeline")
+    // the returned plan is the READ side (the sharded write is the
+    // once-per-ingest cost, spent eagerly before this plan exists):
+    // one task per tar shard, tar-parse + codec decode in place
+    assert(!p.contains("Exchange"),
+      "shard read -> decode must not reshuffle:\n" + p.take(2000))
+    assert(p.contains("MapPartitions"),
+      "tar parse and codec decode must stay typed batch stages:\n" + p.take(2000))
+  }
+
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {
     val p = finalPlan("pca_power")
     assert(!p.contains("Exchange SinglePartition")
