@@ -8,12 +8,15 @@ import graft.{Op, Tables}
   * typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * Codec reality, by modality: IMAGE decode is REAL — the JDK ships
-  * PNG/JPEG/BMP/GIF codecs (`javax.imageio`), and [[imageDecode]]
-  * drives the actual encoder and decoder per row, oracle-checked
-  * through PNG's lossless round-trip identity. AUDIO/VIDEO codecs are
-  * genuinely absent from the container, so [[decodeBatch]] keeps a
+  * PNG/JPEG/BMP/GIF codecs (`javax.imageio`), and [[imageDecode]] /
+  * [[imageShardPipeline]] drive the actual encoder and decoder per
+  * row, oracle-checked through PNG's lossless round-trip identity.
+  * AUDIO decode is REAL too — [[audioDecode]] round-trips 16-bit PCM
+  * through the JDK's RIFF/WAVE codec (`javax.sound.sampled`).
+  * VIDEO codecs are genuinely absent (no JDK video support, no native
+  * libraries in the container), so [[decodeBatch]] keeps a
   * clearly-marked deterministic fake (byte-level arithmetic standing
-  * in for sample decode) inside the real plumbing — binary schema,
+  * in for frame decode) inside the real plumbing — binary schema,
   * metadata struct, per-frame explode shape, typed mapPartitions
   * batch path — that a codec would slot into.
   */
@@ -103,9 +106,10 @@ object Multimodal {
       feature: Array[Float])
 
   /** FAKE-DECODE kernel: deterministic byte statistics standing in for
-    * pixel/audio decode (container ships no codecs). The per-partition
-    * `init` marks where a codec context would be constructed once per
-    * batch.
+    * VIDEO frame decode (the one modality with no codec anywhere in
+    * the container — image and audio have real JDK codec paths above).
+    * The per-partition `init` marks where a codec context would be
+    * constructed once per batch.
     */
   def decodeBatch(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFeature] = {
     import spark.implicits._
@@ -332,6 +336,96 @@ object Multimodal {
       |      THEN r * 65536 + g * 256 + b ELSE 0 END) AS BIGINT) AS half_sum_rgb
       |FROM v GROUP BY doc_id, w, h""".stripMargin
 
+  final case class AudioFeat(doc_id: Long, n_samples: Long, sample_rate: Int,
+      wav_valid: Boolean, sum_abs: Long, energy: Long, zero_crossings: Long,
+      smp_checksum: Long)
+
+  /** REAL audio decode through the JDK's bundled WAV/PCM codec
+    * (`javax.sound.sampled` — same situation as [[imageDecode]]: the
+    * JVM has always shipped this; only native audio libraries are
+    * absent). Per document: a deterministic 16-bit mono PCM signal is
+    * ENCODED into a real RIFF/WAVE container via `AudioSystem.write`,
+    * DECODED back via `AudioSystem.getAudioInputStream`, and every
+    * feature — sample count, rate, magnitude sum, energy,
+    * zero-crossings, positional checksum — is computed from the
+    * DECODED byte stream only. PCM is lossless, so the oracle states
+    * the same features as closed-form sample arithmetic; a byte-order,
+    * header-offset, or channel bug breaks the hash. Exchange-free,
+    * like every row-local codec stage.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[ImgIn]
+      .mapPartitions { batch =>
+        batch.map { in =>
+          val d = in.doc_id
+          val n = (256 + (d % 64) * 16).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((d * 1103 + i.toLong * 31 + 7) % 65536 - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+            true, false) // signed, little-endian
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray
+          val valid = wav.length > 12 && wav(0) == 'R' && wav(1) == 'I' &&
+            wav(2) == 'F' && wav(3) == 'F' &&
+            wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E'
+          // decode: features from the round-tripped stream ONLY
+          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val rate = back.getFormat.getSampleRate.toInt
+          val out = back.readAllBytes()
+          val m = out.length / 2
+          var (sumAbs, energy, crossings, ck) = (0L, 0L, 0L, 0L)
+          var prevNonNeg = false
+          i = 0
+          while (i < m) {
+            // little-endian signed 16-bit, as the written format declares
+            val s = ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt
+            sumAbs += math.abs(s)
+            energy += s.toLong * s
+            if (i > 0 && (s >= 0) != prevNonNeg) crossings += 1
+            prevNonNeg = s >= 0
+            ck += s.toLong * (i + 1)
+            i += 1
+          }
+          AudioFeat(d, m.toLong, rate, valid, sumAbs, energy, crossings, ck)
+        }
+      }.toDF()
+  }
+
+  private val audioDecodeSql =
+    """WITH s AS (
+      |  SELECT doc_id, 256 + (doc_id % 64) * 16 AS n,
+      |    unnest(range(256 + (doc_id % 64) * 16)) AS i
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, n, i,
+      |    (doc_id * 1103 + i * 31 + 7) % 65536 - 32768 AS smp,
+      |    CASE WHEN i > 0
+      |      THEN (doc_id * 1103 + (i - 1) * 31 + 7) % 65536 - 32768 END AS prev
+      |  FROM s)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(16000 AS INTEGER) AS sample_rate,
+      |  TRUE AS wav_valid,
+      |  CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+      |  CAST(SUM(smp * smp) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL
+      |      AND (smp >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(SUM(smp * (i + 1)) AS BIGINT) AS smp_checksum
+      |FROM v GROUP BY doc_id, n""".stripMargin
+
   final case class DocMedia(doc_id: Long, text: String, lang: String,
       source: String)
 
@@ -408,6 +502,7 @@ object Multimodal {
   val ops: Seq[Op] = Seq(
     Op("image_decode", imageDecode, Some(imageDecodeSql)),
     Op("image_shard_pipeline", imageShardPipeline, Some(imageShardPipelineSql)),
+    Op("audio_decode", audioDecode, Some(audioDecodeSql)),
     Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

@@ -41,6 +41,38 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("audio_decode parses the real RIFF container, not assumed offsets") {
+    // corrupting the format chunk must make the REAL parser reject the
+    // stream — a fake decoder reading fixed offsets would march on
+    val d = 3L
+    val n = (256 + (d % 64) * 16).toInt
+    val pcm = new Array[Byte](n * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    wav(8) = 'X' // RIFF form type "WAVE" -> "XAVE"
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+    // and the registered op's features come off the decoded stream:
+    // spot-check one doc against an independent sample-model recompute
+    val row = SparkEntry.queries("audio_decode")(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") === d)
+      .collect()(0)
+    var (sumAbs, ck) = (0L, 0L)
+    for (i <- 0 until n) {
+      val s = (d * 1103 + i * 31 + 7) % 65536 - 32768
+      sumAbs += math.abs(s); ck += s * (i + 1)
+    }
+    assert(row.getLong(1) == n && row.getInt(2) == 16000 && row.getBoolean(3))
+    assert(row.getLong(4) == sumAbs && row.getLong(7) == ck)
+  }
+
   test("the container's JDK really ships lossy codecs too (JPEG)") {
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
