@@ -17,7 +17,7 @@ object SparkEntry {
       WebCuration.ops ++ Sketches.ops ++ Tokenizer.ops ++ Classifier.ops ++
       Linalg.ops ++
       Layout.ops ++ Stats.ops ++ Recommend.ops ++ TpchMore.ops ++
-      Profiling.ops ++ StringSim.ops ++
+      Profiling.ops ++ StringSim.ops ++ TextEval.ops ++
       graft.streaming.StreamOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
