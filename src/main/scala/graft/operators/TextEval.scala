@@ -120,7 +120,84 @@ object TextEval {
       |                 (CAST(clip2 AS DOUBLE) / len(cand2))) END AS bleu2
       |FROM k""".stripMargin
 
+  /** T5-style span corruption: mask length-3 token spans with
+    * `<extra_id_k>` sentinels, emitting the (inputs, targets) pair a
+    * denoising seq2seq objective trains on (Raffel et al. 2020 §3.1.4
+    * — published method, re-derived here). Span placement is a FIXED
+    * STRIDE of 17 with a per-document offset (doc_id % 17): real T5
+    * samples spans randomly, but random placement needs sequential
+    * greedy state that neither distributes nor cross-checks; the fixed
+    * stride keeps ~17.6% corruption, guarantees non-overlap by
+    * construction, makes the k-th span's ordinal a closed form
+    * ((start − offset) / 17), and leaves the whole op row-local —
+    * zero exchanges at any corpus size.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        (col("doc_id") % 17).cast("int").as("off"))
+      .withColumn("n", size(col("t")))
+      // span starts: every 17th index from the offset, with room for 3
+      .withColumn("starts", expr(
+        "filter(sequence(0, n - 1), i -> i % 17 = off AND i + 2 < n)"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("starts")).cast("long").as("n_spans"),
+        // inputs: sentinel at each span start, covered tokens dropped,
+        // everything else verbatim. m = position within a would-be
+        // span; the (+17)%17 spelling keeps it non-negative in both
+        // engines (% takes the dividend's sign in each).
+        expr(
+          "array_join(filter(transform(sequence(0, n - 1), i -> " +
+            "CASE WHEN ((i - off) % 17 + 17) % 17 = 0 AND i + 2 < n " +
+            "  THEN concat('<extra_id_', CAST((i - off) div 17 AS STRING), '>') " +
+            "WHEN ((i - off) % 17 + 17) % 17 <= 2 " +
+            "  AND i - ((i - off) % 17 + 17) % 17 >= 0 " +
+            "  AND i - ((i - off) % 17 + 17) % 17 + 2 < n THEN NULL " +
+            "ELSE element_at(t, i + 1) END), x -> x IS NOT NULL), ' ')")
+          .as("inputs"),
+        // targets: '<extra_id_k> span tokens' per span + closing sentinel
+        expr(
+          "CASE WHEN size(starts) = 0 THEN '<extra_id_0>' ELSE concat(" +
+            "array_join(transform(starts, s -> concat(" +
+            "  '<extra_id_', CAST((s - off) div 17 AS STRING), '> ', " +
+            "  element_at(t, s + 1), ' ', element_at(t, s + 2), ' ', " +
+            "  element_at(t, s + 3))), ' '), " +
+            "' <extra_id_', CAST(size(starts) AS STRING), '>') END")
+          .as("targets"))
+
+  private val spanCorruptSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CAST(doc_id % 17 AS INTEGER) AS off,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, off, n,
+      |    list_filter(range(n), i -> i % 17 = off AND i + 2 < n) AS starts
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(len(starts) AS BIGINT) AS n_spans,
+      |  array_to_string(list_filter(list_transform(range(n), i ->
+      |    CASE WHEN ((i - off) % 17 + 17) % 17 = 0 AND i + 2 < n
+      |      THEN '<extra_id_' || CAST((i - off) // 17 AS VARCHAR) || '>'
+      |    WHEN ((i - off) % 17 + 17) % 17 <= 2
+      |      AND i - ((i - off) % 17 + 17) % 17 >= 0
+      |      AND i - ((i - off) % 17 + 17) % 17 + 2 < n THEN NULL
+      |    ELSE t[CAST(i + 1 AS INTEGER)] END), x -> x IS NOT NULL), ' ')
+      |    AS inputs,
+      |  CASE WHEN len(starts) = 0 THEN '<extra_id_0>' ELSE
+      |    array_to_string(list_transform(starts, sp ->
+      |      '<extra_id_' || CAST((sp - off) // 17 AS VARCHAR) || '> ' ||
+      |      t[CAST(sp + 1 AS INTEGER)] || ' ' || t[CAST(sp + 2 AS INTEGER)] ||
+      |      ' ' || t[CAST(sp + 3 AS INTEGER)]), ' ') ||
+      |    ' <extra_id_' || CAST(len(starts) AS VARCHAR) || '>' END AS targets
+      |FROM s""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("rouge_bleu_eval", rougeBleuEval, Some(rougeBleuEvalSql)),
+    Op("span_corrupt", spanCorrupt, Some(spanCorruptSql)),
   )
 }

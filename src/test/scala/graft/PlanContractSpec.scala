@@ -587,10 +587,12 @@ class PlanContractSpec extends AnyFunSuite {
       "tar parse and codec decode must stay typed batch stages:\n" + p.take(2000))
   }
 
-  test("rouge_bleu_eval: per-example eval is exchange-free row-local HOFs") {
-    val p = finalPlan("rouge_bleu_eval")
-    assert(!p.contains("Exchange"),
-      "per-example metrics must not shuffle the corpus:\n" + p.take(2000))
+  test("rouge_bleu_eval / span_corrupt: per-example ops are exchange-free row-local HOFs") {
+    Seq("rouge_bleu_eval", "span_corrupt").foreach { name =>
+      val p = finalPlan(name)
+      assert(!p.contains("Exchange"),
+        s"$name: per-example work must not shuffle the corpus:\n" + p.take(2000))
+    }
   }
 
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {

@@ -63,4 +63,33 @@ class TextEvalSpec extends AnyFunSuite {
     assert(got.exists(_.getDouble(5) < 1.0), "no unigram miss exercised")
     assert(got.exists(_.getLong(4) > 0), "no bigram overlap exercised")
   }
+
+  test("span_corrupt: splicing targets into inputs reconstructs the original") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("span_corrupt")(spark, sf)
+      .collect().filter(r => texts.contains(r.getLong(0)))
+    assert(got.length == texts.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    got.foreach { r =>
+      val (d, nSpans) = (r.getLong(0), r.getLong(2))
+      val (inputs, targets) = (r.getString(3), r.getString(4))
+      // parse targets: sentinel-delimited span texts, k -> tokens
+      val marks = sentinel.findAllMatchIn(targets).toSeq
+      assert(marks.last.group(1).toLong == nSpans, s"doc $d: no closing sentinel")
+      val spans = marks.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
+        a.group(1).toInt -> targets.substring(a.end, b.start).trim
+      }.toMap
+      assert(spans.size == nSpans, s"doc $d: span count")
+      // splice each span back in place of its sentinel in inputs
+      val rebuilt = sentinel.replaceAllIn(inputs,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+      assert(rebuilt == texts(d), s"doc $d: reconstruction failed")
+      // masked spans are 3 tokens each
+      spans.values.foreach(s => assert(s.split(" ").length == 3, s"doc $d"))
+    }
+    // the fixture actually produces spans somewhere
+    assert(got.exists(_.getLong(2) > 0), "no document got any span masked")
+  }
 }
