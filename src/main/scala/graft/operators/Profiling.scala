@@ -104,7 +104,79 @@ object Profiling {
       |SELECT 'l_shipdate', n_rows, d_nulls, d_nd,
       |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), d_min, d_max FROM a""".stripMargin
 
+  /** Join-key skew report — the pre-flight a large join runs before
+    * committing to a partitioning: hash the key into P=32 buckets
+    * (the same hash-partitioning a shuffle would apply, via the
+    * portable cross-engine hash) and report per-bucket load, key
+    * cardinality, the heaviest key, and the load's skew ratio
+    * (max/avg bucket load — 1.0 is perfectly even; the number that
+    * decides between a plain shuffle join, `salted_join_agg`, or an
+    * AQE skew split).
+    *
+    * Scale shape: one corpus exchange to the (bucket, key) rollup,
+    * then a key-cardinality-sized second aggregation into 32 groups
+    * (map-side partials do the collapsing; the bounded output domain
+    * is the POINT of the report, not a parallelism bug — nothing
+    * sorts). Global total/max attach via the 1-row broadcast
+    * crossJoin (W5 pattern). The heaviest key rides a packed integer
+    * max (cnt·10¹² + key, keys < 10¹² by table contract) so ties
+    * break identically in both engines — arg_max/max_by leave tie
+    * order unspecified.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy((graft.functions.CrossHash.hash60(col("user_id").cast("string"))
+          % 32).cast("int").as("bucket"),
+        col("user_id").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val perBucket = perKey.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt") * lit(1000000000000L) + col("key")).as("packed"))
+    val totals = perBucket.agg(
+      sum(col("n_rows")).as("total_rows"),
+      max(col("n_rows")).as("max_rows"),
+      count(lit(1)).as("n_buckets"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        col("n_rows"),
+        col("n_keys"),
+        // integral div, NOT `/`: Spark's / on longs is DOUBLE division,
+        // which stops being exact once packed passes 2^53 at scale
+        expr("packed div 1000000000000").as("heaviest_rows"),
+        (col("packed") % lit(1000000000000L)).as("heaviest_key"),
+        round(col("n_rows").cast("double") / col("total_rows"), 9)
+          .as("load_share"),
+        round(col("max_rows").cast("double") * col("n_buckets") / col("total_rows"), 9)
+          .as("skew_ratio"))
+  }
+
+  private val skewReportSql = {
+    val h = graft.functions.CrossHash.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH k AS (
+       |  SELECT CAST($h % 32 AS INTEGER) AS bucket, user_id AS key,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |b AS (
+       |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |    count(*) AS n_keys,
+       |    MAX(cnt * 1000000000000 + key) AS packed
+       |  FROM k GROUP BY bucket),
+       |t AS (
+       |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       |    MAX(n_rows) AS max_rows, count(*) AS n_buckets
+       |  FROM b)
+       |SELECT bucket, n_rows, n_keys,
+       |  CAST(packed // 1000000000000 AS BIGINT) AS heaviest_rows,
+       |  CAST(packed % 1000000000000 AS BIGINT) AS heaviest_key,
+       |  round(CAST(n_rows AS DOUBLE) / total_rows, 9) AS load_share,
+       |  round(CAST(max_rows AS DOUBLE) * n_buckets / total_rows, 9) AS skew_ratio
+       |FROM b, t""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("profile_table", profileTable, Some(profileTableSql)),
+    Op("skew_report", skewReport, Some(skewReportSql)),
   )
 }
