@@ -657,7 +657,72 @@ object Stats {
       |  round(CAST(rev AS DOUBLE) * 7 / CAST(trev AS DOUBLE), 9) AS idx
       |FROM g CROSS JOIN tot""".stripMargin
 
+  /** Quantile normalization across features (the bioinformatics /
+    * feature-preprocessing move: give several columns the SAME
+    * distribution by mapping each value to the cross-feature mean of
+    * the values sharing its rank). Three lineitem measures on wildly
+    * different scales (quantity, price, discount) are unpivoted to
+    * (feature, value) rows, ranked WITHIN each feature by the grouped
+    * distributed rank (RangeRank — never a 3-partition window sort
+    * over the fact table), and the reference distribution at each rank
+    * is the DECIMAL-exact sum of the three same-rank values divided
+    * once — aggregation-order-free (money-in-DECIMAL discipline).
+    *
+    * Scale shape: one unpivot projection (row-local ×3), the grouped
+    * RangeRank exchanges, one rank-keyed rollup, and a rank-keyed
+    * shuffle-hash join back (both sides corpus-sized — never
+    * broadcast). Ties are totaled by the unique row id, so ranks — and
+    * therefore the output — are deterministic across engines.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val long = Tables.lineitem(spark, dir)
+      .where(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull
+        && col("l_discount").isNotNull)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .selectExpr("rid",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+          "'disc', l_discount) AS (feature, value)")
+    val ranked = RangeRank.withRankAscGrouped(long, Seq("feature"), "value",
+      Seq(col("rid").asc), "rn")
+    val ref = ranked.groupBy(col("rn"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") / 3)
+        .as("normalized"))
+      .hint("shuffle_hash")
+    ranked.join(ref, Seq("rn"))
+      .select(col("feature"), col("rid"), col("value"),
+        col("rn").cast("long").as("rn"), col("normalized"))
+  }
+
+  private val quantileNormalizeSql =
+    """WITH long AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS rid, 'qty' AS feature,
+      |    l_quantity AS value FROM lineitem
+      |    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |      AND l_discount IS NOT NULL
+      |  UNION ALL
+      |  SELECT l_orderkey * 10 + l_linenumber, 'price', l_extendedprice
+      |    FROM lineitem
+      |    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |      AND l_discount IS NOT NULL
+      |  UNION ALL
+      |  SELECT l_orderkey * 10 + l_linenumber, 'disc', l_discount
+      |    FROM lineitem
+      |    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |      AND l_discount IS NOT NULL),
+      |r AS (
+      |  SELECT rid, feature, value,
+      |    row_number() OVER (PARTITION BY feature ORDER BY value, rid) AS rn
+      |  FROM long),
+      |d AS (
+      |  SELECT rn,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 3 AS normalized
+      |  FROM r GROUP BY rn)
+      |SELECT feature, rid, value, CAST(rn AS BIGINT) AS rn, normalized
+      |FROM r JOIN d USING (rn)""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Op("gini_index", giniIndex, Some(giniIndexSql)),
     Op("benford_digits", benfordDigits, Some(benfordDigitsSql)),
     Op("category_entropy", categoryEntropy, Some(categoryEntropySql)),

@@ -595,6 +595,26 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile_normalize: distributed ranks, corpus-sized join never broadcasts") {
+    val p = finalPlan("quantile_normalize")
+    // |features| = 3 must not bound parallelism: RangeRank's in-bucket
+    // windows partition by (feature, bucket) — a window keyed on the
+    // feature ALONE would run the fact-table sort on 3 tasks
+    // \s++ is possessive: without it \s* backtracks to zero spaces and
+    // the lookahead vacuously passes on the legitimate bucketed window
+    val featureOnlyWindow = "windowspecdefinition\\(feature#\\d+,\\s++(?!__rr_b_rn)".r
+    assert(featureOnlyWindow.findFirstIn(p).isEmpty,
+      "ranking must ride the bucketed RangeRank window, not a 3-partition one:\n"
+        + p.take(2000))
+    // RangeRank's internal offsets join broadcasts an O(buckets)
+    // relation — fine; the rank-keyed REFERENCE join is corpus-sized
+    // on both sides and must shuffle
+    assert("BroadcastHashJoin \\[rn#".r.findFirstIn(p).isEmpty
+      && "ShuffledHashJoin \\[rn#".r.findFirstIn(p).isDefined,
+      "the rank-keyed reference join is corpus-sized on both sides:\n"
+        + p.take(2000))
+  }
+
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {
     val p = finalPlan("pca_power")
     assert(!p.contains("Exchange SinglePartition")
