@@ -27,7 +27,8 @@ object DevKernelDump {
     spark.stop()
   }
 
-  private def ujsonEscape(s: String): String =
+  /** Shared by the kernel-dump mains (this + [[DevPairKernelDump]]). */
+  private[graft] def ujsonEscape(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

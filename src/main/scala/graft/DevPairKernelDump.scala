@@ -21,19 +21,11 @@ object DevPairKernelDump {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/results.parquet")
     val sqlJson = kernels.map { case (name, (_, sql)) =>
-        s""""$name": ${jsonEscape(sql)}""" }.mkString("{", ",\n", "}")
+        s""""$name": ${DevKernelDump.ujsonEscape(sql)}""" }
+      .mkString("{", ",\n", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "kernel_sql.json"),
       sqlJson.getBytes("UTF-8"))
     spark.stop()
   }
-
-  private def jsonEscape(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 }

@@ -259,6 +259,12 @@ object Multimodal {
       png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(png))
+    // ImageIO.read returns NULL (no exception) when no reader claims
+    // the bytes — fail with the sample's identity, not a bare NPE, so
+    // a tar-framing or shard-corruption bug is diagnosable
+    if (back == null) throw new IllegalArgumentException(
+      s"image_decode: doc $d payload (${png.length} bytes, " +
+        s"png_signature=$valid) is not decodable by any registered reader")
     val (bw, bh) = (back.getWidth, back.getHeight)
     var (sr, sg, sb, ck, half) = (0L, 0L, 0L, 0L, 0L)
     val (hw, hh) = (bw / 2, bh / 2)

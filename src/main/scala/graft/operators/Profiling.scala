@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Op, Tables}
 
 /** Table profiling — the data-quality report every ingest pipeline
@@ -132,7 +133,12 @@ object Profiling {
     val perBucket = perKey.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
-        max(col("cnt") * lit(1000000000000L) + col("key")).as("packed"))
+        // DECIMAL(38) packing, not Long: a hot key past ~9.2M rows —
+        // exactly the skew this report exists to find — would overflow
+        // cnt·10¹² in 64 bits (ANSI throw or silent wrap); 38 digits
+        // hold any real cnt (≤ corpus rows) times 10¹² with room
+        max(col("cnt").cast(DecimalType(38, 0)) * lit(1000000000000L)
+          + col("key")).as("packed"))
     val totals = perBucket.agg(
       sum(col("n_rows")).as("total_rows"),
       max(col("n_rows")).as("max_rows"),
@@ -142,10 +148,10 @@ object Profiling {
         col("bucket"),
         col("n_rows"),
         col("n_keys"),
-        // integral div, NOT `/`: Spark's / on longs is DOUBLE division,
-        // which stops being exact once packed passes 2^53 at scale
-        expr("packed div 1000000000000").as("heaviest_rows"),
-        (col("packed") % lit(1000000000000L)).as("heaviest_key"),
+        // integral div on the DECIMAL, NOT `/`: double division stops
+        // being exact once packed passes 2^53 at scale
+        expr("CAST(packed div 1000000000000 AS BIGINT)").as("heaviest_rows"),
+        (col("packed") % lit(1000000000000L)).cast("long").as("heaviest_key"),
         round(col("n_rows").cast("double") / col("total_rows"), 9)
           .as("load_share"),
         round(col("max_rows").cast("double") * col("n_buckets") / col("total_rows"), 9)
@@ -161,7 +167,7 @@ object Profiling {
        |b AS (
        |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
        |    count(*) AS n_keys,
-       |    MAX(cnt * 1000000000000 + key) AS packed
+       |    MAX(CAST(cnt AS HUGEINT) * 1000000000000 + key) AS packed
        |  FROM k GROUP BY bucket),
        |t AS (
        |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,

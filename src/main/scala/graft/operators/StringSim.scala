@@ -29,7 +29,12 @@ object StringSim {
       .select(col("p_name").as("name"))
       .where(length(col("name")) > 0)
       .distinct()
-      .select(col("name"), split(col("name"), " ").getItem(1).as("block"))
+      // coalesce to '': a single-token name has no second token, and
+      // the two engines disagree about what that means (Spark getItem
+      // -> NULL drops the name from the equi-join; DuckDB split_part
+      // -> '' groups them) — pin the DuckDB semantics explicitly
+      .select(col("name"),
+        coalesce(split(col("name"), " ").getItem(1), lit("")).as("block"))
     // shuffle_hash: both sides are the corpus-derived distinct name
     // vocabulary — catalog-sized here but it GROWS with the catalog, so
     // never let fixture-scale AQE bake a broadcast into the shape

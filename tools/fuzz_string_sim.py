@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Cross-ENGINE fuzz of the string-similarity pair kernels (jaro,
-jaro-winkler, damerau-levenshtein, char-jaccard, hamming, plus Spark's
-builtin levenshtein as a control): generate adversarial string pairs,
+jaro-winkler, damerau-levenshtein, char-jaccard, hamming, and graft's
+lev_bytes — NOT Spark's builtin levenshtein, which walks code points
+where DuckDB walks bytes and legitimately diffs on every multibyte
+pair; lev_bytes exists because this tool proved that): generate
+adversarial string pairs,
 run them through the Spark Catalyst expressions (graft.DevPairKernelDump)
 AND through DuckDB's builtins of the same name, and diff row-for-row.
 
