@@ -24,23 +24,28 @@ import graft.functions.GraftFunctions._
   */
 object StringSim {
 
-  def stringSimPack(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
+  /** Distinct name vocabulary with its blocking key (the name's noun
+    * token). Coalesce to '': a single-token name has no second token,
+    * and the two engines disagree about what that means (Spark getItem
+    * -> NULL drops the name from the equi-join; DuckDB split_part
+    * -> '' groups them) — pin the DuckDB semantics explicitly.
+    */
+  private def names(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .select(col("p_name").as("name"))
       .where(length(col("name")) > 0)
       .distinct()
-      // coalesce to '': a single-token name has no second token, and
-      // the two engines disagree about what that means (Spark getItem
-      // -> NULL drops the name from the equi-join; DuckDB split_part
-      // -> '' groups them) — pin the DuckDB semantics explicitly
       .select(col("name"),
         coalesce(split(col("name"), " ").getItem(1), lit("")).as("block"))
+
+  def stringSimPack(spark: SparkSession, dir: String): DataFrame = {
+    val nm = names(spark, dir)
     // shuffle_hash: both sides are the corpus-derived distinct name
     // vocabulary — catalog-sized here but it GROWS with the catalog, so
     // never let fixture-scale AQE bake a broadcast into the shape
-    val a = names.select(col("block"), col("name").as("name_a"))
+    val a = nm.select(col("block"), col("name").as("name_a"))
       .hint("shuffle_hash")
-    val b = names.select(col("block").as("block_b"), col("name").as("name_b"))
+    val b = nm.select(col("block").as("block_b"), col("name").as("name_b"))
     a.join(b, col("block") === col("block_b") && col("name_a") < col("name_b"))
       .select(
         col("block"), col("name_a"), col("name_b"),
@@ -74,6 +79,78 @@ object StringSim {
       |       THEN CAST(hamming(a.name, b.name) AS BIGINT) END AS hamming
       |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name""".stripMargin
 
+  /** End-to-end entity resolution: blocking → fuzzy scoring →
+    * transitive closure → canonical election. Matched pairs (same
+    * block, Jaro-Winkler ≥ 0.9 — the kernel is bit-exact across
+    * engines, so the membership boundary cannot flip) become edges of
+    * an undirected graph over hash-identified names; components
+    * collapse via the alternating-star contraction
+    * ([[Clustering.connectedComponentsStar]], O(log²) rounds — never
+    * diameter-bounded), and each entity elects its lexicographically
+    * smallest member name as the canonical spelling. On the fixture
+    * this resolves the "cold widget"/"old widget" near-dup families.
+    *
+    * Scale shape: the pair scoring reuses [[stringSimPack]]'s blocked
+    * shuffle-hash join; the component relation is MATCH-bounded (≪
+    * the vocabulary, which is ≪ the corpus), so its join back to
+    * names broadcasts — the [[Clustering.dedupCanonical]] precedent.
+    * Node ids are the portable 60-bit hash of the name (mirrored in
+    * the oracle; collision probability over a catalog-sized
+    * vocabulary is ~|V|²/2⁶¹).
+    */
+  def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val nm = names(spark, dir)
+    val a = nm.select(col("block"), col("name").as("name_a"))
+      .hint("shuffle_hash")
+    val b = nm.select(col("block").as("block_b"), col("name").as("name_b"))
+    val matched = a
+      .join(b, col("block") === col("block_b") && col("name_a") < col("name_b"))
+      .where(jaro_winkler_sim(col("name_a"), col("name_b")) >= 0.9)
+    val edges = matched.select(
+      CrossHash.hash60(col("name_a")).as("src"),
+      CrossHash.hash60(col("name_b")).as("dst"))
+    val comp = Clustering.connectedComponentsStar(edges)
+    val labeled = nm.select(col("name"), CrossHash.hash60(col("name")).as("node"))
+      .join(broadcast(comp), Seq("node"))
+    val entities = labeled.groupBy(col("component"))
+      .agg(min(col("name")).as("entity"), count(lit(1)).as("n_members"))
+    labeled.join(broadcast(entities), Seq("component"))
+      .select(col("name"), col("entity"), col("n_members"))
+  }
+
+  private val fuzzyLinkageSql = {
+    import graft.functions.CrossHash
+    val hA = CrossHash.hash60Sql("na")
+    val hB = CrossHash.hash60Sql("nb")
+    val hN = CrossHash.hash60Sql("name")
+    s"""WITH RECURSIVE names AS (
+       |  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS block
+       |  FROM part WHERE length(p_name) > 0),
+       |pairs AS (
+       |  SELECT a.name AS na, b.name AS nb
+       |  FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+       |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+       |e0 AS (SELECT $hA AS src, $hB AS dst FROM pairs),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS node, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |labeled AS (
+       |  SELECT i.name, c.component
+       |  FROM (SELECT name, $hN AS node FROM names) i
+       |  JOIN comp c USING (node)),
+       |ent AS (
+       |  SELECT component, min(name) AS entity, count(*) AS n_members
+       |  FROM labeled GROUP BY component)
+       |SELECT l.name, e.entity, CAST(e.n_members AS BIGINT) AS n_members
+       |FROM labeled l JOIN ent e USING (component)""".stripMargin
+  }
+
   /** Pair kernels for the cross-engine fuzz (tools/fuzz_string_sim.py
     * via [[graft.DevPairKernelDump]]): Spark Column kernel + the DuckDB
     * expression over columns `a`,`b` computing the identical value.
@@ -100,5 +177,6 @@ object StringSim {
 
   val ops: Seq[Op] = Seq(
     Op("string_sim_pack", stringSimPack, Some(stringSimPackSql)),
+    Op("fuzzy_linkage", fuzzyLinkage, Some(fuzzyLinkageSql)),
   )
 }
