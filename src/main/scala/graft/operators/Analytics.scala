@@ -621,6 +621,47 @@ object Analytics {
       |  count(*) < 5 AS at_risk
       |FROM customer GROUP BY 1, 2""".stripMargin
 
+  /** l-diversity over the same quasi-identifier classes as
+    * [[kAnonymity]]: k-anonymity alone fails the homogeneity attack —
+    * a class of 50 customers all sharing one sensitive value leaks it
+    * for every member despite k=50. Per (nation, segment) class this
+    * reports the number of DISTINCT sensitive values (the l), the most
+    * common value's share (the homogeneity-attack success rate), and
+    * the at-risk flag (l < 3 or a dominant value above 80%). The
+    * sensitive attribute is the coarse account-balance band — the
+    * standard formulation needs a categorical attribute, and banding
+    * is integer arithmetic both engines share. Two-level aggregation,
+    * both keyed corpus-wide; the per-class rollup is
+    * |classes|-bounded output, not a parallelism bug.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("band"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).cast("long").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        round(max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"), 9)
+          .as("top_share"))
+      .withColumn("at_risk",
+        col("l_distinct") < 3 || col("top_share") > 0.8)
+
+  private val lDiversitySql =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(SUM(cnt) AS BIGINT) AS class_size,
+      |  count(*) AS l_distinct,
+      |  round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9)
+      |    AS top_share,
+      |  count(*) < 3 OR
+      |    round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9) > 0.8
+      |    AS at_risk
+      |FROM (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Month-over-month revenue report: exact decimal monthly totals
     * with the previous month's total and the percentage change — the
     * BI staple that composes date_trunc, an exact aggregate, and an
@@ -1093,6 +1134,7 @@ object Analytics {
     Op("window_nth", windowNth, Some(windowNthSql)),
     Op("date_dim", dateDim, Some(dateDimSql)),
     Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Op("l_diversity", lDiversity, Some(lDiversitySql)),
     Op("recursive_cte", recursiveCte, Some(recursiveCteSql)),
     Op("decile_lift", decileLift, Some(decileLiftSql)),
     Op("mom_revenue", momRevenue, Some(momRevenueSql)),

@@ -721,7 +721,76 @@ object Stats {
       |SELECT feature, rid, value, CAST(rn AS BIGINT) AS rn, normalized
       |FROM r JOIN d USING (rn)""".stripMargin
 
+  /** Distributed Poisson bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google 2012 — published
+    * method): classical resampling needs n draws WITH replacement —
+    * inherently sequential — but each row's multiplicity in a
+    * replicate is ≈ Poisson(1), independent per row, so B replicate
+    * estimates come from ONE scan with per-(row, replicate) weights.
+    * The weight is the Poisson(1) inverse CDF over the portable-hash
+    * coin (integer cutoffs = ⌊CDF·10⁶⌋, spelled as literals — exact in
+    * both engines, the importance_sample discipline); the replicate
+    * mean is a DECIMAL-exact weighted sum with one final division.
+    * The CI is the empirical quantile band of the 32 replicate means —
+    * left to the consumer (32 rows), as a mixed-grain output would be.
+    *
+    * Scale shape: one projection ×32 replicates (row-local explode),
+    * one exchange into 32 groups with map-side partials. No sort, no
+    * join, no per-replicate pass.
+    */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val reps = Tables.lineitem(spark, dir)
+      .where(col("l_extendedprice").isNotNull)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("x"))
+      .select(col("rid"), col("x"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u", graft.functions.CrossHash.hash60Seeded(
+        col("rid").cast("string"), 20260815) .bitwiseXOR(col("b") * 2654435761L)
+        .cast("long"))
+    // NOTE: seeding per replicate must vary the HASH INPUT, not xor
+    // the output bits (xor of a truncated hash is still uniform but
+    // the oracle must mirror it exactly) — spelled identically in SQL
+    val weighted = reps
+      .withColumn("u6", pmod(col("u"), lit(1000000L)))
+      .withColumn("w", when(col("u6") < 367879, 0)
+        .when(col("u6") < 735758, 1)
+        .when(col("u6") < 919698, 2)
+        .when(col("u6") < 981011, 3)
+        .when(col("u6") < 996340, 4)
+        .otherwise(5))
+    weighted.groupBy(col("b"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        (sum(col("w") * col("x")).cast("double") /
+          sum(col("w")).cast("double")).as("mean_b"))
+      .select(col("b").cast("int").as("b"), col("n_eff"), col("mean_b"))
+  }
+
+  private val poissonBootstrapSql = {
+    val h = graft.functions.CrossHash.hash60SeededSql(
+      "CAST(rid AS VARCHAR)", 20260815)
+    s"""WITH base AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |reps AS (
+       |  SELECT rid, x, unnest(range(32)) AS b FROM base),
+       |u AS (
+       |  SELECT rid, x, b,
+       |    (xor($h, b * 2654435761) % 1000000 + 1000000) % 1000000 AS u6
+       |  FROM reps),
+       |w AS (
+       |  SELECT b, x,
+       |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735758 THEN 1
+       |         WHEN u6 < 919698 THEN 2 WHEN u6 < 981011 THEN 3
+       |         WHEN u6 < 996340 THEN 4 ELSE 5 END AS w
+       |  FROM u)
+       |SELECT CAST(b AS INTEGER) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+       |FROM w GROUP BY b""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("poisson_bootstrap", poissonBootstrap, Some(poissonBootstrapSql)),
     Op("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Op("gini_index", giniIndex, Some(giniIndexSql)),
     Op("benford_digits", benfordDigits, Some(benfordDigitsSql)),
