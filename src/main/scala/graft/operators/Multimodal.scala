@@ -13,12 +13,14 @@ import graft.{Op, Tables}
   * row, oracle-checked through PNG's lossless round-trip identity.
   * AUDIO decode is REAL too — [[audioDecode]] round-trips 16-bit PCM
   * through the JDK's RIFF/WAVE codec (`javax.sound.sampled`).
-  * VIDEO codecs are genuinely absent (no JDK video support, no native
-  * libraries in the container), so [[decodeBatch]] keeps a
-  * clearly-marked deterministic fake (byte-level arithmetic standing
-  * in for frame decode) inside the real plumbing — binary schema,
-  * metadata struct, per-frame explode shape, typed mapPartitions
-  * batch path — that a codec would slot into.
+  * VIDEO decode is real at the Motion-JPEG level — [[videoDecode]]
+  * parses a real RIFF/AVI container ([[graft.functions.AviMjpeg]])
+  * and decodes every frame with the JDK JPEG codec; only a DEDICATED
+  * inter-frame video codec (H.264-class) is absent from the
+  * container. [[decodeBatch]] keeps its clearly-marked deterministic
+  * fake as the generic plumbing exhibit — binary schema, metadata
+  * struct, per-frame explode shape, typed mapPartitions batch path —
+  * that an arbitrary native codec would slot into.
   */
 object Multimodal {
 
@@ -432,6 +434,106 @@ object Multimodal {
       |  CAST(SUM(smp * (i + 1)) AS BIGINT) AS smp_checksum
       |FROM v GROUP BY doc_id, n""".stripMargin
 
+  final case class VideoFeat(doc_id: Long, container_ok: Boolean,
+      n_frames: Long, width: Int, height: Int, frames_decoded: Long,
+      brightness_ok: Boolean)
+
+  /** REAL video decode: Motion-JPEG in a RIFF/AVI container — the
+    * webcam/capture format whose container is plain chunk framing
+    * ([[graft.functions.AviMjpeg]], dependency-free) and whose frames
+    * are JPEGs the JDK codec decodes. Per document: deterministic
+    * smooth grayscale frames are JPEG-ENCODED, wrapped into a real
+    * AVI, then the bytes are PARSED back through the chunk walk and
+    * every frame DECODED with `ImageIO.read`. Exact facts (container
+    * signature, frame count, dimensions) are oracle-hashed directly;
+    * the lossy brightness feature uses the tolerance-band pattern —
+    * the engine emits its own verdict (every decoded frame's mean
+    * within ±8 of the closed-form model; JPEG on smooth gray content
+    * drifts ~1-2), the oracle expects literal TRUE. With this, every
+    * modality has a real codec path; only a DEDICATED video codec
+    * (H.264-class inter-frame compression) remains absent from the
+    * container. Exchange-free scan-parallel, like every codec stage.
+    */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[ImgIn]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { in =>
+          val d = in.doc_id
+          val nf = (3 + d % 4).toInt
+          val w = (16 + (d % 2) * 8).toInt
+          val h = 16
+          def pixel(f: Int, x: Int, y: Int): Int =
+            ((d * 3 + x * 2 + y * 2 + f * 5) % 200 + 28).toInt
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = pixel(f, x, y)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val avi = graft.functions.AviMjpeg.write(frames, w, h)
+          // ---- decode side: every feature comes from the BYTES ----
+          val ok = graft.functions.AviMjpeg.isAvi(avi)
+          val parsed = graft.functions.AviMjpeg.readFrames(avi)
+          var decoded = 0L
+          var (bw, bh) = (0, 0)
+          var bright = true
+          parsed.zipWithIndex.foreach { case (jpeg, f) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            if (img != null) {
+              decoded += 1
+              bw = img.getWidth; bh = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = sum.toDouble / (img.getWidth * img.getHeight)
+              var model = 0L
+              y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { model += pixel(f, x, y); x += 1 }
+                y += 1
+              }
+              val modelMean = model.toDouble / (w * h)
+              if (math.abs(mean - modelMean) > 8.0) bright = false
+            }
+          }
+          VideoFeat(d, ok, parsed.length.toLong, bw, bh, decoded, bright)
+        }
+      }.toDF()
+  }
+
+  private val videoDecodeSql =
+    """SELECT doc_id,
+      |  TRUE AS container_ok,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+      |  CAST(16 + (doc_id % 2) * 8 AS INTEGER) AS width,
+      |  CAST(16 AS INTEGER) AS height,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS frames_decoded,
+      |  TRUE AS brightness_ok
+      |FROM documents""".stripMargin
+
   final case class DocMedia(doc_id: Long, text: String, lang: String,
       source: String)
 
@@ -509,6 +611,7 @@ object Multimodal {
     Op("image_decode", imageDecode, Some(imageDecodeSql)),
     Op("image_shard_pipeline", imageShardPipeline, Some(imageShardPipelineSql)),
     Op("audio_decode", audioDecode, Some(audioDecodeSql)),
+    Op("video_decode", videoDecode, Some(videoDecodeSql)),
     Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

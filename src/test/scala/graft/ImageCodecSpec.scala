@@ -73,6 +73,40 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(row.getLong(4) == sumAbs && row.getLong(7) == ck)
   }
 
+  test("AVI parser walks chunk framing — junk chunks skipped, corruption fatal") {
+    import graft.functions.AviMjpeg
+    val frame = Array.tabulate[Byte](64)(i => i.toByte)
+    val avi = AviMjpeg.write(Seq(frame, frame, frame), 8, 8)
+    assert(AviMjpeg.isAvi(avi))
+    assert(AviMjpeg.readFrames(avi).map(_.toSeq) == Seq.fill(3)(frame.toSeq))
+    // a foreign top-level chunk BEFORE movi must be walked over, not
+    // tripped over — proves the parser never assumes fixed offsets
+    // size 10 is even — RIFF pads only odd-sized bodies, so none here
+    val junkBody = Array.fill[Byte](10)(0x55)
+    val padded = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 0, 0) ++ junkBody
+    val hdrlEnd = {
+      // locate end of the hdrl LIST (first LIST after the 12-byte header)
+      val size = (avi(16) & 0xff) | ((avi(17) & 0xff) << 8) |
+        ((avi(18) & 0xff) << 16) | ((avi(19) & 0xff) << 24)
+      12 + 8 + size
+    }
+    val withJunk = avi.slice(0, 4) ++ {
+      val newLen = (avi.length - 8) + padded.length
+      Array((newLen & 0xff).toByte, ((newLen >> 8) & 0xff).toByte,
+        ((newLen >> 16) & 0xff).toByte, ((newLen >> 24) & 0xff).toByte)
+    } ++ avi.slice(8, hdrlEnd) ++ padded ++ avi.slice(hdrlEnd, avi.length)
+    assert(AviMjpeg.readFrames(withJunk).length == 3,
+      "parser must skip unknown chunks by their declared size")
+    // corrupting the movi list type must fail loudly, not return junk
+    val broken = withJunk.clone()
+    val moviAt = withJunk.indexOfSlice("movi".getBytes("US-ASCII"))
+    broken(moviAt) = 'x'
+    intercept[IllegalArgumentException] { AviMjpeg.readFrames(broken) }
+    // non-AVI bytes are rejected at the signature
+    assert(!AviMjpeg.isAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
+  }
+
   test("the container's JDK really ships lossy codecs too (JPEG)") {
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
