@@ -54,6 +54,29 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query outputs array/struct/map columns (canonizer guard)") {
+    // The driver's DuckDB-compare canonizer sorts result cells with
+    // pandas and crashes on nested values ("unhashable numpy.ndarray")
+    // — hit three times (r1 multimodal_decode_batch, r5 array_hof/
+    // inverted_index, r7 embedding_whiten). Close the class: every
+    // oracle-carrying op must emit scalar columns only. Ops without an
+    // oracle never reach the canonizer, so they may stay nested.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+    val spark = Sessions.build("graft-test", "4")
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.allOps.filter(_.oracle.nonEmpty).flatMap { op =>
+      val nested = op.run(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[ST] => f.name
+      }
+      if (nested.isEmpty) None else Some(s"${op.name}(${nested.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"oracle-carrying ops with nested output columns: $offenders")
+  }
+
   test("driver entry smoke: flagship query returns rows at sf0.001") {
     val spark = Sessions.build("graft-test", "4")
     spark.sparkContext.setLogLevel("WARN")
