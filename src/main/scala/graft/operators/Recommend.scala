@@ -13,8 +13,9 @@ import graft.{Op, Tables}
   * Scale shapes: both co-occurrence ops BLOCK on the grouping entity
   * (order / customer) — never all-pairs over items — via ONE
   * collect_set shuffle + in-group pair explode (the interaction_pairs
-  * discipline), and the pair exchange is PCY-pruned down to the
-  * threshold survivors (see pairCounts). Fan-out is bounded by basket
+  * discipline); a PCY candidate pass can prune the pair exchange for
+  * network-bound deployments (opt-in — see pairCounts and BENCH.md's
+  * r8 A/B). Fan-out is bounded by basket
   * size (≤ C(13,2)
   * pairs per order here, physically bounded by order volume
   * everywhere); per-user histories are quadratic, so users above the
@@ -29,9 +30,12 @@ import graft.{Op, Tables}
   */
 object Recommend {
 
-  /** Exact thresholded pair counts over per-entity item sets, with the
-    * PCY candidate pass (functions/PcyExpressions.scala) pruning the
-    * pair exchange: the in-group explode emits each a<b pair, a
+  /** Exact thresholded pair counts over per-entity item sets: the
+    * in-group explode emits each a<b pair once (`pair_structs`, one
+    * codegen'd kernel), shuffled on (ia, ib) into the exact count.
+    *
+    * `usePcy = true` adds the PCY candidate pass
+    * (functions/PcyExpressions.scala) pruning the pair exchange: a
     * map-side bucket sketch (one row, 2^bits saturating byte counters)
     * upper-bounds every pair's count, and only pairs whose bucket
     * reaches `minCount` are shuffled into the exact groupBy — the
@@ -40,20 +44,34 @@ object Recommend {
     * once and probed through a constant-reference codegen'd predicate
     * (NOT passed as a column: UnsafeRow.getBinary would re-copy the
     * whole array per probed row — measured as a multi-minute stall).
-    * At sf0.1 this cuts the CF pair shuffle from ~10.4M rows to ~400k;
-    * the ratio is the tail P(bucket ≥ minCount), which SHRINKS as
-    * bits are sized up with the data — the 100 TB shape.
+    * At sf0.1 this cuts the CF pair shuffle from ~10.4M rows to ~400k.
+    *
+    * DEFAULT IS DIRECT (r8 A/B, table in BENCH.md): the sketch pass
+    * re-runs the pair explode — the dominant CPU — and the measured
+    * trade is a ~0-45% slowdown at every local scale tried (sf0.1;
+    * 10× with shared catalog = low prune selectivity; 10× with scaled
+    * catalog = high prune selectivity). The saved shuffle rows are
+    * priced at ~0 on a single node; the crossover is a DEPLOYMENT
+    * property (network-bound shuffle on a real cluster), not a data
+    * property — pair volume alone never picked PCY in measurement —
+    * so the switch is an explicit opt-in (param / GRAFT_PCY=on), not
+    * a data-derived gate.
     */
   private[graft] def pairCounts(
-      sets0: DataFrame, minCount: Int, bits: Int = 23): DataFrame = {
+      sets0: DataFrame, minCount: Int, bits: Int = 23,
+      usePcy: Boolean = sys.env.get("GRAFT_PCY").contains("on"))
+      : DataFrame = {
     require(minCount >= 1 && minCount <= Byte.MaxValue,
       s"pairCounts: minCount must fit the sketch's byte counters, got $minCount")
-    // PCY pays for its extra pass only when the threshold prunes: a
-    // count-1 pair survives a t=2 prune whenever its bucket takes ONE
-    // more hit (1-e^-λ — no real selectivity at any sizing), while at
-    // t≥3 the tail P(Poisson(λ) ≥ t-1) collapses. Below the cutoff the
-    // direct exchange is strictly better at every scale.
-    if (minCount < 3) {
+    // PCY can pay only when the threshold prunes: a count-1 pair
+    // survives a t=2 prune whenever its bucket takes ONE more hit
+    // (1-e^-λ — no real selectivity at any sizing); t≥3 is where the
+    // tail P(Poisson(λ) ≥ t-1) collapses, so t<3 is always direct.
+    if (minCount < 3 || !usePcy) {
+      // NOT a groupBy-planned exchange: the explicit raw repartition
+      // beats map-side partial agg here (r8 A/B "direct-v2") — pairs
+      // are near-unique within a task, so the partial hash build
+      // reduces little and costs ~30% at 10× scale.
       val pairs = sets0
         .select(explode(call_function("pair_structs", col("items"))).as("p"))
         .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
@@ -141,9 +159,8 @@ object Recommend {
     // Generate each unordered pair ONCE (a<b), mirror after the count:
     // co-occurrence is symmetric, so this halves both the generated
     // rows and the pair shuffle, and the mirror runs over the tiny
-    // thresholded result. The pair exchange itself is PCY-pruned
-    // (see pairCounts): only pairs whose bucket bound reaches the
-    // support threshold are shuffled to the exact count.
+    // thresholded result. minCount=2 always takes pairCounts' direct
+    // path — a t=2 prune has no selectivity (see pairCounts).
     val half = Recommend.pairCounts(sets, minCount = 2)
       .withColumnRenamed("co", "pair_cnt")
     val co = half.select(col("ia").as("ante"), col("ib").as("cons"),
@@ -192,7 +209,16 @@ object Recommend {
     * rounded 1e-9, RANKED ON THE ROUNDED VALUE so both engines break
     * ties identically.
     */
-  def itemItemCosine(spark: SparkSession, dir: String): DataFrame = {
+  def itemItemCosine(spark: SparkSession, dir: String): DataFrame =
+    itemItemCosine(spark, dir,
+      usePcy = sys.env.get("GRAFT_PCY").contains("on"))
+
+  /** `usePcy` opts into the PCY sketch pass for network-bound
+    * deployments (see BENCH.md's PCY A/B table for the measured
+    * trade; default direct).
+    */
+  def itemItemCosine(spark: SparkSession, dir: String,
+      usePcy: Boolean): DataFrame = {
     // One shuffle on u; min_k_distinct dedups (u, i) during partial
     // agg IN an O(61) buffer — the 61st smallest item only proves the
     // history exceeds 60, so the size() gate below is the same
@@ -210,7 +236,7 @@ object Recommend {
       .where(size(col("items")) <= 60)
     val itemCnt = sets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val co = Recommend.pairCounts(sets, minCount = 4)
+    val co = Recommend.pairCounts(sets, minCount = 4, usePcy = usePcy)
       .select(col("ia").as("item_a"), col("ib").as("item_b"), col("co"))
     val scored = co
       .join(itemCnt.withColumnRenamed("i", "item_a")

@@ -42,7 +42,7 @@ class PcySpec extends AnyFunSuite {
     val sets = mkSets(entities = 300, itemsPer = 12, vocab = 80)
     for (min <- Seq(1, 2, 4, 9)) {
       val direct = directCounts(sets, min)
-      val pruned = graft.operators.Recommend.pairCounts(sets, min)
+      val pruned = graft.operators.Recommend.pairCounts(sets, min, usePcy = true)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(pruned == direct, s"mismatch at min=$min")
     }
@@ -54,7 +54,7 @@ class PcySpec extends AnyFunSuite {
     // 2^8 buckets for thousands of distinct pairs: nearly every bucket
     // aggregates many pairs, so the prune keeps almost everything —
     // but the exact post-count must still match exactly
-    val pruned = graft.operators.Recommend.pairCounts(sets, 3, bits = 8)
+    val pruned = graft.operators.Recommend.pairCounts(sets, 3, bits = 8, usePcy = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pruned == direct)
   }
@@ -65,7 +65,7 @@ class PcySpec extends AnyFunSuite {
     // far above any threshold that fits the byte counters
     val sets = (0 until 400).map(e => (e.toLong, Seq(7L, 9L)))
       .toDF("u", "items")
-    val got = graft.operators.Recommend.pairCounts(sets, 100, bits = 8).collect()
+    val got = graft.operators.Recommend.pairCounts(sets, 100, bits = 8, usePcy = true).collect()
     assert(got.length == 1)
     assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2)) == (7L, 9L, 400L))
   }

@@ -315,8 +315,28 @@ class PlanContractSpec extends AnyFunSuite {
       "exactly two corpus exchanges: gram postings + doc-pair agg:\n" + p.take(2000))
   }
 
-  test("item_item_cosine: PCY prune sits below the pair exchange") {
+  test("item_item_cosine (default): direct pair exchange, single explode, no sketch pass") {
+    // r8 A/B (BENCH.md): the PCY sketch pass re-runs the pair explode
+    // — the dominant CPU — and measured 0-45% slower at every local
+    // scale in BOTH prune-selectivity regimes, so the DEFAULT plan is
+    // the direct exchange. A second sketch pass appearing here means
+    // the default regressed to opt-in-PCY.
     val p = finalPlan("item_item_cosine", "/root/testdata/sf0.01")
+    assert(!p.contains("pcy_prune") && !p.contains("pcy_sketch"),
+      "default must be the direct path — PCY is opt-in:\n" + p.take(2000))
+    assert(count(p, "Generate explode") == 2,
+      "ONE pair explode + the itemCnt explode — a 3rd means a " +
+        "duplicated pair pass:\n" + p.take(2000))
+    assert(count(p, "Exchange hashpartitioning(ia") == 1,
+      "exactly one pair exchange:\n" + p.take(2000))
+  }
+
+  test("item_item_cosine (usePcy): prune sits below the pair exchange") {
+    val df = operators.Recommend
+      .itemItemCosine(spark, "/root/testdata/sf0.01", usePcy = true)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     val pruneIdx = p.indexOf("pcy_prune")
     assert(pruneIdx >= 0, "the PCY candidate filter must be in the executed plan")
     // the prune must run MAP-side of the pair repartition: the filter
