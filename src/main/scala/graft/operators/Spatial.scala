@@ -204,6 +204,69 @@ object Spatial {
       .withColumn("c_lon", h3_center_lon(col("h3index_15")))
   }
 
+  /** Scorecard form of [[h3Cells]] (r8, VERDICT r7 #4): H3 is not
+    * SQL-expressible, so the rows-only row is converted to a
+    * hash-comparable one — oracle-expressible anchors (event_id, lat,
+    * lon) ride next to ENGINE-VERIFIED invariant booleans, and the
+    * oracle emits the same anchors with literal TRUEs. Any H3 kernel
+    * regression flips a boolean and the row hash goes red in the
+    * driver artifact instead of recording "no_oracle". Invariants:
+    * resolution encoding; hierarchy (the res-15 cell's parent is the
+    * direct res-12 index or its neighbor — exact equality does NOT
+    * hold near cell boundaries, the published H3 hierarchy caveat);
+    * bit-exact center round-trip (H3Spec pins it per-res globally);
+    * center proximity (res-15 cells are ~1 m — 0.001°/0.01° bounds
+    * are ~100×). A golden block (event_id −9) pins the H3 docs' SF
+    * worked example — cell id, parent id, decoded center, 1-ring —
+    * so published-vector bit-compatibility itself is in the scorecard.
+    */
+  def h3CellsVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val base = h3Cells(spark, dir)
+    val corpus = base.select(
+      col("event_id"), col("lat"), col("lon"),
+      (h3_resolution(col("h3index_15")) === 15 &&
+        h3_resolution(col("h3index_12")) === 12 &&
+        h3_resolution(col("parent12")) === 12).as("res_ok"),
+      h3_grid_distance(col("h3index_12"), col("parent12"))
+        .between(0, 1).as("hier_ok"),
+      (h3_index(col("c_lat"), col("c_lon"), lit(15)) === col("h3index_15"))
+        .as("roundtrip_ok"),
+      (abs(col("c_lat") - col("lat")) <= 0.001 &&
+        least(abs(col("c_lon") - col("lon")),
+          lit(360.0) - abs(col("c_lon") - col("lon"))) <= 0.01).as("center_ok"),
+      lit(true).as("golden_ok"))
+    val sfCell = "8928308280fffff"
+    val ring = Seq("8928308280fffff", "8928308280bffff", "89283082873ffff",
+      "89283082877ffff", "8928308283bffff", "89283082807ffff",
+      "89283082803ffff")
+    val golden = spark.range(1).select(
+      lit(-9L).as("event_id"), lit(GoldenSfLat).as("lat"),
+      lit(GoldenSfLon).as("lon"),
+      lit(true).as("res_ok"), lit(true).as("hier_ok"),
+      lit(true).as("roundtrip_ok"), lit(true).as("center_ok"),
+      (h3_index(lit(GoldenSfLat), lit(GoldenSfLon), lit(9)) === sfCell &&
+        h3_parent(lit(sfCell), lit(8)) === "8828308281fffff" &&
+        abs(h3_center_lat(lit(sfCell)) - 37.77670234943567) < 1e-9 &&
+        abs(h3_center_lon(lit(sfCell)) - (-122.41845932318311)) < 1e-9 &&
+        (array_sort(h3_kring(lit(sfCell), lit(1))) ===
+          array_sort(array(ring.map(lit(_)): _*)))).as("golden_ok"))
+    corpus.unionByName(golden)
+  }
+
+  /** The H3 docs' worked example point (latLngToCell → 8928308280fffff). */
+  private val GoldenSfLat = 37.7752702151959257
+  private val GoldenSfLon = -122.418307270836565
+
+  private val h3CellsVerdictSql =
+    s"""SELECT event_id, (value % 120.0) - 60.0 AS lat,
+       |  CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+       |  true AS res_ok, true AS hier_ok, true AS roundtrip_ok,
+       |  true AS center_ok, true AS golden_ok
+       |FROM events
+       |UNION ALL
+       |SELECT CAST(-9 AS BIGINT), CAST('$GoldenSfLat' AS DOUBLE),
+       |  CAST('$GoldenSfLon' AS DOUBLE), true, true, true, true, true""".stripMargin
+
   /** Radius of gyration on TRUE H3 grid distances + k-ring
     * neighborhood occupancy of each home cell — the reference's
     * RadiusOfGyrationHandler.py:139-140 h3_distance and
@@ -230,6 +293,41 @@ object Spatial {
         sqrt(col("sum_r2").cast("double") / col("n")).as("rg"))
     rg.withColumn("ring1_size", size(h3_kring(col("home_cell"), lit(1))))
   }
+
+  /** Scorecard form of [[h3Rg]] (r8, VERDICT r7 #4): per-device
+    * anchor (caid, distinct point count — both oracle-expressible)
+    * plus engine-verified invariants — visited-cell count bounded by
+    * the point count (a cell is a function of its point), rg finite
+    * and non-negative, home 1-ring arity 6/7 (pentagon/hexagon). The
+    * exact rg VALUES are pinned by H3Spec's independent reference
+    * model; this row makes their structural sanity hash-comparable
+    * in the driver artifact.
+    */
+  def h3RgVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(col("user_id").as("caid"),
+        ((col("value") % 120.0) - 60.0).as("lat"),
+        (((col("event_id") % 3600).cast("double") / 10.0) - 180.0).as("lon"))
+    val nPts = pts.distinct()
+      .groupBy(col("caid")).agg(count(lit(1)).as("n_points"))
+    // both sides are device-cardinality (10⁷–10⁸ in production):
+    // pin shuffle-hash so fixture-scale AQE can't bake in a broadcast
+    h3Rg(spark, dir).join(nPts.hint("shuffle_hash"), Seq("caid"))
+      .select(col("caid"), col("n_points"),
+        (col("n") >= 1 && col("n") <= col("n_points")).as("n_ok"),
+        (col("rg").isNotNull && col("rg") >= 0.0 &&
+          !isnan(col("rg"))).as("rg_ok"),
+        col("ring1_size").isin(6, 7).as("ring_ok"))
+  }
+
+  private val h3RgVerdictSql =
+    """WITH pts AS (
+      |  SELECT DISTINCT user_id AS caid, (value % 120.0) - 60.0 AS lat,
+      |    CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+      |  FROM events)
+      |SELECT caid, CAST(count(*) AS BIGINT) AS n_points,
+      |  true AS n_ok, true AS rg_ok, true AS ring_ok
+      |FROM pts GROUP BY 1""".stripMargin
 
   /** F18: k-ring neighborhood explode (spatial imputer shape,
     * home_ageb_imputers.py:36-51): each cell expands to its 3k(k+1)+1
@@ -672,6 +770,66 @@ object Spatial {
         h3_boundary_wkt(col("cell")).as("boundary_wkt"),
         h3_is_pentagon(col("cell")).as("is_pentagon"))
 
+  /** Scorecard form of [[h3Boundary]] (r8, VERDICT r7 #4): the output
+    * is keyed by cell id — not oracle-expressible — so the registered
+    * query collapses to a FIXED five-row check summary (chk, ok), the
+    * one shape both engines can hash: ring closure, vertex arity
+    * (6/5 + closure by pentagon flag), every vertex within ~10× the
+    * res-7 circumradius of the decoded center, the center decoding
+    * back into its own cell, and the distinct-cell count bounded by
+    * the distinct-point count. All five aggregate corpus-wide with
+    * bool_and over row-local HOF parses of the WKT — one distinct
+    * exchange, two 1-row aggs, nothing corpus-sized collects.
+    */
+  def h3BoundaryChecks(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(((col("value") % 120.0) - 60.0).as("lat"),
+        (((col("event_id") % 3600).cast("double") / 10.0) - 180.0).as("lon"))
+    val b = pts
+      .select(h3_index(col("lat"), col("lon"), lit(7)).as("cell"))
+      .where(col("cell").isNotNull)
+      .distinct()
+      .select(col("cell"),
+        h3_boundary_wkt(col("cell")).as("wkt"),
+        h3_is_pentagon(col("cell")).as("pent"),
+        h3_center_lat(col("cell")).as("clat"),
+        h3_center_lon(col("cell")).as("clon"))
+      .withColumn("vs",
+        split(regexp_extract(col("wkt"), "^POLYGON\\(\\((.*)\\)\\)$", 1), ", "))
+      .withColumn("vlat", expr("transform(vs, s -> cast(split(s, ' ')[1] as double))"))
+      .withColumn("vlon", expr("transform(vs, s -> cast(split(s, ' ')[0] as double))"))
+    val checks = b.agg(
+      bool_and(element_at(col("vs"), 1) === element_at(col("vs"), -1))
+        .as("ring_closed"),
+      bool_and(size(col("vs")) === when(col("pent"), 6).otherwise(7))
+        .as("vertex_arity"),
+      bool_and(expr("forall(vlat, v -> abs(v - clat) <= 0.15)") &&
+        expr("forall(vlon, v -> least(abs(v - clon), 360.0 - abs(v - clon))" +
+          " <= 0.30)")).as("verts_near_center"),
+      bool_and(h3_index(col("clat"), col("clon"), lit(7)) === col("cell"))
+        .as("center_roundtrip"),
+      count(lit(1)).as("n_cells"))
+    val nPts = pts.distinct().agg(count(lit(1)).as("n_pts"))
+    checks.crossJoin(broadcast(nPts))
+      .select(explode(array(
+        struct(lit("ring_closed").as("chk"), col("ring_closed").as("ok")),
+        struct(lit("vertex_arity").as("chk"), col("vertex_arity").as("ok")),
+        struct(lit("verts_near_center").as("chk"),
+          col("verts_near_center").as("ok")),
+        struct(lit("center_roundtrip").as("chk"),
+          col("center_roundtrip").as("ok")),
+        struct(lit("cell_count_bounded").as("chk"),
+          (col("n_cells") >= 1 && col("n_cells") <= col("n_pts")).as("ok"))))
+        .as("c"))
+      .select(col("c.chk").as("chk"), col("c.ok").as("ok"))
+  }
+
+  private val h3BoundaryChecksSql =
+    """SELECT chk, ok FROM (VALUES
+      |  ('ring_closed', true), ('vertex_arity', true),
+      |  ('verts_near_center', true), ('center_roundtrip', true),
+      |  ('cell_count_bounded', true)) AS t(chk, ok)""".stripMargin
+
   /** H3 polyfill (polygonToCells, center-containment mode): the cells
     * of the municipio-style catalog polygons at res 4 — the step that
     * turns an admin boundary into a cell allowlist for joins against
@@ -734,11 +892,19 @@ object Spatial {
     * the plan triples per level and canonicalization OOMs — eager
     * localCheckpoint per round, the Clustering.scala iterative idiom.
     */
-  def h3Compact(spark: SparkSession, dir: String): DataFrame = {
-    val startRes = 5
-    var cur = h3Polyfill(spark, dir, res = startRes)
+  def h3Compact(spark: SparkSession, dir: String): DataFrame =
+    h3CompactFrom(h3Polyfill(spark, dir, res = 5)
       .select(col("poly_id"), col("cell"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+  /** Compaction over an already-materialized (poly_id, cell) covering
+    * at res 5 — split out so [[h3CompactChecks]] can verify the
+    * compacted set against the SAME base relation without running the
+    * polyfill twice.
+    */
+  private def h3CompactFrom(base: DataFrame): DataFrame = {
+    val startRes = 5
+    var cur = base
     for (r <- startRes to 1 by -1) {
       val lvl = cur.where(h3_resolution(col("cell")) === r)
         .withColumn("parent", h3_parent(col("cell"), lit(r - 1)))
@@ -756,6 +922,124 @@ object Spatial {
     cur.select(col("poly_id"), col("cell"),
       h3_resolution(col("cell")).as("res"))
   }
+
+  /** 16-row tile-bounds catalog (poly_id, x0, x1, y0, y1) matching
+    * [[polygonCatalog]] — x is lon, y is lat.
+    */
+  private def tileBounds(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (for { i <- 0 until 4; j <- 0 until 4 } yield
+      org.apache.spark.sql.Row(f"P_${i}%d_${j}%d",
+        5.0 * i + 0.005, 5.0 * i + 5.005,
+        5.0 * j + 0.005, 5.0 * j + 5.005)).asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("poly_id", StringType, nullable = false),
+      StructField("x0", DoubleType, nullable = false),
+      StructField("x1", DoubleType, nullable = false),
+      StructField("y0", DoubleType, nullable = false),
+      StructField("y1", DoubleType, nullable = false))))
+  }
+
+  private val tileIdsSql: String =
+    (for { i <- 0 until 4; j <- 0 until 4 } yield s"('P_${i}_${j}')")
+      .mkString(", ")
+
+  /** Scorecard form of [[h3Polyfill]] (r8, VERDICT r7 #4): the cell
+    * ids are not oracle-expressible, so the registered query emits
+    * one row per catalog polygon (poly_id IS oracle-expressible) with
+    * engine-verified invariants: COMPLETENESS — every corpus point in
+    * the polygon's 1°-shrunk interior (≥ one res-4 circumradius from
+    * any edge, so center-containment MUST cover it) indexes to a cell
+    * in the covering; cell-count within the geometric band a 5°×5°
+    * tile admits at res 4 (~170 avg-area cells; [60, 600] covers the
+    * ±hex-area spread with margin); uniform resolution. The exactness
+    * of individual cells is pinned by H3Spec; this row turns coverage
+    * regressions into driver-artifact hash flips.
+    */
+  def h3PolyfillChecks(spark: SparkSession, dir: String): DataFrame = {
+    val pf = h3Polyfill(spark, dir).select(col("poly_id"), col("cell"))
+    val interior = Tables.events(spark, dir)
+      .select(((col("value") % 120.0) - 60.0).as("lat"),
+        (((col("event_id") % 3600).cast("double") / 10.0) - 180.0).as("lon"))
+      .crossJoin(broadcast(tileBounds(spark)))
+      .where(col("lon") > col("x0") + 1.0 && col("lon") < col("x1") - 1.0 &&
+        col("lat") > col("y0") + 1.0 && col("lat") < col("y1") - 1.0)
+      .select(col("poly_id"),
+        h3_index(col("lat"), col("lon"), lit(4)).as("cell"))
+      .distinct()
+    val uncovered = interior
+      .join(pf, Seq("poly_id", "cell"), "left_anti")
+      .groupBy(col("poly_id")).agg(count(lit(1)).as("n_unmatched"))
+    val agg = pf.groupBy(col("poly_id")).agg(
+      count(lit(1)).as("n_cells"),
+      bool_and(h3_resolution(col("cell")) === 4).as("res4"))
+    tileBounds(spark).select(col("poly_id"))
+      .join(agg, Seq("poly_id"), "left")
+      .join(uncovered, Seq("poly_id"), "left")
+      .select(col("poly_id"),
+        (coalesce(col("n_unmatched"), lit(0L)) === 0).as("covers_ok"),
+        coalesce(col("n_cells").between(60, 600), lit(false)).as("n_band_ok"),
+        coalesce(col("res4"), lit(false)).as("res_ok"))
+  }
+
+  private val h3PolyfillChecksSql =
+    s"""SELECT poly_id, true AS covers_ok, true AS n_band_ok, true AS res_ok
+       |FROM (VALUES $tileIdsSql) AS t(poly_id)""".stripMargin
+
+  /** Scorecard form of [[h3Compact]] (r8, VERDICT r7 #4): per-polygon
+    * engine-verified invariants over the compacted covering vs the
+    * SAME materialized res-5 base — PARTITION (every base cell has
+    * exactly one ancestor-or-self in the compacted set: uncompact
+    * identity without needing children expansion), MINIMALITY (no
+    * complete sibling set survives — 7 children, 6 under a pentagon
+    * parent), and res ∈ [1,5] + non-emptiness. Each check is a
+    * co-keyed join/agg on (poly_id, cell); nothing collects.
+    */
+  def h3CompactChecks(spark: SparkSession, dir: String): DataFrame = {
+    val base = h3Polyfill(spark, dir, res = 5)
+      .select(col("poly_id"), col("cell"))
+      .localCheckpoint(true)
+    val comp = h3CompactFrom(base).select(
+      col("poly_id"), col("cell"), col("res"))
+    // ancestor-or-self candidates of each base cell at res 5..1
+    val anc = base.select(col("poly_id"), col("cell"),
+      explode(array(col("cell") +:
+        (1 to 4).map(r => h3_parent(col("cell"), lit(r))): _*)).as("anc"))
+    val matches = anc
+      .join(comp.select(col("poly_id"), col("cell").as("anc")),
+        Seq("poly_id", "anc"))
+      .groupBy(col("poly_id"), col("cell")).agg(count(lit(1)).as("m"))
+    val cover = base.join(matches, Seq("poly_id", "cell"), "left")
+      .groupBy(col("poly_id"))
+      .agg(bool_and(coalesce(col("m"), lit(0L)) === 1).as("cover_ok"))
+    val minimal = comp.where(h3_resolution(col("cell")) >= 2)
+      .select(col("poly_id"),
+        h3_parent(col("cell"), h3_resolution(col("cell")) - 1).as("parent"))
+      .groupBy(col("poly_id"), col("parent"))
+      .agg(count(lit(1)).as("nc"))
+      .select(col("poly_id"),
+        (col("nc") < when(h3_is_pentagon(col("parent")), 6).otherwise(7))
+          .as("ok"))
+      .groupBy(col("poly_id")).agg(bool_and(col("ok")).as("minimal_ok"))
+    val rr = comp.groupBy(col("poly_id")).agg(
+      bool_and(h3_resolution(col("cell")).between(1, 5)).as("res_in_range"),
+      count(lit(1)).as("n"))
+    tileBounds(spark).select(col("poly_id"))
+      .join(cover, Seq("poly_id"), "left")
+      .join(minimal, Seq("poly_id"), "left")
+      .join(rr, Seq("poly_id"), "left")
+      .select(col("poly_id"),
+        coalesce(col("cover_ok"), lit(false)).as("cover_ok"),
+        // vacuously true: a covering entirely at res 0/1 has no
+        // sibling groups to test (cannot happen over these tiles)
+        coalesce(col("minimal_ok"), lit(true)).as("minimal_ok"),
+        (coalesce(col("res_in_range"), lit(false)) &&
+          coalesce(col("n"), lit(0L)) >= 1).as("res_ok"))
+  }
+
+  private val h3CompactChecksSql =
+    s"""SELECT poly_id, true AS cover_ok, true AS minimal_ok, true AS res_ok
+       |FROM (VALUES $tileIdsSql) AS t(poly_id)""".stripMargin
 
   /** The 16 tile centers of [[polygonCatalog]] as a facility catalog
     * (id, cx, cy) — the nearest-facility dimension for [[geoKnnJoin]].
@@ -836,11 +1120,11 @@ object Spatial {
     Op("crs_lcc_param", crsLccParam, Some(crsLccParamSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
-    Op("h3_cells", h3Cells, None),
-    Op("h3_rg", h3Rg, None),
-    Op("h3_boundary", h3Boundary, None),
-    Op("h3_polyfill", (s, d) => h3Polyfill(s, d), None),
-    Op("h3_compact", h3Compact, None),
+    Op("h3_cells", h3CellsVerdict, Some(h3CellsVerdictSql)),
+    Op("h3_rg", h3RgVerdict, Some(h3RgVerdictSql)),
+    Op("h3_boundary", h3BoundaryChecks, Some(h3BoundaryChecksSql)),
+    Op("h3_polyfill", h3PolyfillChecks, Some(h3PolyfillChecksSql)),
+    Op("h3_compact", h3CompactChecks, Some(h3CompactChecksSql)),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
     Op("hex_rg", hexRg, Some(hexRgSql)),
   )
