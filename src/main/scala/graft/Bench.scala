@@ -67,21 +67,40 @@ object Bench {
     val flagged = timed.filter(_._3 > 5).map(_._1).toSet
     val retime: Set[String] =
       flagged ++ subtreeSiblings.filter(_.exists(flagged)).flatten
+    // Up to 3 recovery windows with a 5 s backoff between them: the r7
+    // artifact shipped both stall flags even though a recovery pass
+    // existed, because the ONE fresh window it took was itself inside
+    // the (multi-second) stall — a single retry has no better odds
+    // than the window it retries. Min accumulates across ALL windows
+    // (strictly tightening); the recorded spread is the stable
+    // window's MEASURED max/min (ADVICE r7: the previous literal 1.0
+    // erased the dispersion from the spreads report).
     val recovered = timed.map { case (name, t, s) =>
       if (!retime(name)) (name, t, s)
       else {
         val op = SparkEntry.benchQueries.find(_.name == name).get
-        val fresh = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          runOnce(op)
-          (System.nanoTime() - t0) / 1e9
+        var tMin = t
+        var spreadOut = s
+        var stable = false
+        var attempt = 0
+        while (attempt < 3 && !stable) {
+          attempt += 1
+          if (attempt > 1) Thread.sleep(5000)
+          val fresh = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            runOnce(op)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val fs = if (fresh.min > 0) fresh.max / fresh.min else Double.NaN
+          stable = fresh.min > 0 && fs <= 2.5
+          tMin = math.min(tMin, fresh.min)
+          if (stable) spreadOut = fs
+          System.err.println(f"[bench] retime ${name}%-21s attempt=$attempt " +
+            f"min=$tMin%.3f fresh=[${fresh.map(x => f"$x%.3f").mkString(", ")}]" +
+            f" spread=$fs%.1fx" +
+            (if (stable) " (stable — stall flag cleared)" else ""))
         }
-        val freshStable = fresh.min > 0 && fresh.max / fresh.min <= 2.5
-        val tMin = math.min(t, fresh.min)
-        System.err.println(f"[bench] retime ${name}%-21s min=$tMin%.3f " +
-          f"fresh=[${fresh.map(x => f"$x%.3f").mkString(", ")}]" +
-          (if (freshStable) " (stable — stall flag cleared)" else ""))
-        (name, tMin, if (freshStable) 1.0 else s)
+        (name, tMin, spreadOut)
       }
     }
     val results = recovered.map { case (n, t, _) => n -> t }

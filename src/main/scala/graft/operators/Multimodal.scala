@@ -24,6 +24,31 @@ import graft.{Op, Tables}
   */
 object Multimodal {
 
+  /** Tar-shard staging dirs, deleted recursively at JVM exit (ADVICE
+    * r7: bench min-of-N, stall-retime, and three-SF sweeps each mint a
+    * fresh dir — per-invocation freshness is correct, but unbounded
+    * /tmp growth across a long session is not). Deletion can't happen
+    * any earlier: the returned DataFrames are LAZY and may re-read the
+    * shards on every downstream action.
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val purgeHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.forEach { root =>
+        try {
+          import java.nio.file._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () } // best-effort at exit
+      }))
+  private def trackedTempDir(prefix: String): String = {
+    purgeHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    stagedDirs.add(p)
+    p.toString
+  }
+
   /** Media table: binary payload + typed metadata derived from
     * documents (UTF-8 bytes standing in for an encoded image).
     */
@@ -202,7 +227,7 @@ object Multimodal {
     // path could collide across fixture dirs or concurrent sessions,
     // and a still-lazy DataFrame from a prior call could read a
     // half-deleted directory
-    val out = java.nio.file.Files.createTempDirectory("graft_wds_").toString
+    val out = trackedTempDir("graft_wds_")
     graft.sources.WebDataset.writeShards(
       Tables.documents(spark, dir), out, samplesPerShard = 100)
     // the shard column is parsed from the ACTUAL tar file the sample
@@ -555,7 +580,7 @@ object Multimodal {
   def imageShardPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // fresh temp dir per invocation (the webdataset_roundtrip rationale)
-    val out = java.nio.file.Files.createTempDirectory("graft_imgwds_").toString
+    val out = trackedTempDir("graft_imgwds_")
     val withPng = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .as[DocMedia]

@@ -744,12 +744,16 @@ object Stats {
       .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("x"))
       .select(col("rid"), col("x"), explode(expr("sequence(0, 31)")).as("b"))
+      // seeding per replicate varies the HASH INPUT — hash(rid_b) —
+      // so replicate coins are independent draws, not 32 deterministic
+      // XOR transforms of one 60-bit value (ADVICE r7: the xor scheme
+      // made every replicate's multiplicity a function of the same
+      // hash, which biases the CI the bootstrap exists to estimate).
+      // Same (j, i) pair-hash idiom as random_projection's sign matrix;
+      // spelled identically in the oracle SQL.
       .withColumn("u", graft.functions.CrossHash.hash60Seeded(
-        col("rid").cast("string"), 20260815) .bitwiseXOR(col("b") * 2654435761L)
-        .cast("long"))
-    // NOTE: seeding per replicate must vary the HASH INPUT, not xor
-    // the output bits (xor of a truncated hash is still uniform but
-    // the oracle must mirror it exactly) — spelled identically in SQL
+        concat(col("rid").cast("string"), lit("_"), col("b").cast("string")),
+        20260815).cast("long"))
     val weighted = reps
       .withColumn("u6", pmod(col("u"), lit(1000000L)))
       .withColumn("w", when(col("u6") < 367879, 0)
@@ -767,7 +771,7 @@ object Stats {
 
   private val poissonBootstrapSql = {
     val h = graft.functions.CrossHash.hash60SeededSql(
-      "CAST(rid AS VARCHAR)", 20260815)
+      "CAST(rid AS VARCHAR) || '_' || CAST(b AS VARCHAR)", 20260815)
     s"""WITH base AS (
        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x
@@ -776,7 +780,7 @@ object Stats {
        |  SELECT rid, x, unnest(range(32)) AS b FROM base),
        |u AS (
        |  SELECT rid, x, b,
-       |    (xor($h, b * 2654435761) % 1000000 + 1000000) % 1000000 AS u6
+       |    ($h % 1000000 + 1000000) % 1000000 AS u6
        |  FROM reps),
        |w AS (
        |  SELECT b, x,

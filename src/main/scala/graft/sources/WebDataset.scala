@@ -40,6 +40,17 @@ object WebDataset {
     * entry per (BINARY column, extension) pair — `<doc_id>.<ext>` —
     * which is how real multimodal samples (`.png`, `.flac`, ...) ride
     * next to their captions in this layout.
+    *
+    * FILESYSTEM ASSUMPTION (ADVICE r7): shards are written
+    * executor-side with java.io into `outDir`, so driver and
+    * executors must share a filesystem — true in local mode and on
+    * shared-NFS clusters, NOT on HDFS/S3. The SHAPE (by-shard
+    * repartition, one sequential tar stream per shard, atomic
+    * tmp-then-rename publish) is the scale-correct part and survives
+    * a port of the byte sink to the Hadoop FileSystem API (create →
+    * rename), which is the deployment step for object-store output;
+    * the parallelism analysis in the class doc is about that shape,
+    * not this local byte sink.
     */
   def writeShards(df: DataFrame, outDir: String,
       samplesPerShard: Int = 100,

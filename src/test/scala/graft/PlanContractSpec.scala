@@ -615,6 +615,44 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("poisson_bootstrap: one replicate exchange, map-side partials, no join/sort") {
+    val p = finalPlan("poisson_bootstrap")
+    // one scan × 32 replicates (row-local explode) into ONE exchange
+    // on the replicate id with partial aggregation before it — the
+    // Chamandy one-pass shape; a join or sort here means someone
+    // reintroduced per-replicate resampling
+    assert(count(p, "Generate explode") == 1, p.take(2000))
+    assert(count(p, "Exchange hashpartitioning(b") == 1,
+      "exactly one exchange, on the replicate id:\n" + p.take(2000))
+    assert(p.contains("partial_sum"),
+      "replicate sums must combine map-side:\n" + p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Sort "), p.take(2000))
+  }
+
+  test("l_diversity: two keyed exchanges, nothing single-partitions") {
+    val p = finalPlan("l_diversity")
+    // band-level then class-level aggregation, each on its own group
+    // key; no window, no join, no global stage
+    assert(count(p, "Exchange hashpartitioning") == 2, p.take(2000))
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("fuzzy_linkage: no all-pairs path; only match-bounded relations broadcast") {
+    // the pair scoring itself reuses string_sim_pack's blocked
+    // shuffle-hash kernel (contracted above); the closure rounds run
+    // behind localCheckpoint cuts, so this contract pins the FINAL
+    // stage: no cartesian/BNLJ anywhere, and the only broadcasts are
+    // the match-bounded component/entity relations
+    val p = finalPlan("fuzzy_linkage")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // comp broadcasts twice (the labeled relation is consumed by both
+    // the entity election and the final projection) + entities once
+    assert(count(p, "BroadcastHashJoin") <= 3,
+      "only comp/entities (both match-bounded) may broadcast:\n" + p.take(2000))
+  }
+
   test("quantile_normalize: distributed ranks, corpus-sized join never broadcasts") {
     val p = finalPlan("quantile_normalize")
     // |features| = 3 must not bound parallelism: RangeRank's in-bucket
