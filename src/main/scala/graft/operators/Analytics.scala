@@ -662,6 +662,54 @@ object Analytics {
       |  FROM customer GROUP BY 1, 2, 3)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Differentially-private count release (r8): per-class counts over
+    * the [[kAnonymity]] quasi-identifier classes with Laplace(1/ε)
+    * noise, ε = 1 — the standard mechanism for a sensitivity-1 count
+    * query (Dwork et al. 2006). The noise draw inverts the Laplace
+    * CDF at u = hash60(class)/2⁶⁰ − 0.5: noise = −sign(u)·ln(1−2|u|)/ε.
+    *
+    * REPRODUCIBILITY vs PRIVACY: the portable-hash draw makes the
+    * release deterministic — exactly what a cross-engine oracle (and
+    * a regression suite) needs to pin the MECHANISM, and exactly what
+    * a real deployment must NOT do (a public seed leaks the noise;
+    * production swaps the hash for secret randomness, changing
+    * nothing else in the plan). The hash input is the class key, so
+    * per-class draws are independent (the poisson_bootstrap r8
+    * discipline). ln's last-ulp libm variance is absorbed by round-6
+    * (the zipf_fit/token_entropy precedent); the division by 2⁶⁰ is
+    * exact (power of two).
+    *
+    * Scale shape: ONE keyed aggregation; the noise is a row-local
+    * projection over the |classes|-bounded result.
+    */
+  def dpCountRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val u01 = CrossHash.hash60(
+      concat(col("c_nationkey").cast("string"), lit("|"), col("c_mktsegment")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    val u = u01 - 0.5
+    val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("n") + noise, 6).as("released"),
+        lit(1.0).as("epsilon"))
+  }
+
+  private val dpCountReleaseSql = {
+    val h = graft.functions.CrossHash.hash60Sql(
+      "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       |    CAST($h AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c_nationkey, c_mktsegment,
+       |  round(n + -sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS released,
+       |  CAST(1.0 AS DOUBLE) AS epsilon
+       |FROM g""".stripMargin
+  }
+
   /** Month-over-month revenue report: exact decimal monthly totals
     * with the previous month's total and the percentage change — the
     * BI staple that composes date_trunc, an exact aggregate, and an
@@ -1135,6 +1183,7 @@ object Analytics {
     Op("date_dim", dateDim, Some(dateDimSql)),
     Op("k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Op("l_diversity", lDiversity, Some(lDiversitySql)),
+    Op("dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
     Op("recursive_cte", recursiveCte, Some(recursiveCteSql)),
     Op("decile_lift", decileLift, Some(decileLiftSql)),
     Op("mom_revenue", momRevenue, Some(momRevenueSql)),

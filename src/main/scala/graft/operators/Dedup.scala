@@ -111,6 +111,65 @@ object Dedup {
        |JOIN sizes sb ON inter.doc_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5""".stripMargin
 
+  /** Asymmetric shingle CONTAINMENT dedup (r8): c(A→B) = |A∩B|/|A| —
+    * the fraction of A's shingles found in B. Resemblance (Jaccard)
+    * dedup structurally misses subset relationships: a 10-shingle
+    * quote embedded in a 200-shingle article has Jaccard ≈ 0.05 but
+    * containment 1.0, and quote/boilerplate/aggregator containment is
+    * a first-class failure mode in web training corpora (the
+    * Broder resemblance-vs-containment distinction). Emits both
+    * directions for every same-source pair whose max containment
+    * clears 0.5, thresholded on the ROUNDED value so both engines
+    * agree at the boundary (ContainmentSpec proves the capability gap
+    * on a constructed quote-in-article fixture: containment 1.0 at
+    * Jaccard 0.05).
+    *
+    * Scale shape: identical to [[dedupNgramJaccard]] — one codegen'd
+    * shingle-set pass (per-doc sizes ride the exploded rows), one
+    * shuffle-hash self-equi-join on (source, shingle hash) with the
+    * exchange computed once and reused, one pair aggregation. Never
+    * all-pairs; fan-out bounded by posting-list sizes.
+    */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_hash_set
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), shingle_hash_set(col("text")).as("shs"))
+      .select(col("doc_id"), col("source"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("sh"))
+    val a = keyed.alias("a").hint("shuffle_hash")
+    val b = keyed.alias("b")
+    a.join(b,
+        col("a.source") === col("b.source")
+          && col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("sz_a"), 9).as("c_a_in_b"),
+        round(col("n_inter").cast("double") / col("sz_b"), 9).as("c_b_in_a"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.5)
+  }
+
+  private val containmentDupSql =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b
+       |    ON a.source = b.source AND a.shingle = b.shingle
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    round(CAST(n_inter AS DOUBLE) / sa.n_shingles, 9) AS c_a_in_b,
+       |    round(CAST(n_inter AS DOUBLE) / sb.n_shingles, 9) AS c_b_in_a
+       |  FROM inter
+       |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |  JOIN sizes sb ON inter.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_inter, c_a_in_b, c_b_in_a
+       |FROM scored WHERE greatest(c_a_in_b, c_b_in_a) >= 0.5""".stripMargin
+
   // ---- MinHash + LSH -------------------------------------------------
 
   private[operators] val NumHashes = 8
@@ -455,6 +514,7 @@ object Dedup {
     Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql), bench = true),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
+    Op("containment_dup", containmentDup, Some(containmentDupSql)),
     Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql), bench = true),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

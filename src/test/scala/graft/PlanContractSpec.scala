@@ -205,6 +205,23 @@ class PlanContractSpec extends AnyFunSuite {
       "the corpus-sized shingle self-join must never broadcast:\n" + p.take(2000))
   }
 
+  test("containment_dup: shingle self-join shuffle-hash with a reused exchange") {
+    val p = finalPlan("containment_dup")
+    assert(p.contains("ShuffledHashJoin"),
+      "the corpus-sized posting self-join must never broadcast:\n" + p.take(2000))
+    assert(p.contains("ReusedExchange"),
+      "both join sides are the identical keyed subtree — its exchange " +
+        "must be computed once:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), "never all-pairs")
+  }
+
+  test("dp_count_release: one keyed exchange; noise is a row-local projection") {
+    val p = finalPlan("dp_count_release")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Exchange SinglePartition"),
+      p.take(2000))
+  }
+
   test("knn_classify: corpus never shuffles before top-k; query set broadcasts") {
     val p = finalPlan("knn_classify")
     assert(count(p, "BroadcastExchange") == 1,
