@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DeltaVideo
+
+/** GVD1 inter-frame codec: exact round-trip, GOP/keyframe structure,
+  * corruption fatality, temporal-gain economics, and the property that
+  * makes keyframe seek REAL — decoding a middle frame must not touch
+  * bytes past its GOP (proved on a truncated stream).
+  */
+class DeltaVideoSpec extends AnyFunSuite {
+
+  private def smooth(n: Int, w: Int, h: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      Array.tabulate(w * h)(i => ((i % w) * 2 + (i / w) * 2 + f * 5 + 28).toByte)
+    }
+
+  test("lossless round-trip through the I/P chain, any gop") {
+    for (gop <- Seq(1, 3, 4, 7)) {
+      val frames = smooth(9, 20, 12)
+      val p = DeltaVideo.read(DeltaVideo.write(frames, 20, 12, gop))
+      assert(p.w == 20 && p.h == 12 && p.frames.size == 9 && p.gop == gop)
+      p.frames.zip(frames).foreach { case (got, want) =>
+        assert(java.util.Arrays.equals(got, want))
+      }
+      assert(p.frameTypes.zipWithIndex.forall { case (t, f) =>
+        t == (if (f % gop == 0) 'I' else 'P') })
+    }
+  }
+
+  test("random noise frames round-trip too (wrap-around residuals)") {
+    val rng = new scala.util.Random(7)
+    val frames = (0 until 5).map(_ =>
+      Array.fill(16 * 16)(rng.nextInt(256).toByte).asInstanceOf[Array[Byte]])
+    val p = DeltaVideo.read(DeltaVideo.write(frames, 16, 16, 2))
+    p.frames.zip(frames).foreach { case (g, w) =>
+      assert(java.util.Arrays.equals(g, w))
+    }
+  }
+
+  test("temporal gain: P-frames beat all-I on smooth motion, not on noise") {
+    val sm = smooth(12, 24, 16)
+    assert(DeltaVideo.write(sm, 24, 16, 4).length
+      < DeltaVideo.write(sm, 24, 16, 1).length)
+    val rng = new scala.util.Random(3)
+    val noise = (0 until 12).map(_ => Array.fill(24 * 16)(rng.nextInt(256).toByte))
+    val gvdN = DeltaVideo.write(noise, 24, 16, 4).length
+    val allIN = DeltaVideo.write(noise, 24, 16, 1).length
+    // independent noise has no temporal redundancy to exploit
+    assert(math.abs(gvdN - allIN) < allIN / 10)
+  }
+
+  test("corrupted magic and truncated payload are fatal, not garbage") {
+    val gvd = DeltaVideo.write(smooth(6, 16, 16), 16, 16, 4)
+    val bad = gvd.clone(); bad(0) = 'X'
+    intercept[java.io.IOException](DeltaVideo.read(bad))
+    intercept[Exception](
+      DeltaVideo.read(java.util.Arrays.copyOf(gvd, gvd.length - 3)))
+  }
+
+  test("keyframe seek is GOP-local: works on a stream truncated after the target") {
+    val frames = smooth(11, 16, 16)
+    val gvd = DeltaVideo.write(frames, 16, 16, 4)
+    for (target <- Seq(0, 3, 5, 10)) {
+      // full-stream seek equals the full decode
+      assert(java.util.Arrays.equals(
+        DeltaVideo.readGop(gvd, target), frames(target)))
+    }
+    // drop every byte after frame 5's record: frames 6..10 are GONE,
+    // yet seeking frame 5 (GOP 4..7, needs records 4 and 5 only) works
+    // — proof the seek never reads past its GOP
+    val p = DeltaVideo.read(gvd)
+    var off = 20
+    for (f <- 0 to 5)
+      off += 5 + java.nio.ByteBuffer.wrap(gvd, off + 1, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val truncated = java.util.Arrays.copyOf(gvd, off)
+    assert(java.util.Arrays.equals(
+      DeltaVideo.readGop(truncated, 5), frames(5)))
+    assert(p.frames.size == 11) // sanity: the full stream had them all
+  }
+}
