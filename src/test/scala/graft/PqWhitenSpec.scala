@@ -75,7 +75,9 @@ class PqWhitenSpec extends AnyFunSuite {
   }
 
   test("embedding_whiten output has zero mean and unit variance per dimension") {
-    val rows = SparkEntry.queries("embedding_whiten")(spark, sf).collect()
+    // the ARRAY-returning library API (the registered query is its
+    // long-form scalar projection — r8 canonizer fix)
+    val rows = operators.Linalg.embeddingWhiten(spark, sf).collect()
       .map(r => r.getSeq[Double](1).toArray)
     val n = rows.length
     assert(n == 500 && rows.forall(_.length == 64))

@@ -30,7 +30,9 @@ class R13Spec extends AnyFunSuite {
   }
 
   test("h3_rg equals the driver-side H3Core reference model (sf0.001)") {
-    val got = SparkEntry.queries("h3_rg")(spark, sf)
+    // the cell-level library form (the registered query is its
+    // anchor+verdict projection — r8 scorecard conversion)
+    val got = operators.Spatial.h3Rg(spark, sf)
       .select(col("caid"), col("home_cell"), col("n"), col("rg"),
         col("ring1_size"))
       .collect()
