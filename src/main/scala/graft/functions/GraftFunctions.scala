@@ -110,6 +110,14 @@ object GraftFunctions {
       es => LccCrsLonExpr(es(0), es(1), es(2))),
     ("lcc_crs_lat", "lcc_crs_lat(crs, easting, northing) - parameterized LCC inverse latitude (deg)",
       es => LccCrsLatExpr(es(0), es(1), es(2))),
+    ("ps_crs_easting", "ps_crs_easting(crs, lon, lat) - polar stereographic forward easting (m)",
+      es => PsCrsEastingExpr(es(0), es(1), es(2))),
+    ("ps_crs_northing", "ps_crs_northing(crs, lon, lat) - polar stereographic forward northing (m)",
+      es => PsCrsNorthingExpr(es(0), es(1), es(2))),
+    ("ps_crs_lon", "ps_crs_lon(crs, easting, northing) - polar stereographic inverse longitude (deg)",
+      es => PsCrsLonExpr(es(0), es(1), es(2))),
+    ("ps_crs_lat", "ps_crs_lat(crs, easting, northing) - polar stereographic inverse latitude (deg)",
+      es => PsCrsLatExpr(es(0), es(1), es(2))),
     ("utm_easting", "utm_easting(lon, lat, zone) - WGS84 UTM forward easting (m)",
       es => UtmEastingExpr(es(0), es(1), es(2))),
     ("utm_northing", "utm_northing(lon, lat, zone) - WGS84 UTM forward northing (m)",

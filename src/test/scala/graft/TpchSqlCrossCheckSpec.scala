@@ -71,7 +71,7 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
     // Spark-side run REGRESSES into an exception lands in `skipped` and
     // drops this below the floor — raise the floor when adding new
     // dialect-common ops, never lower it without a named reason.
-    assert(checked >= 119,
+    assert(checked >= 120,
       s"dialect-common sweep degraded: only $checked oracles cross-checked")
   }
 }
