@@ -46,16 +46,20 @@ object Recommend {
     * whole array per probed row — measured as a multi-minute stall).
     * At sf0.1 this cuts the CF pair shuffle from ~10.4M rows to ~400k.
     *
-    * DEFAULT IS DIRECT (r8 A/B, table in BENCH.md): the sketch pass
-    * re-runs the pair explode — the dominant CPU — and the measured
-    * trade is a ~0-45% slowdown at every local scale tried (sf0.1;
-    * 10× with shared catalog = low prune selectivity; 10× with scaled
-    * catalog = high prune selectivity). The saved shuffle rows are
-    * priced at ~0 on a single node; the crossover is a DEPLOYMENT
-    * property (network-bound shuffle on a real cluster), not a data
-    * property — pair volume alone never picked PCY in measurement —
-    * so the switch is an explicit opt-in (param / GRAFT_PCY=on), not
-    * a data-derived gate.
+    * DEFAULT IS DIRECT (r8 A/B + structural analysis, BENCH.md): PCY
+    * lost at every local scale and sizing tried, and the loss is
+    * structural, not environmental. To prune at pair volume P the
+    * sketch needs ~P/1.5 buckets; the buckets are a PER-TASK partial
+    * buffer, so the sketch's own merge traffic is tasks × 2^bits ≈
+    * tasks × P/1.5 bytes — more than the 16-byte/pair shuffle it
+    * replaces whenever tasks > ~24. Undersized, it saturates
+    * (λ ≫ 1 ⇒ nothing pruned, measured at 10×: the r7-sized 2²³
+    * sketch passed 100% of 104M pairs); sized up, the partial
+    * allocation alone (cores × 2^bits) OOMs before the traffic wall.
+    * PCY is a single-shared-hash-table trick: the opt-in
+    * (param / GRAFT_PCY=on) serves the single-node/moderate-volume
+    * regime where that table exists — which a test fixture is and a
+    * 1000-executor shuffle is not.
     */
   private[graft] def pairCounts(
       sets0: DataFrame, minCount: Int, bits: Int = 23,
