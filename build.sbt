@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 executor threads in ONE JVM — the
+  // old 8g default was 0.25 GB/core and measurably GC-throttled the
+  // shuffle-heavy ops (r8: the ~sf1 CF probe ran 3x slower at 8g;
+  // even the sf0.1 bench total read 8.71 s at 8g vs 8.18 s at 24g).
+  // The box has 128 GB; a real cluster sizes executor memory per
+  // core anyway, so the honest local default is not-starved.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
