@@ -824,6 +824,76 @@ object Spatial {
       |  FROM customer""".stripMargin,
     "c_custkey")
 
+  /** F20 polar family, SOUTH aspect (r8): EPSG:3976 (NSIDC Sea Ice
+    * South — antarctic sea-ice/DEM catalogs) over synthetic antarctic
+    * lon/lat, forward and inverse. The engine side is the exact
+    * φ→−φ / y→−y mirror of the north kernel
+    * ([[graft.functions.PolarStereoSouth]]); the SQL template splices
+    * the mirrored op sequence so parity is bit-for-bit.
+    */
+  def crsPolarStereoSouth(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (lit(-180.0) + (col("c_custkey") % 7200).cast("double") / 20.0).as("lon"),
+        (lit(-60.0) - (col("c_custkey") % 2600).cast("double") / 100.0).as("lat"))
+      .withColumn("e", round(call_function("ps_crs_easting",
+        lit("EPSG:3976"), col("lon"), col("lat")), 3) + lit(0.0))
+      .withColumn("n", round(call_function("ps_crs_northing",
+        lit("EPSG:3976"), col("lon"), col("lat")), 3) + lit(0.0))
+      .withColumn("lon2", round(call_function("ps_crs_lon",
+        lit("EPSG:3976"), col("e"), col("n")), 6) + lit(0.0))
+      .withColumn("lat2", round(call_function("ps_crs_lat",
+        lit("EPSG:3976"), col("e"), col("n")), 6) + lit(0.0))
+
+  /** South-aspect SQL mirror: the [[psRoundTripSql]] sequence under
+    * the mirror — tf at (−lat), n = FN − (0 − ρcosθ), λ from
+    * atan2(x, n−FN), φ negated after the iteration. Each mirrored
+    * spelling replays the engine's exact nested ops.
+    */
+  private def psSouthRoundTripSql(proj: graft.functions.PolarStereoSouth,
+      ptsSql: String, keyCol: String): String = {
+    val C = proj.SqlC
+    def lit(v: Double): String = s"CAST($v AS DOUBLE)"
+    def step(phi: String): String =
+      s"${lit(C.halfPi)} - 2 * atan(t * pow((1 - ${lit(C.e)} * sin($phi)) / " +
+        s"(1 + ${lit(C.e)} * sin($phi)), ${lit(C.eHalf)}))"
+    val iters = (1 to 8).map(i =>
+      s"it$i AS (SELECT * REPLACE ((${step("phi")}) AS phi) FROM it${i - 1})")
+      .mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |tv AS (SELECT *,
+       |    tan(${lit(C.quarterPi)} - ((- lat) / 180.0 * ${lit(C.pi)}) / 2)
+       |      / pow((1 - ${lit(C.e)} * sin((- lat) / 180.0 * ${lit(C.pi)}))
+       |        / (1 + ${lit(C.e)} * sin((- lat) / 180.0 * ${lit(C.pi)})),
+       |        ${lit(C.eHalf)}) AS tf
+       |  FROM pts),
+       |fwd AS (SELECT $keyCol, lon, lat,
+       |    round(${lit(C.falseE)} + ${lit(C.aMcTc)} * tf
+       |      * sin(lon / 180.0 * ${lit(C.pi)} - ${lit(C.lon0)}), 3) + 0.0 AS e,
+       |    round(${lit(C.falseN)} - (0.0 - ${lit(C.aMcTc)} * tf
+       |      * cos(lon / 180.0 * ${lit(C.pi)} - ${lit(C.lon0)})), 3) + 0.0 AS n
+       |  FROM tv),
+       |xy AS (SELECT *, e - ${lit(C.falseE)} AS x,
+       |    n - ${lit(C.falseN)} AS y FROM fwd),
+       |it0 AS (SELECT *,
+       |    sqrt(x * x + y * y) / ${lit(C.aMcTc)} AS t,
+       |    ${lit(C.halfPi)} - 2 * atan(sqrt(x * x + y * y) / ${lit(C.aMcTc)}) AS phi
+       |  FROM xy),
+       |$iters
+       |SELECT $keyCol, lon, lat, e, n,
+       |  round((${lit(C.lon0)} + atan2(x, y)) * 180.0 / ${lit(C.pi)}, 6) + 0.0 AS lon2,
+       |  round(- (phi * 180.0 / ${lit(C.pi)}), 6) + 0.0 AS lat2
+       |FROM it8""".stripMargin
+  }
+
+  private val crsPolarStereoSouthSql: String = psSouthRoundTripSql(
+    graft.functions.PolarStereoRegistry.Epsg3976,
+    """SELECT c_custkey,
+      |    -180.0 + CAST(c_custkey % 7200 AS DOUBLE) / 20.0 AS lon,
+      |    -60.0 - CAST(c_custkey % 2600 AS DOUBLE) / 100.0 AS lat
+      |  FROM customer""".stripMargin,
+    "c_custkey")
+
   /** Boundary geometry of the distinct H3 cells the events points
     * occupy (h3_to_geo_boundary analog) — the export step that hands
     * cell footprints to GIS/viz. WKT strings, not nested arrays, so
@@ -1227,6 +1297,8 @@ object Spatial {
     Op("crs_utm_webmerc", crsUtmWebmerc, Some(crsUtmWebmercSql)),
     Op("crs_lcc_param", crsLccParam, Some(crsLccParamSql)),
     Op("crs_polar_stereo", crsPolarStereo, Some(crsPolarStereoSql)),
+    Op("crs_polar_stereo_south", crsPolarStereoSouth,
+      Some(crsPolarStereoSouthSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3CellsVerdict, Some(h3CellsVerdictSql)),

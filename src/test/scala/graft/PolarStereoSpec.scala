@@ -56,6 +56,32 @@ class PolarStereoSpec extends AnyFunSuite {
     assert(scaleAt(60.0) > 1.0 && scaleAt(80.0) < 1.0)
   }
 
+  test("south aspect (EPSG:3976): pole at origin, orientation, round-trip") {
+    val S = PolarStereoRegistry.Epsg3976
+    for (lon <- Seq(-180.0, 0.0, 77.0)) {
+      assert(math.abs(S.easting(lon, -90.0)) < 1e-6)
+      assert(math.abs(S.northing(lon, -90.0)) < 1e-6)
+    }
+    // on the central meridian (0°), grid y is POSITIVE (the south
+    // aspect reverses the y axis relative to north)
+    assert(math.abs(S.easting(0.0, -70.0)) < 1e-6)
+    assert(S.northing(0.0, -70.0) > 0)
+    // 90°E maps to +x
+    assert(S.easting(90.0, -70.0) > 0)
+    assert(math.abs(S.northing(90.0, -70.0)) < 1e-6)
+    val rng = new scala.util.Random(23)
+    for (_ <- 1 to 300) {
+      val lon = rng.nextDouble() * 360.0 - 180.0
+      val lat = -55.0 - rng.nextDouble() * 35.0
+      val (e, n) = (S.easting(lon, lat), S.northing(lon, lat))
+      assert(math.abs(S.latOf(e, n) - lat) < 1e-9)
+      val dLon = {
+        val d = math.abs(S.lonOf(e, n) - lon); math.min(d, 360 - d)
+      }
+      assert(dLon < 1e-9, s"lon $lon (lat $lat)")
+    }
+  }
+
   test("round-trip is sub-centimeter-accurate across the arctic") {
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 500) {
