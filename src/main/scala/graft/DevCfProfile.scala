@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway r8 probe: decompose item_item_cosine's ≈sf1 time
+/** Dev probe (r8, cited in BENCH.md): decompose item_item_cosine's ≈sf1 time
   * (19 s at 10× scaled catalog vs DuckDB 2.6 s) into nested prefixes.
   * Run against a DevScaleProbe-replicated dir.
   */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway r8 probe: where does market_basket's 0.88 s go?
+/** Dev probe (r8, cited in BENCH.md): where does market_basket's 0.88 s go?
   * Times nested prefixes of the pipeline in one session, warm.
   */
 object DevMbProfile {
