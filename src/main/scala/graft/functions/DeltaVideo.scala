@@ -84,10 +84,44 @@ object DeltaVideo {
   def isGvd(bytes: Array[Byte]): Boolean =
     bytes.length >= 20 && Magic.indices.forall(i => bytes(i) == Magic(i))
 
+  /** Largest luma plane a single record may claim: an untrusted
+    * header must not be able to drive a multi-GB allocation (or an
+    * Int-overflowing w*h) before the payload walk even starts. 64 MP
+    * is far above any plane this pipeline shards.
+    */
+  private val MaxPlaneBytes = 64L * 1024 * 1024
+
+  /** Header + per-record framing fields come from UNTRUSTED bytes:
+    * every field is validated so corrupt/crafted streams fail with
+    * the same clean IOException the magic/truncation paths raise,
+    * never a NegativeArraySizeException / AIOOBE / giant allocation
+    * (r8 advice).
+    */
   private def header(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     if (!isGvd(bytes)) throw new java.io.IOException("GVD1: bad magic")
     val bb = ByteBuffer.wrap(bytes, 4, 16).order(ByteOrder.LITTLE_ENDIAN)
-    (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+    val (w, h, n, gop) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPlaneBytes)
+      throw new java.io.IOException(s"GVD1: bad plane dims ${w}x$h")
+    if (n < 0 || gop < 1)
+      throw new java.io.IOException(s"GVD1: bad frame count $n / gop $gop")
+    (w, h, n, gop)
+  }
+
+  /** Validated read of one frame record's (type, len) at `off`;
+    * guarantees off+5+len is in bounds and len >= 0.
+    */
+  private def frameHeader(bytes: Array[Byte], off: Int): (Char, Int) = {
+    if (off + 5 > bytes.length)
+      throw new java.io.IOException("GVD1: truncated frame header")
+    val t = bytes(off).toChar
+    if (t != 'I' && t != 'P')
+      throw new java.io.IOException(s"GVD1: bad frame type '$t'")
+    val len = ByteBuffer.wrap(bytes, off + 1, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    if (len < 0 || len > bytes.length - off - 5)
+      throw new java.io.IOException(s"GVD1: bad frame length $len")
+    (t, len)
   }
 
   /** Full decode: reconstruct every plane through the I/P chain. */
@@ -98,9 +132,7 @@ object DeltaVideo {
     var prev: Array[Byte] = null
     var off = 20
     for (f <- 0 until n) {
-      val t = bytes(off).toChar
-      val len = ByteBuffer.wrap(bytes, off + 1, 4)
-        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val (t, len) = frameHeader(bytes, off)
       val payload = inflate(
         java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len), w * h)
       val cur =
@@ -129,14 +161,14 @@ object DeltaVideo {
     var f = 0
     var prev: Array[Byte] = null
     while (f <= frameIdx) {
-      val t = bytes(off).toChar
-      val len = ByteBuffer.wrap(bytes, off + 1, 4)
-        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val (t, len) = frameHeader(bytes, off)
       if (f >= gopStart) {
         val payload = inflate(
           java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len), w * h)
         prev =
           if (t == 'I') payload
+          else if (prev == null)
+            throw new java.io.IOException(s"GVD1: P-frame $f without reference")
           else Array.tabulate(w * h)(i => (prev(i) + payload(i)).toByte)
       }
       off += 5 + len

@@ -677,16 +677,21 @@ object Analytics {
     * per-class draws are independent (the poisson_bootstrap r8
     * discipline). ln's last-ulp libm variance is absorbed by round-6
     * (the zipf_fit/token_entropy precedent); the division by 2⁶⁰ is
-    * exact (power of two).
+    * exact (power of two). The draw is SHIFTED by +0.5 before the
+    * division (u01 = (h+0.5)/2⁶⁰ — r8 advice): the raw h/2⁶⁰ form
+    * hits u01 = 0 exactly when hash60(class) == 0 (probability 2⁻⁶⁰
+    * per class, but deterministic garbage if it lands), where
+    * ln(1−2|u|) = ln(0) = −∞; the midpoint shift keeps u01 in
+    * (0, 1) exclusive at both ends, identically in both engines.
     *
     * Scale shape: ONE keyed aggregation; the noise is a row-local
     * projection over the |classes|-bounded result.
     */
   def dpCountRelease(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CrossHash
-    val u01 = CrossHash.hash60(
+    val u01 = (CrossHash.hash60(
       concat(col("c_nationkey").cast("string"), lit("|"), col("c_mktsegment")))
-      .cast("double") / lit(1152921504606846976.0) // 2^60, exact
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60, exact
     val u = u01 - 0.5
     val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
     Tables.customer(spark, dir)
@@ -702,7 +707,7 @@ object Analytics {
       "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")
     s"""WITH g AS (
        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
-       |    CAST($h AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
+       |    (CAST($h AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5 AS u
        |  FROM customer GROUP BY 1, 2)
        |SELECT c_nationkey, c_mktsegment,
        |  round(n + -sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS released,

