@@ -134,6 +134,14 @@ object GraftFunctions {
       es => WebmercLonExpr(es.head)),
     ("webmerc_lat", "webmerc_lat(y) - EPSG:3857 inverse latitude (deg)",
       es => WebmercLatExpr(es.head)),
+    ("crs_epsg_easting", "crs_epsg_easting(code, lon, lat) - EPSG-dispatched forward easting (m)",
+      es => EpsgEastingExpr(es(0), es(1), es(2))),
+    ("crs_epsg_northing", "crs_epsg_northing(code, lon, lat) - EPSG-dispatched forward northing (m)",
+      es => EpsgNorthingExpr(es(0), es(1), es(2))),
+    ("crs_epsg_lon", "crs_epsg_lon(code, easting, northing) - EPSG-dispatched inverse longitude (deg)",
+      es => EpsgLonExpr(es(0), es(1), es(2))),
+    ("crs_epsg_lat", "crs_epsg_lat(code, easting, northing) - EPSG-dispatched inverse latitude (deg)",
+      es => EpsgLatExpr(es(0), es(1), es(2))),
     ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
       es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
     ("bloom_build", "bloom_build(key, items, fpp) - serialized bloom filter over long keys",
