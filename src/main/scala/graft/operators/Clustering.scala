@@ -194,7 +194,8 @@ object Clustering {
   // declared LAST: Scala object vals initialize in declaration order,
   // and this list must see every oracle string already constructed
   val ops: Seq[Op] = Seq(
-    Op("dedup_clusters", (s, d) => dedupClusters(s, d), Some(dedupClustersSql)),
+    Op("dedup_clusters", (s, d) => dedupClusters(s, d), Some(dedupClustersSql),
+      bench = true),
     Op("dedup_canonical", (s, d) => dedupCanonical(s, d), Some(dedupCanonicalSql)),
   )
 }

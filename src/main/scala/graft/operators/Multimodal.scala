@@ -711,7 +711,8 @@ object Multimodal {
 
   val ops: Seq[Op] = Seq(
     Op("image_decode", imageDecode, Some(imageDecodeSql)),
-    Op("image_shard_pipeline", imageShardPipeline, Some(imageShardPipelineSql)),
+    Op("image_shard_pipeline", imageShardPipeline, Some(imageShardPipelineSql),
+      bench = true),
     Op("audio_decode", audioDecode, Some(audioDecodeSql)),
     Op("video_decode", videoDecode, Some(videoDecodeSql)),
     Op("video_delta_codec", videoDeltaCodec, Some(videoDeltaCodecSql)),

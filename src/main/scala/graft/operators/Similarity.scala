@@ -864,7 +864,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_rank_metrics", annRankMetrics, Some(annRankMetricsSql)),
-    Op("sem_dedup", semDedup, Some(semDedupSql)),
+    Op("sem_dedup", semDedup, Some(semDedupSql), bench = true),
     Op("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Op("knn_classify", knnClassify, Some(knnClassifySql)),
     Op("kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),

@@ -795,7 +795,8 @@ object Stats {
 
   val ops: Seq[Op] = Seq(
     Op("poisson_bootstrap", poissonBootstrap, Some(poissonBootstrapSql)),
-    Op("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
+    Op("quantile_normalize", quantileNormalize, Some(quantileNormalizeSql),
+      bench = true),
     Op("gini_index", giniIndex, Some(giniIndexSql)),
     Op("benford_digits", benfordDigits, Some(benfordDigitsSql)),
     Op("category_entropy", categoryEntropy, Some(categoryEntropySql)),

@@ -176,7 +176,7 @@ object StringSim {
   )
 
   val ops: Seq[Op] = Seq(
-    Op("string_sim_pack", stringSimPack, Some(stringSimPackSql)),
-    Op("fuzzy_linkage", fuzzyLinkage, Some(fuzzyLinkageSql)),
+    Op("string_sim_pack", stringSimPack, Some(stringSimPackSql), bench = true),
+    Op("fuzzy_linkage", fuzzyLinkage, Some(fuzzyLinkageSql), bench = true),
   )
 }
