@@ -12,15 +12,29 @@ import org.apache.spark.sql.functions._
   * their keys (c_nationkey etc.) are NOT offset, so FK integrity
   * holds by construction.
   *
-  * Offsets are r*3 600 000 000 (multiple of 3600, the DevScaleProbe
-  * discipline): events lon/time-bucket derivations are invariant per
-  * copy, so replicas land in the SAME cells/buckets and per-cell
-  * density grows reps× — contact-pair volume ~reps², the honest
-  * stress. Documents/embeddings replicate id-offset with identical
-  * payloads: every document becomes a reps-way exact duplicate and
-  * every LSH/ANN bucket grows reps× — the honest stress for the
-  * dedup/similarity families (both engines see the same inputs, so
-  * the oracle comparison stays exact whatever the semantics do).
+  * Key offsets are r*3 600 000 000; the EVENTS offset adds +37r so
+  * event_id % 3600 (the lon derivation) SHIFTS per replica — replicas
+  * spread across GEOGRAPHY and the contact graph grows ~linearly
+  * (reps× nodes/edges). This is a deliberate departure from
+  * DevScaleProbe's geography-preserving replication (density ×reps ⇒
+  * pair volume ×reps², the right stress for the targeted events-family
+  * probe, already recorded in BENCH.md r16): a FULL-registry
+  * correctness sweep at ×reps² contact density puts every
+  * wedge/triangle-shaped graph query into quadratic territory
+  * (clustering_coefficient alone sat >15 min at 10× density, wedge
+  * volume ~×1000) without adding correctness signal the linear-volume
+  * sweep doesn't already have. Documents/embeddings replicate with
+  * MUTATED payloads
+  * (vowel-rotation + replica tag on text; a per-(replica, dim)
+  * deterministic perturbation on embeddings): exact copies would make
+  * every doc a reps-way duplicate and grow every dedup/LSH/ANN
+  * candidate-pair set reps² — 100× the quadratic kernels for zero
+  * extra correctness signal (a first identical-copy build sat >10 min
+  * inside one pair hashAgg). Mutation keeps corpus growth linear with
+  * a realistic near-dup tail (same-rotation replicas differ only by
+  * the tag), exercising the same code paths — and both engines read
+  * the same parquet, so the oracle comparison stays exact whatever
+  * the semantics do.
   *
   * Usage: runMain graft.DevScaleData [sfDir] [reps]
   * Output: /dev/shm/graft_full<reps>x (idempotent via _done marker).
@@ -64,8 +78,15 @@ object DevScaleData {
         case c => col(c)
       }: _*)).reduce(_ unionByName _)
 
-    publish(rep(Tables.events(spark, sfDir),
-      Set("event_id", "user_id")), "events")
+    val ev = Tables.events(spark, sfDir)
+    publish((0 until reps).map { r =>
+      // +37r: distinct event_id % 3600 shift per replica (37·r mod 3600
+      // distinct for r < 10) ⇒ replicas land in disjoint geography
+      val off = r * big + r * 37L
+      ev.select((col("event_id") + lit(off)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * big)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), "events")
     publish(rep(Tables.orders(spark, sfDir),
       Set("o_orderkey", "o_custkey")), "orders")
     publish(rep(Tables.lineitem(spark, sfDir),
@@ -73,8 +94,36 @@ object DevScaleData {
     publish(rep(Tables.customer(spark, sfDir), Set("c_custkey")), "customer")
     publish(rep(Tables.supplier(spark, sfDir), Set("s_suppkey")), "supplier")
     publish(rep(Tables.part(spark, sfDir), Set("p_partkey")), "part")
-    publish(rep(Tables.documents(spark, sfDir), Set("doc_id")), "documents")
-    publish(rep(Tables.embeddings(spark, sfDir), Set("vec_id")), "embeddings")
+    val doc = Tables.documents(spark, sfDir)
+    publish((0 until reps).map { r =>
+      val mutated =
+        if (r == 0) col("text")
+        else {
+          // distinct rotation class per r%4, distinct tag per replica:
+          // no exact dups across replicas, near-dups only within a
+          // rotation class (differing by the tag)
+          val vowels = "aeiouAEIOU"
+          val rot = (r - 1) % 4 + 1
+          val to = vowels.drop(rot * 2) + vowels.take(rot * 2)
+          concat(translate(col("text"), vowels, to), lit(s" q$r"))
+        }
+      doc.select((col("doc_id") + lit(r * big)).as("doc_id"),
+        mutated.as("text"), col("lang"), col("source"),
+        length(mutated).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _), "documents")
+    val emb = Tables.embeddings(spark, sfDir)
+    publish((0 until reps).map { r =>
+      val vid = col("vec_id") + lit(r * big)
+      val vec =
+        if (r == 0) col("embedding")
+        else
+          // deterministic per-(replica, dim) perturbation decorrelates
+          // replicas (a uniform scale would keep cosine = 1 and leave
+          // every vector a reps-way ANN twin)
+          expr(s"transform(embedding, (x, i) -> CAST(x + " +
+            s"(($r * 31 + i * 17) % 11 - 5) * CAST(0.07 AS FLOAT) AS FLOAT))")
+      emb.select(vid.as("vec_id"), vec.as("embedding"), col("label"))
+    }.reduce(_ unionByName _), "embeddings")
     for (t <- Seq("region", "nation")) {
       val link = java.nio.file.Paths.get(s"$out/$t.parquet")
       java.nio.file.Files.deleteIfExists(link)

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r9, VERDICT r8 #7 stretch): prove the skew paths FIRE
+  * under a genuinely hot key at ≈sf1 — not just that they exist.
+  *
+  * Builds a 10× orders replication where a fraction of every
+  * replica's rows is rewritten to ONE hot customer key (default 20%
+  * ⇒ the hot key carries ~300k of 1.5M rows, ~3000× the median),
+  * then measures the orders⋈customer sort-merge join three ways in
+  * ONE session (the DevAbPcy interleaving discipline):
+  *
+  *   aqe_skew_on  — Spark's AQE skew-join split (the default config):
+  *                  the executed plan must contain a skew-split
+  *                  AQEShuffleRead, asserted from the plan string
+  *   aqe_skew_off — the straggler baseline: one reducer owns the hot
+  *                  key's entire partition
+  *   salted       — [[graft.functions.Skew.saltedJoin]] (factor 32):
+  *                  the explicit mitigation for layouts AQE can't
+  *                  re-plan (deterministic layouts, aggregations)
+  *
+  * Also runs the `skew_report` pre-flight on the skewed key and
+  * prints its verdict rows — the report must FLAG the hot key
+  * (skew ratio ≫ 1) so a pipeline can pick the mitigation before
+  * paying for the straggler.
+  *
+  * Usage: runMain graft.DevSkewProbe [sfDir] [reps] [hotPct]
+  */
+object DevSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val hotPct = if (args.length > 2) args(2).toInt else 20
+    val runs = sys.env.getOrElse("GRAFT_RUNS", "3").toInt
+    val spark = Sessions.build("graft-skew-probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors.toString))
+    spark.sparkContext.setLogLevel("WARN")
+    val HotKey = 777L
+
+    // ---- build: orders 10x with hotPct% of each replica pinned to
+    // HotKey; customer replicated with consistent offsets ----
+    val out = s"/dev/shm/graft_skew${reps}x$hotPct"
+    val done = new java.io.File(s"$out/_done")
+    if (!done.exists()) {
+      new java.io.File(out).mkdirs()
+      val big = 3600000000L
+      val o = Tables.orders(spark, sfDir)
+      (0 until reps).map { r =>
+        o.select(
+          (col("o_orderkey") + lit(r * big)).as("o_orderkey"),
+          when(pmod(xxhash64(col("o_orderkey")), lit(100)) < hotPct, lit(HotKey))
+            .otherwise(col("o_custkey") + lit(r * big)).as("o_custkey"),
+          col("o_totalprice"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val c = Tables.customer(spark, sfDir)
+      (0 until reps).map(r => c.select(
+          (col("c_custkey") + lit(r * big)).as("c_custkey"),
+          col("c_nationkey"), col("c_acctbal")))
+        .reduce(_ unionByName _)
+        // the hot key must EXIST on the dim side (join hits, not misses)
+        .unionByName(spark.range(1).select(lit(HotKey).as("c_custkey"),
+          lit(7).as("c_nationkey"), lit(0.0).as("c_acctbal")))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      done.createNewFile()
+    }
+    val orders = spark.read.parquet(s"$out/orders.parquet")
+    val customer = spark.read.parquet(s"$out/customer.parquet")
+
+    // ---- skew_report pre-flight: the hot key must be flagged ----
+    println("== skew_report pre-flight (must flag the hot key):")
+    graft.operators.Profiling.skewReportOn(orders, "o_custkey")
+      .orderBy(desc("n_rows")).limit(3).collect()
+      .foreach(r => println(s"  $r"))
+
+    // joins must shuffle for skew to exist: no broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+
+    def joinAgg: org.apache.spark.sql.DataFrame =
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("v"))
+    // saltedJoin joins on a same-name column; rename the dim key
+    val customerK = customer.withColumnRenamed("c_custkey", "o_custkey")
+    def saltedAgg = graft.functions.Skew.saltedJoin(
+        orders, customerK, "o_custkey", 32)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("v"))
+
+    val variants: Seq[(String, () => Unit)] = Seq(
+      "aqe_skew_on" -> { () =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val df = joinAgg
+        df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        val fired = plan.toLowerCase.contains("skew")
+        println(s"  [plan] AQE skew split fired: $fired")
+        require(fired, "AQE skew-join did NOT mark any partition skewed " +
+          "- probe data not skewed enough or config off")
+      },
+      "aqe_skew_off" -> { () =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        joinAgg.count(); ()
+      },
+      "salted" -> { () =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        saltedAgg.count(); ()
+      })
+
+    variants.foreach { case (_, f) => f() } // warm
+    val best = collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to runs; (label, f) <- variants) {
+      val t0 = System.nanoTime()
+      f()
+      val dt = (System.nanoTime() - t0) / 1e9
+      best(label) = math.min(dt, best.getOrElse(label, Double.MaxValue))
+      println(f"$label%-13s $dt%.2f s")
+    }
+    variants.foreach { case (l, _) => println(f"BEST $l%-13s ${best(l)}%.2f s") }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.stop()
+  }
+}

@@ -562,23 +562,29 @@ object Multimodal {
   final case class VideoDeltaFeat(doc_id: Long, container_ok: Boolean,
       n_frames: Long, width: Int, height: Int, frames_decoded: Long,
       recon_ok: Boolean, gop_ok: Boolean, temporal_gain_ok: Boolean,
-      seek_ok: Boolean)
+      seek_ok: Boolean, mc_recon_ok: Boolean, mc_gain_ok: Boolean)
 
   /** INTER-FRAME video codec round-trip ([[graft.functions.DeltaVideo]]
-    * — GVD1: zlib keyframes + temporal-delta P-frames in 4-frame GOPs).
-    * The r7 verdict's one "missing" item was a temporal codec; GVD1 is
-    * the honest version buildable in this container (no DCT/motion
-    * search — see its scaladoc), and it exercises the three properties
-    * a video-ingest pipeline engineers around: decode-order dependency
-    * (P needs its reference), GOP structure (keyframe cadence
-    * verified), and keyframe-seek random access (the middle frame
-    * decoded through its GOP alone must equal the full-decode frame).
-    * The codec is LOSSLESS, so reconstruction checks are byte
-    * EQUALITY against the generator model — stronger than the MJPEG
-    * path's tolerance bands; temporal gain is verified from the bytes
-    * (the gop=4 stream must be smaller than the same frames all-I).
-    * Exact facts (counts, dims) oracle-hash directly; verdicts ride as
-    * booleans the oracle expects TRUE. Exchange-free scan-parallel.
+    * — GVD1: zlib keyframes + temporal-delta P-frames in 4-frame GOPs,
+    * and since r9 MOTION-COMPENSATED 'M' frames: exhaustive ±4 px
+    * block match per 8×8 block with border-extended references, one
+    * vector byte per block + residual). It exercises the properties a
+    * video-ingest pipeline engineers around: decode-order dependency
+    * (P/M need their reference), GOP structure (keyframe cadence
+    * verified), keyframe-seek random access (the middle frame decoded
+    * through its GOP alone must equal the full-decode frame), and
+    * motion search + residual coding (a per-doc PANNING pseudo-random
+    * texture clip must reconstruct byte-exactly through 'M' frames
+    * AND compress below the plain-delta encoding of the same frames —
+    * plain deltas of translating noise are themselves noise, so the
+    * gain can only come from the block match finding the shift).
+    * The codec is LOSSLESS in every frame type, so reconstruction
+    * checks are byte EQUALITY against the generator model — stronger
+    * than the MJPEG path's tolerance bands; temporal gain is verified
+    * from the bytes (the gop=4 stream must be smaller than the same
+    * frames all-I). Exact facts (counts, dims) oracle-hash directly;
+    * verdicts ride as booleans the oracle expects TRUE. Exchange-free
+    * scan-parallel.
     */
   def videoDeltaCodec(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -618,9 +624,30 @@ object Multimodal {
           val mid = nf / 2
           val seekOk = java.util.Arrays.equals(
             graft.functions.DeltaVideo.readGop(gvd, mid), plane(mid))
+          // ---- motion-compensation leg: a (2,1)-per-frame PAN over a
+          // per-doc avalanche-mixed texture (locally incompressible, so
+          // plain deltas of the pan are themselves noise) ----
+          def tex(x: Int, y: Int): Byte = {
+            var m = (x + d.toInt * 7) * 0x9E3779B9 ^ y * 0x85EBCA6B
+            m ^= m >>> 13; m *= 0xC2B2AE35; m ^= m >>> 16
+            ((m & 0x7fffffff) % 200 + 28).toByte
+          }
+          val pan = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i => tex(i % w + 2 * f, i / w + f))
+          }
+          val mc = graft.functions.DeltaVideo.write(pan, w, h, gop,
+            motion = true)
+          val plainP = graft.functions.DeltaVideo.write(pan, w, h, gop)
+          val mcParsed = graft.functions.DeltaVideo.read(mc)
+          val mcReconOk = mcParsed.frames.zipWithIndex.forall { case (g, f) =>
+            java.util.Arrays.equals(g, pan(f)) } &&
+            mcParsed.frameTypes.zipWithIndex.forall { case (t, f) =>
+              t == (if (f % gop == 0) 'I' else 'M') }
           VideoDeltaFeat(d, ok, parsed.frames.size.toLong, parsed.w, parsed.h,
             parsed.frames.size.toLong, reconOk, gopOk,
-            temporal_gain_ok = gvd.length < allI.length, seek_ok = seekOk)
+            temporal_gain_ok = gvd.length < allI.length, seek_ok = seekOk,
+            mc_recon_ok = mcReconOk,
+            mc_gain_ok = mc.length < plainP.length)
         }
       }.toDF()
   }
@@ -633,7 +660,8 @@ object Multimodal {
       |  CAST(16 AS INTEGER) AS height,
       |  CAST(6 + doc_id % 5 AS BIGINT) AS frames_decoded,
       |  TRUE AS recon_ok, TRUE AS gop_ok,
-      |  TRUE AS temporal_gain_ok, TRUE AS seek_ok
+      |  TRUE AS temporal_gain_ok, TRUE AS seek_ok,
+      |  TRUE AS mc_recon_ok, TRUE AS mc_gain_ok
       |FROM documents""".stripMargin
 
   final case class DocMedia(doc_id: Long, text: String, lang: String,

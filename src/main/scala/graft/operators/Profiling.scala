@@ -124,11 +124,18 @@ object Profiling {
     * break identically in both engines — arg_max/max_by leave tie
     * order unspecified.
     */
-  def skewReport(spark: SparkSession, dir: String): DataFrame = {
-    val perKey = Tables.events(spark, dir)
-      .groupBy((graft.functions.CrossHash.hash60(col("user_id").cast("string"))
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReportOn(Tables.events(spark, dir), "user_id")
+
+  /** Generic form of [[skewReport]] (r9): the pre-flight is callable
+    * on ANY relation + integral key column (keys < 10¹² by the packed
+    * max's contract). The registered query delegates here.
+    */
+  def skewReportOn(rel: DataFrame, keyCol: String): DataFrame = {
+    val perKey = rel
+      .groupBy((graft.functions.CrossHash.hash60(col(keyCol).cast("string"))
           % 32).cast("int").as("bucket"),
-        col("user_id").as("key"))
+        col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
     val perBucket = perKey.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"),

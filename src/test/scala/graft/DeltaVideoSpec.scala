@@ -58,6 +58,69 @@ class DeltaVideoSpec extends AnyFunSuite {
       DeltaVideo.read(java.util.Arrays.copyOf(gvd, gvd.length - 3)))
   }
 
+  /** Deterministic pseudo-random texture over an infinite plane —
+    * incompressible locally, so a PLAIN temporal delta of a
+    * translating view is itself pseudo-random (deflate can't touch
+    * it), while a motion-compensated block match recovers the shift
+    * and leaves a near-zero residual.
+    */
+  private def tex(x: Int, y: Int): Byte = {
+    // real avalanche mixing: a merely-linear function of (x, y) has
+    // near-constant shifted differences, which deflate flattens and
+    // the "plain P gains nothing" premise breaks
+    var m = x * 0x9E3779B9 ^ y * 0x85EBCA6B
+    m ^= m >>> 13; m *= 0xC2B2AE35; m ^= m >>> 16
+    ((m & 0x7fffffff) % 200 + 28).toByte
+  }
+
+  /** n frames of a (2,1)-per-frame scrolling window over the texture. */
+  private def scrolled(n: Int, w: Int, h: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      Array.tabulate(w * h)(i => tex(i % w + 2 * f, i / w + f))
+    }
+
+  test("motion frames ('M'): lossless round-trip, typed as M, seekable") {
+    val frames = scrolled(10, 40, 24)
+    val gvd = DeltaVideo.write(frames, 40, 24, 4, motion = true)
+    val p = DeltaVideo.read(gvd)
+    assert(p.frameTypes.zipWithIndex.forall { case (t, f) =>
+      t == (if (f % 4 == 0) 'I' else 'M') })
+    p.frames.zip(frames).foreach { case (g, want) =>
+      assert(java.util.Arrays.equals(g, want))
+    }
+    for (target <- Seq(0, 2, 5, 9))
+      assert(java.util.Arrays.equals(
+        DeltaVideo.readGop(gvd, target), frames(target)))
+  }
+
+  test("motion compensation WINS on translating texture where plain P cannot") {
+    val frames = scrolled(10, 40, 24)
+    val mc = DeltaVideo.write(frames, 40, 24, 4, motion = true).length
+    val plainP = DeltaVideo.write(frames, 40, 24, 4).length
+    val allI = DeltaVideo.write(frames, 40, 24, 1).length
+    // plain deltas of scrolling NOISE are themselves noise — no gain
+    assert(plainP > allI * 8 / 10, s"plainP=$plainP allI=$allI")
+    // block match recovers the (2,1) shift: vectors + ~zero residual
+    assert(mc < plainP / 2, s"mc=$mc plainP=$plainP")
+    // and on noise with NO temporal structure, M still round-trips
+    // (residual absorbs everything) — lossless whatever the search picks
+    val rng = new scala.util.Random(11)
+    val noise = (0 until 6).map(_ => Array.fill(24 * 16)(rng.nextInt(256).toByte))
+    val p = DeltaVideo.read(DeltaVideo.write(noise, 24, 16, 3, motion = true))
+    p.frames.zip(noise).foreach { case (g, w) =>
+      assert(java.util.Arrays.equals(g, w)) }
+  }
+
+  test("motion frames on non-block-aligned planes (edge blocks clipped)") {
+    // 21x13: ragged right and bottom block edges
+    val frames = (0 until 7).map { f =>
+      Array.tabulate(21 * 13)(i => tex(i % 21 + 2 * f, i / 21 + f))
+    }
+    val p = DeltaVideo.read(DeltaVideo.write(frames, 21, 13, 3, motion = true))
+    p.frames.zip(frames).foreach { case (g, w) =>
+      assert(java.util.Arrays.equals(g, w)) }
+  }
+
   test("crafted headers fail clean: every framing field is validated (r8 advice)") {
     val gvd = DeltaVideo.write(smooth(6, 16, 16), 16, 16, 4)
     def patched(off: Int, v: Int): Array[Byte] = {
