@@ -12,19 +12,20 @@ import org.apache.spark.sql.functions._
   * their keys (c_nationkey etc.) are NOT offset, so FK integrity
   * holds by construction.
   *
-  * Key offsets are r*3 600 000 000; the EVENTS offset adds +37r so
-  * event_id % 3600 (the lon derivation) SHIFTS per replica — replicas
-  * spread across GEOGRAPHY and the contact graph grows ~linearly
-  * (reps× nodes/edges). This is a deliberate departure from
-  * DevScaleProbe's geography-preserving replication (density ×reps ⇒
-  * pair volume ×reps², the right stress for the targeted events-family
-  * probe, already recorded in BENCH.md r16): a FULL-registry
-  * correctness sweep at ×reps² contact density puts every
-  * wedge/triangle-shaped graph query into quadratic territory
-  * (clustering_coefficient alone sat >15 min at 10× density, wedge
-  * volume ~×1000) without adding correctness signal the linear-volume
-  * sweep doesn't already have. Documents/embeddings replicate with
-  * MUTATED payloads
+  * Key offsets are r*3 600 000 000; the EVENTS replica additionally
+  * shifts ts by +30r DAYS so replicas live in DISJOINT time buckets —
+  * the contact graph ((cell, time-bucket) co-location) grows ~linearly
+  * (reps× nodes/edges), like a corpus collected reps× longer. This is
+  * a deliberate departure from DevScaleProbe's geography-preserving
+  * replication (density ×reps ⇒ pair volume ×reps², the right stress
+  * for the targeted events-family probe, already recorded in BENCH.md
+  * r16): a FULL-registry correctness sweep at ×reps² contact density
+  * puts every wedge/triangle-shaped graph query into quadratic
+  * territory (clustering_coefficient alone sat >15 min at 10× density,
+  * wedge volume ~×1000 — and note lon spans only 3600 buckets, so an
+  * id-shift "geography spread" just rotates within the SAME cells; the
+  * time axis is the only one that actually separates replicas).
+  * Documents/embeddings replicate with MUTATED payloads
   * (vowel-rotation + replica tag on text; a per-(replica, dim)
   * deterministic perturbation on embeddings): exact copies would make
   * every doc a reps-way duplicate and grow every dedup/LSH/ANN
@@ -80,10 +81,10 @@ object DevScaleData {
 
     val ev = Tables.events(spark, sfDir)
     publish((0 until reps).map { r =>
-      // +37r: distinct event_id % 3600 shift per replica (37·r mod 3600
-      // distinct for r < 10) ⇒ replicas land in disjoint geography
-      val off = r * big + r * 37L
-      ev.select((col("event_id") + lit(off)).as("event_id"), col("ts"),
+      ev.select((col("event_id") + lit(r * big)).as("event_id"),
+        // +30r days: disjoint time windows per replica — co-location
+        // pairs, sessions, and windows never cross replicas
+        (col("ts") + expr(s"INTERVAL ${r * 30} DAY")).as("ts"),
         (col("user_id") + lit(r * big)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), "events")
@@ -93,7 +94,21 @@ object DevScaleData {
       Set("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     publish(rep(Tables.customer(spark, sfDir), Set("c_custkey")), "customer")
     publish(rep(Tables.supplier(spark, sfDir), Set("s_suppkey")), "supplier")
-    publish(rep(Tables.part(spark, sfDir), Set("p_partkey")), "part")
+    // part: brands are a FIXED 25-value domain in the TPC-H generator,
+    // so identical-brand replicas merge brand-blocked self-joins into
+    // reps×-fat blocks (reps² pair enumeration — fuzzy_pairs sat ~2 h
+    // of Levenshtein DP at 10×). A bigger catalog gets new brands per
+    // replica (replica 0 untouched); brand-literal filters elsewhere
+    // (q19 etc.) simply keep matching replica 0 — correctness is
+    // engine-vs-oracle on identical bytes either way.
+    val part = Tables.part(spark, sfDir)
+    publish((0 until reps).map { r =>
+      val brand = if (r == 0) col("p_brand")
+                  else concat(col("p_brand"), lit(s"#$r"))
+      part.select((col("p_partkey") + lit(r * big)).as("p_partkey"),
+        col("p_name"), brand.as("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _), "part")
     val doc = Tables.documents(spark, sfDir)
     publish((0 until reps).map { r =>
       val mutated =

@@ -348,7 +348,16 @@ object Dedup {
     * equi-join), never name×name across the catalog — same discipline
     * as the shingle/band blocking above. The quadratic cost lives only
     * inside a block; skewed blocks would take the salting treatment
-    * from `functions.Skew`.
+    * from `functions.Skew`. An O(1) LENGTH pre-filter rides in the
+    * join condition (r9): dist ≤ 2 implies |len(a) − len(b)| ≤ 2 —
+    * the textbook Levenshtein length bound (each edit changes length
+    * by at most 1) — so the O(len²) DP runs only on length-compatible
+    * pairs; on a 10×-merged brand block (the ≈sf1 sweep) this is the
+    * difference between minutes and seconds, and at 100 TB it is the
+    * guard that keeps a fat block from going fully quadratic in DP
+    * cost (the ENUMERATION is still block²; n-gram blocking —
+    * dedup_ngram_jaccard — is the scale path when blocks outgrow
+    * this).
     */
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
@@ -358,7 +367,8 @@ object Dedup {
     // share subexpressions across operators)
     p.alias("a").join(p.alias("b"),
         col("a.p_brand") === col("b.p_brand")
-          && col("a.p_partkey") < col("b.p_partkey"))
+          && col("a.p_partkey") < col("b.p_partkey")
+          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
       .withColumn("dist",
         levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
       .where(col("dist") <= 2)
@@ -374,6 +384,7 @@ object Dedup {
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
   /** Exact duplicated-substring spans (the token-level dedup of
