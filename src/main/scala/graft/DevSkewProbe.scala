@@ -75,8 +75,10 @@ object DevSkewProbe {
       .orderBy(desc("n_rows")).limit(3).collect()
       .foreach(r => println(s"  $r"))
 
-    // joins must shuffle for skew to exist: no broadcast
+    // joins must shuffle for skew to exist: no broadcast, planned OR
+    // adaptive (AQE has its own runtime-conversion threshold)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
 
     def joinAgg: org.apache.spark.sql.DataFrame =
       orders.join(customer, col("o_custkey") === col("c_custkey"))
@@ -92,16 +94,40 @@ object DevSkewProbe {
     val variants: Seq[(String, () => Unit)] = Seq(
       "aqe_skew_on" -> { () =>
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // AQE's skew trigger is sized for clusters: a partition must
+        // exceed BOTH factor×median AND 256 MB (default) to split — a
+        // first probe version asserted contains("skew") (which matched
+        // the scan PATH graft_skewNx), and the 75 MB hot partition was
+        // silently NOT split. At probe scale, lower the byte floor so
+        // the factor×median test (ours: ~16× median) is what decides,
+        // as it would be at cluster scale; threshold must stay above
+        // the advisory target or every partition "needs" splitting.
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         val df = joinAgg
-        df.count()
+        // collect() (25-row result), NOT count(): count() wraps the
+        // plan in its own NEW QueryExecution, leaving df's plan
+        // unexecuted (isFinalPlan=false) — and AQE markers only exist
+        // on the executed final plan
+        df.collect()
         val plan = df.queryExecution.executedPlan.toString
-        val fired = plan.toLowerCase.contains("skew")
-        println(s"  [plan] AQE skew split fired: $fired")
-        require(fired, "AQE skew-join did NOT mark any partition skewed " +
-          "- probe data not skewed enough or config off")
+        // 'skew=true' (SMJ/SHJ flag) or 'skewed' (AQEShuffleRead) — a
+        // bare contains("skew") would pass on 'skew=false'
+        val markers = plan.linesIterator
+          .filter(l => l.contains("skew=true") || l.toLowerCase.contains("skewed"))
+          .map(_.trim.take(110)).toSeq
+        markers.foreach(m => println(s"  [plan] $m"))
+        require(markers.nonEmpty,
+          "AQE skew-join did NOT mark any partition skewed " +
+            "- probe data not skewed enough or config off")
       },
       "aqe_skew_off" -> { () =>
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.unset(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         joinAgg.count(); ()
       },
       "salted" -> { () =>

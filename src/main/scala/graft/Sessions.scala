@@ -50,6 +50,13 @@ object Sessions {
       // reads it via this conf (as LongType nanos — normalized back to
       // TimestampType in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Recursive-CTE working-set guard: Spark 4's 1M-row default is a
+      // toy-scale runaway trap — the r9 ≈sf1 sweep tripped it on a
+      // 150k-customer ancestor walk (~4M rows), and ANY real recursion
+      // over a 100 TB fact table exceeds it. 1B rows keeps a genuine
+      // runaway bounded (the level limit, default 100, is the depth
+      // belt) without failing legitimate hierarchy walks.
+      .config("spark.sql.cteRecursionRowLimit", "1000000000")
       // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — how the
       // driver's pandas/pyarrow writer stamps ts/o_orderdate/l_shipdate
       // — would otherwise surface as TIMESTAMP_NTZ, which functions
