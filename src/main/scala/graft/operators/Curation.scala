@@ -812,7 +812,103 @@ object Curation {
        |WHERE bucket = 9
        |GROUP BY 1""".stripMargin
 
+  // ---- DSIR importance weights ---------------------------------------
+
+  private val DsirBuckets = 128
+
+  /** Per-(bucket) log-likelihood-ratio term — IDENTICAL SQL text runs
+    * in Spark and DuckDB so the doubles match bit-for-bit before the
+    * 9-dp round (the Bm25TermSql discipline).
+    */
+  private val DsirLamSql =
+    s"ln((CAST(tgt_c AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + $DsirBuckets.0))" +
+      s" - ln((CAST(raw_c AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + $DsirBuckets.0))"
+
+  /** DSIR importance weights (Data Selection with Importance
+    * Resampling, Xie et al. 2023 — the hashed-n-gram data-selection
+    * method): score every document by how much more likely its hashed
+    * unigram+bigram bag is under a TARGET distribution (here the
+    * `lang = 'en'` slice) than under the raw corpus. Selection then
+    * resamples by weight; this op emits the weights themselves (the
+    * resample gate composes with [[importanceSample]]'s portable-hash
+    * draw downstream).
+    *
+    * weight(doc) = Σ_b c_doc(b) · [ln p̂_tgt(b) − ln p̂_raw(b)] with
+    * add-1 smoothing over B = 128 buckets; grams hash via the portable
+    * [[graft.functions.CrossHash.hash60]] so the BUCKET ASSIGNMENT
+    * itself is oracle-checkable. Per-(doc,bucket) terms round to 9 dp
+    * then DECIMAL-accumulate (order-free — the bm25 discipline), so
+    * the sum survives any partial-aggregation order.
+    *
+    * Scale shape (100 TB): one corpus (doc,bucket) aggregation with
+    * map-side partials, one B-bounded bucket rollup, two O(B)
+    * broadcasts (the scalar totals and the λ table — genuinely
+    * bounded, B is a constant), one doc-keyed final aggregation. No
+    * corpus-sized join side, no vocabulary relation at all — hashing
+    * into fixed buckets is exactly what makes DSIR streamable at
+    * corpus scale.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val uni = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("g"))
+    val bi = t.select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    val counts = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        (CrossHash.hash60(col("g")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy(col("b"))
+      .agg(sum(col("c")).as("raw_c"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("tgt_c"))
+    val tot = agg.agg(sum(col("raw_c")).as("nr"), sum(col("tgt_c")).as("nt"))
+    val lam = agg.crossJoin(broadcast(tot))
+      .select(col("b"), expr(s"round($DsirLamSql, 9)").as("lam"))
+    counts.join(broadcast(lam), "b")
+      .withColumn("s", expr("CAST(round(c * lam, 9) AS DECIMAL(24,9))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), sum(col("s")).as("w"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("CAST(w AS DOUBLE)").as("dsir_weight"))
+  }
+
+  private val dsirWeightsSql = {
+    val h = graft.functions.CrossHash.hash60Sql("g")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM t),
+       |bi AS (
+       |  SELECT doc_id, lang, w1 || ' ' || w2 AS g FROM (
+       |    SELECT doc_id, lang, unnest(toks[1:len(toks) - 1]) AS w1,
+       |      unnest(toks[2:len(toks)]) AS w2
+       |    FROM t)),
+       |grams AS (
+       |  SELECT doc_id, lang, $h % $DsirBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |c AS (SELECT doc_id, lang, b, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT b, CAST(SUM(c) AS BIGINT) AS raw_c,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_c
+       |  FROM c GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(raw_c) AS BIGINT) AS nr,
+       |    CAST(SUM(tgt_c) AS BIGINT) AS nt
+       |  FROM agg),
+       |lam AS (SELECT b, round($DsirLamSql, 9) AS lam FROM agg CROSS JOIN tot),
+       |terms AS (
+       |  SELECT doc_id, c, CAST(round(c * lam, 9) AS DECIMAL(24,9)) AS s
+       |  FROM c JOIN lam USING (b))
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |  CAST(SUM(s) AS DOUBLE) AS dsir_weight
+       |FROM terms GROUP BY 1""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("dsir_weights", dsirWeights, Some(dsirWeightsSql), bench = true),
     Op("source_temperature_weights", (s, d) => sourceTemperatureWeights(s, d),
       Some(sourceTemperatureWeightsSql)),
     Op("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),

@@ -519,6 +519,109 @@ object Dedup {
       |  FROM s WHERE n2id IS NOT NULL)
       |SELECT doc_a, doc_b, "offset", dist FROM cand WHERE dist <= 10""".stripMargin
 
+  // ---- Prefix-filtered exact set-similarity join (PPJoin family) -----
+
+  /** EXACT shingle-set Jaccard join via the prefix-filtering principle
+    * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin — published
+    * algorithms): order each document's distinct 3-word shingles by
+    * ascending global document frequency (rarest first), take the
+    * (sz − ⌈τ·sz⌉ + 1)-prefix, and generate candidates ONLY from
+    * shared prefix shingles. The prefix lemma guarantees zero false
+    * negatives: J(x,y) ≥ τ forces the two prefixes to intersect under
+    * any shared total order, so exact verification of the candidates
+    * reproduces the brute-force answer — unlike the MinHash/SimHash
+    * family this is a LOSSLESS accelerator, the right tool when the
+    * pipeline contract says "every pair above τ", not "most".
+    *
+    * τ = 3/5. ALL gating arithmetic is integer-exact — prefix length
+    * uses ⌈3·sz/5⌉ = (3·sz + 4) div 5, the size filter is
+    * 5·min(sz) ≥ 3·max(sz), and the final threshold is
+    * 5·inter ≥ 3·union — so no double can flip a boundary pair in
+    * either engine; the output jaccard is one integer-derived double
+    * division, bit-identical across engines. Shingles work as 8-byte
+    * hashes throughout (the [[dedupNgramJaccard]] discipline and
+    * collision bound); the string-keyed oracle matches value-for-value.
+    *
+    * Scale shape (100 TB): df is a shingle-vocabulary aggregation; the
+    * ordered-set build is one hash-keyed join plus one doc-keyed
+    * aggregation whose buffer is a single document's distinct shingle
+    * hashes (document-length-bounded, the payload itself); the
+    * candidate join touches only prefix shingles — by construction the
+    * RAREST ~2/5 of each document, so posting lists in the self-join
+    * are short where fan-out would hurt (a boilerplate shingle can
+    * only enter the prefix of a near-empty doc); verification is two
+    * doc-keyed shuffle-hash joins + a row-local intersect. Candidate
+    * volume is bounded by rare-shingle df², never corpus². All joins
+    * shuffle-hash-pinned (corpus-derived sides must not broadcast).
+    */
+  def setSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_hash_set
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingle_hash_set(col("text"))).as("token"))
+    val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // rarest-first total order, ties broken by shingle hash:
+    // sort_array over (df, hash) structs is that order; the
+    // aggregation buffer holds one document's distinct shingles —
+    // bounded by doc length. df is corpus-derived (a 100 TB shingle
+    // vocabulary is trillions of entries) — shuffle-hash-pinned as
+    // the per-partition build side, never broadcast.
+    val docsets = tok.join(df.hint("shuffle_hash"), "token")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, s -> s.token)").as("toks"),
+        size(col("ord")).cast("long").as("sz"))
+    // prefix length p = sz − ⌈τ·sz⌉ + 1 with τ = 3/5, integer-exact
+    val prefix = docsets
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(toks, 1, CAST(sz - ((3 * sz + 4) DIV 5) + 1 AS INT))"))
+          .as("ptok"))
+    val pa = prefix.alias("pa").hint("shuffle_hash")
+    val pb = prefix.alias("pb")
+    val cand = pa.join(pb,
+        col("pa.ptok") === col("pb.ptok")
+          && col("pa.doc_id") < col("pb.doc_id")
+          // size filter: J ≥ 3/5 ⟹ 5·min(sz) ≥ 3·max(sz)
+          && lit(5) * least(col("pa.sz"), col("pb.sz"))
+             >= lit(3) * greatest(col("pa.sz"), col("pb.sz")))
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_prefix")) // dedup multi-token hits
+    // verification joins: the CANDIDATE side is the build side (match-
+    // bounded), the corpus-sized docsets relation streams past it
+    val da = docsets.alias("da")
+    val db = docsets.alias("db")
+    cand.hint("shuffle_hash").join(da, col("doc_a") === col("da.doc_id"))
+      .hint("shuffle_hash").join(db, col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("da.toks"), col("db.toks"))).cast("long")
+          .as("n_inter"),
+        col("da.sz").as("sz_a"), col("db.sz").as("sz_b"))
+      .where(lit(5) * col("n_inter")
+        >= lit(3) * (col("sz_a") + col("sz_b") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  // The oracle is the brute-force semantics — the prefix filter is a
+  // pure engine-side accelerator with a zero-false-negative guarantee,
+  // so the reference answer is independent of it (threshold stated in
+  // the same integer form: 5·inter ≥ 3·union).
+  private val setSimJoinSql =
+    s"""WITH tok AS (SELECT doc_id, shingle AS token FROM ($shinglesSql)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM tok a JOIN tok b
+       |    ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |WHERE 5 * n_inter >= 3 * (sa.sz + sb.sz - n_inter)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
@@ -529,5 +632,6 @@ object Dedup {
     Op("dedup_minhash_sig", dedupMinhashSig, Some(minhashSigSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql), bench = true),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Op("set_sim_join", setSimJoin, Some(setSimJoinSql), bench = true),
   )
 }

@@ -700,4 +700,39 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning(dim") >= 1,
       "per-dim sums must ride a hashed exchange:\n" + p.take(2000))
   }
+
+  test("dsir_weights: one corpus gram aggregation, reused; only O(B) state broadcasts") {
+    val p = finalPlan("dsir_weights")
+    // the (doc, lang, bucket) count exchange feeds BOTH the bucket
+    // rollup (λ) and the final per-doc weight join — it must be
+    // computed once and reused, not re-aggregated from the corpus
+    assert(p.contains("ReusedExchange"),
+      "the gram-count exchange must be shared by λ and the weight join:\n"
+        + p.take(3000))
+    // the only broadcasts are the scalar totals and the B=128 λ table
+    assert(count(p, "BroadcastExchange") <= 2,
+      "only O(B) state may broadcast:\n" + p.take(3000))
+    assert(count(p, "CartesianProduct") == 0
+      && count(p, "SortMergeJoin") == 0,
+      "bucket joins are broadcast-hash against O(B) state:\n" + p.take(3000))
+  }
+
+  test("set_sim_join: every corpus-derived join shuffles; no all-pairs path") {
+    val p = finalPlan("set_sim_join")
+    // df (vocabulary), the prefix self-join, and both verification
+    // joins are all corpus-derived — none may broadcast at scale, and
+    // the candidate generator must be an equi-join on the prefix
+    // token, never a cartesian expansion
+    assert(count(p, "BroadcastHashJoin") == 0,
+      "corpus-derived relations must never broadcast:\n" + p.take(3000))
+    assert(count(p, "CartesianProduct") == 0
+      && count(p, "BroadcastNestedLoopJoin") == 0,
+      "candidates come from the prefix equi-join only:\n" + p.take(3000))
+    assert(count(p, "ShuffledHashJoin") == 4,
+      "df join + prefix self-join + two verification joins:\n" + p.take(3000))
+    // verification is row-local over the carried token arrays — no
+    // second token-level aggregation after candidate generation
+    assert(p.contains("array_intersect"),
+      "exact verify must be the row-local intersect:\n" + p.take(3000))
+  }
 }
