@@ -108,8 +108,14 @@ object Joins {
   def dedupJoinback(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val coords = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+    // NO round(·, 4): sqrt and the double multiply are IEEE-correctly-
+    // rounded and bit-identical across engines at any magnitude,
+    // whereas round-to-4dp is only portable while |x|·10⁴ is far from
+    // the double ulp — at 1e10-scale keys Spark's exact-decimal
+    // rounding and DuckDB's scale-multiply rounding flip .5-boundary
+    // rows (caught by the 10x full-referential sweep, r9)
     val enriched = coords.withColumn("dist",
-      round(sqrt(col("l_partkey").cast("double") * col("l_suppkey").cast("double")), 4))
+      sqrt(col("l_partkey").cast("double") * col("l_suppkey").cast("double")))
     li.join(enriched, Seq("l_partkey", "l_suppkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("dist"))
@@ -119,7 +125,7 @@ object Joins {
     """WITH coords AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
       |enriched AS (
       |  SELECT l_partkey, l_suppkey,
-      |    round(sqrt(CAST(l_partkey AS DOUBLE) * CAST(l_suppkey AS DOUBLE)), 4) AS dist
+      |    sqrt(CAST(l_partkey AS DOUBLE) * CAST(l_suppkey AS DOUBLE)) AS dist
       |  FROM coords)
       |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, e.dist
       |FROM lineitem l LEFT JOIN enriched e

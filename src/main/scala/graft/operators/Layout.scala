@@ -47,8 +47,14 @@ object Layout {
   }
 
   private val zorderKeySql = {
+    // CAST(65535 AS DOUBLE), NOT the literal 65535.0: DuckDB types a
+    // decimal-point literal as DECIMAL(25,1), so BIGINT * 65535.0 /
+    // BIGINT runs a decimal path that returns 65534.99999999999 where
+    // the double path returns exactly 65535.0 — invisible at sf0.1
+    // key magnitudes, a floor()-flip at 1e10 (caught by the 10x
+    // full-referential sweep, r9).
     def norm(x: String, lo: String, hi: String) =
-      s"CAST(floor(($x - $lo) * 65535.0 / greatest($hi - $lo, 1)) AS BIGINT)"
+      s"CAST(floor(($x - $lo) * CAST(65535 AS DOUBLE) / greatest($hi - $lo, 1)) AS BIGINT)"
     s"""WITH mm AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
        |  min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem)
        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -111,8 +117,9 @@ object Layout {
   }
 
   private val hilbertKeySql = {
+    // CAST(65535 AS DOUBLE) — the zorderKeySql DECIMAL-literal lesson
     def norm(x: String, lo: String, hi: String) =
-      s"CAST(floor(($x - $lo) * 65535.0 / greatest($hi - $lo, 1)) AS BIGINT)"
+      s"CAST(floor(($x - $lo) * CAST(65535 AS DOUBLE) / greatest($hi - $lo, 1)) AS BIGINT)"
     val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey, gx, gy"
     val stages = (0 until 16).map { i =>
       val s = 32768L >> i

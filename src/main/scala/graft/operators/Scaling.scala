@@ -211,8 +211,15 @@ object Scaling {
       .withColumn("frac", (col("cents") * col("qty")) % col("qsum"))
     cents
       .withColumn("rem", col("cents") - sum(col("base")).over(wOrd))
+      // qty in the sort key: the synthetic lineitem does NOT enforce
+      // the TPC-H (l_orderkey, l_linenumber) primary key, so (frac,
+      // l_linenumber) alone is not a total order — the 10x sweep
+      // caught DuckDB splitting a remainder unit across such a tie
+      // differently in one replica than the other nine. With qty
+      // added, any residual tie has identical (line, qty) ⇒ identical
+      // base ⇒ the output multiset is rank-assignment-invariant.
       .withColumn("rnk", row_number().over(
-        wOrd.orderBy(col("frac").desc, col("l_linenumber").asc)))
+        wOrd.orderBy(col("frac").desc, col("l_linenumber").asc, col("qty").asc)))
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (col("base") + when(col("rnk") <= col("rem"), 1L).otherwise(0L))
           .as("alloc_cents"))
@@ -229,7 +236,7 @@ object Scaling {
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM li JOIN orders ON l_orderkey = o_orderkey),
       |b AS (
-      |  SELECT l_orderkey, l_linenumber, cents,
+      |  SELECT l_orderkey, l_linenumber, qty, cents,
       |    (cents * qty) // qsum AS base,
       |    (cents * qty) % qsum AS frac
       |  FROM j)
@@ -240,7 +247,7 @@ object Scaling {
       |  SELECT l_orderkey, l_linenumber, base,
       |    cents - SUM(base) OVER (PARTITION BY l_orderkey) AS rem,
       |    row_number() OVER (PARTITION BY l_orderkey
-      |      ORDER BY frac DESC, l_linenumber ASC) AS rnk
+      |      ORDER BY frac DESC, l_linenumber ASC, qty ASC) AS rnk
       |  FROM b)""".stripMargin
 
   val ops: Seq[Op] = Seq(
