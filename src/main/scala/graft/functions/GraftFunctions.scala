@@ -55,6 +55,8 @@ object GraftFunctions {
       es => H3IsPentagonExpr(es.head)),
     ("h3_boundary_wkt", "h3_boundary_wkt(cell) - cell boundary polygon as WKT",
       es => H3BoundaryWktExpr(es.head)),
+    ("h3_boundary_exact_wkt", "h3_boundary_exact_wkt(cell) - substrate-exact boundary WKT (distortion vertices at icosa edges)",
+      es => H3BoundaryExactWktExpr(es.head)),
     ("h3_children", "h3_children(cell, res) - descendants at a finer res",
       es => H3ChildrenExpr(es(0), es(1))),
     ("st_contains", "st_contains(rings, lon, lat) - point-in-polygon",
@@ -258,6 +260,8 @@ object GraftFunctions {
   def h3_resolution(cell: Column): Column = call_function("h3_resolution", cell)
   def h3_is_pentagon(cell: Column): Column = call_function("h3_is_pentagon", cell)
   def h3_boundary_wkt(cell: Column): Column = call_function("h3_boundary_wkt", cell)
+  def h3_boundary_exact_wkt(cell: Column): Column =
+    call_function("h3_boundary_exact_wkt", cell)
   def h3_children(cell: Column, res: Column): Column =
     call_function("h3_children", cell, res)
   def st_contains(rings: Column, lon: Column, lat: Column): Column =

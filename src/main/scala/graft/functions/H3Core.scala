@@ -1152,6 +1152,461 @@ object H3Core {
     }
   }
 
+  // ------------------------------------------------------------------
+  // substrate-exact cell boundary — h3lib's own planar construction
+  // (faceijk.c _faceIjkToCellBoundary / _faceIjkPentToCellBoundary,
+  // clean-room from the published algorithm): vertices live on a
+  // 3×-finer "substrate" grid of the owner face, cross-face vertices
+  // re-project through face-neighbor transforms, and Class III edges
+  // that cross an icosahedron edge gain a distortion vertex at the
+  // exact planar intersection. The dual construction above
+  // ([[cellToBoundary]]) has no distortion vertices at folds; this
+  // one reproduces them. The face-neighbor transform table is DERIVED
+  // from this file's own face geometry at init (see
+  // [[faceNeighborTransforms]]) rather than transcribed, and the
+  // whole path self-certifies: H3SubstrateBoundarySpec re-indexes
+  // [[h3ToFaceIjk]] output through [[indexFromFaceIjk]] for random
+  // cells at every resolution parity.
+  // ------------------------------------------------------------------
+
+  /** rotate ijk 60° ccw about the origin (i→i+j axes). */
+  private def ijkRotate60ccw(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = i + k; c.j = i + j; c.k = j + k
+    normalize(c)
+  }
+
+  private def ijkRotate60cw(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = i + j; c.j = j + k; c.k = i + k
+    normalize(c)
+  }
+
+  /** one aperture-3 step finer, ccw orientation. */
+  private def downAp3(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = 2 * i + j; c.j = 2 * j + k; c.k = i + 2 * k
+    normalize(c)
+  }
+
+  /** one aperture-3 step finer, cw orientation. */
+  private def downAp3r(c: IJK): Unit = {
+    val i = c.i; val j = c.j; val k = c.k
+    c.i = 2 * i + k; c.j = i + 2 * j; c.k = j + 2 * k
+    normalize(c)
+  }
+
+  /** max (i+j+k) on a face at a CLASS II res: 2·7^(res/2). */
+  private def maxDimByCIIres(res: Int): Long = {
+    var m = 2L; var r = 0
+    while (r < res) { m *= 7; r += 2 }
+    m
+  }
+
+  /** res-0 units per CLASS II res-r unit: 7^(res/2). */
+  private def unitScaleByCIIres(res: Int): Long = {
+    var m = 1L; var r = 0
+    while (r < res) { m *= 7; r += 2 }
+    m
+  }
+
+  private final val DirIJ = 1
+  private final val DirKI = 2
+  private final val DirJK = 3
+
+  private final val NoOverage = 0
+  private final val FaceEdge = 1
+  private final val NewFace = 2
+
+  /** continuous face-plane point → geo; `substrate` divides the grid
+    * pitch by 3 (and by √7 once more at Class III, whose substrate is
+    * one aperture-7 finer) and skips the Class III axis rotation,
+    * which the substrate transform has already absorbed.
+    */
+  private def hex2dToGeo(face: Int, x: Double, y: Double, res: Int,
+      substrate: Boolean): (Double, Double) = {
+    val mag = math.sqrt(x * x + y * y)
+    if (mag < Eps) return faceCenterGeo(face)
+    var theta = math.atan2(y, x)
+    var r = mag
+    var i = 0
+    while (i < res) { r /= Sqrt7; i += 1 }
+    if (substrate) {
+      r /= 3.0
+      if (isClassIII(res)) r /= Sqrt7
+    }
+    r *= Res0UGnomonic
+    r = math.atan(r)
+    if (!substrate && isClassIII(res)) theta = posAngle(theta + Ap7Rot)
+    val az = posAngle(faceAxesAz(face)._1 - theta)
+    val (fcLat, fcLon) = faceCenterGeo(face)
+    azDistance(fcLat, fcLon, az, r)
+  }
+
+  /** (neighbor face, ccw 60° rotations, translate ijk) per (face,
+    * overage quadrant) — the face-unfolding transforms, DERIVED from
+    * this file's own geometry instead of transcribed: for each face
+    * and each exit edge, two probe points just beyond the edge are
+    * indexed in both the home frame and the true nearest-face frame
+    * at Class II res 2; the rotation count falls out of the probe
+    * difference vector (translations cancel), the translation from
+    * either probe, and integrality plus cross-probe agreement certify
+    * the entry (init throws otherwise). Index 0 is the identity row.
+    */
+  private lazy val faceNeighborTransforms
+      : Array[Array[(Int, Int, (Long, Long, Long))]] = {
+    val res = 2
+    val unitScale = unitScaleByCIIres(res)
+    val maxDim = maxDimByCIIres(res).toDouble
+    val corners = Array(
+      (maxDim, 0.0),
+      (-maxDim / 2.0, maxDim * Sin60),
+      (-maxDim / 2.0, -maxDim * Sin60))
+    // quadrant → the face-triangle edge it exits through (corner ids
+    // are the i/j/k axis corners in that order)
+    val edgeOf = Map(DirIJ -> ((0, 1)), DirJK -> ((1, 2)), DirKI -> ((2, 0)))
+    def axial(c: IJK) = (c.i - c.k, c.j - c.k)
+    def rotN(c: IJK, n: Int): IJK = {
+      val t = c.copy(); var i = 0
+      while (i < n) { ijkRotate60ccw(t); i += 1 }
+      t
+    }
+    Array.tabulate(20) { f =>
+      val row = new Array[(Int, Int, (Long, Long, Long))](4)
+      row(0) = (f, 0, (0L, 0L, 0L))
+      for (dir <- Seq(DirIJ, DirKI, DirJK)) {
+        val (a, b) = edgeOf(dir)
+        def probe(t: Double): (IJK, IJK, Int) = {
+          val x = 1.10 * ((1 - t) * corners(a)._1 + t * corners(b)._1)
+          val y = 1.10 * ((1 - t) * corners(a)._2 + t * corners(b)._2)
+          val (lat, lon) = hex2dToGeo(f, x, y, res, substrate = false)
+          val f2 = nearestFace(lat, lon)
+          val (x2, y2) = geoToHex2dOnFace(f2, lat, lon, res)
+          (hex2dToIjk(x, y), hex2dToIjk(x2, y2), f2)
+        }
+        val (c1p, c2p, f2p) = probe(0.37)
+        val (c1q, c2q, f2q) = probe(0.61)
+        require(f2p == f2q, s"face $f dir $dir: probes straddle faces")
+        require(f2p != f, s"face $f dir $dir: probe did not exit the face")
+        val want = (axial(c2p)._1 - axial(c2q)._1,
+          axial(c2p)._2 - axial(c2q)._2)
+        val n = (0 to 5).find { n =>
+          val dp = axial(rotN(c1p, n)); val dq = axial(rotN(c1q, n))
+          (dp._1 - dq._1, dp._2 - dq._2) == want
+        }.getOrElse(throw new IllegalStateException(
+          s"face $f dir $dir: no 60° rotation aligns the frames"))
+        val rp = axial(rotN(c1p, n))
+        val ta = (axial(c2p)._1 - rp._1, axial(c2p)._2 - rp._2)
+        require(ta._1 % unitScale == 0 && ta._2 % unitScale == 0,
+          s"face $f dir $dir: non-integral translation $ta")
+        val rq = axial(rotN(c1q, n))
+        require(axial(c2q)._1 - rq._1 == ta._1
+          && axial(c2q)._2 - rq._2 == ta._2,
+          s"face $f dir $dir: probes disagree on translation")
+        val tv = new IJK(ta._1 / unitScale, ta._2 / unitScale, 0)
+        normalize(tv)
+        row(dir) = (f2p, n, (tv.i, tv.j, tv.k))
+      }
+      row
+    }
+  }
+
+  /** quadrant index connecting face a → face b (0 when a == b). */
+  private lazy val adjacentFaceDir: Array[Array[Int]] = {
+    val m = Array.fill(20, 20)(-1)
+    var f = 0
+    while (f < 20) {
+      m(f)(f) = 0
+      for (d <- Seq(DirIJ, DirKI, DirJK)) m(f)(faceNeighborTransforms(f)(d)._1) = d
+      f += 1
+    }
+    m
+  }
+
+  /** Move a Class II faceIJK that falls off its face onto the right
+    * neighbor frame (h3lib _adjustOverageClassII). `fr(0)` and `ijk`
+    * mutate; returns the overage class. On a substrate grid a point
+    * ON the shared edge reports FaceEdge and stays put.
+    */
+  private def adjustOverageClassII(fr: Array[Int], ijk: IJK, res: Int,
+      pentLeading4: Boolean, substrate: Boolean): Int = {
+    var overage = NoOverage
+    var maxDim = maxDimByCIIres(res)
+    if (substrate) maxDim *= 3
+    val sum = ijk.i + ijk.j + ijk.k
+    if (substrate && sum == maxDim) overage = FaceEdge
+    else if (sum > maxDim) {
+      overage = NewFace
+      val dir =
+        if (ijk.k > 0) { if (ijk.j > 0) DirJK else DirKI } else DirIJ
+      if (dir == DirKI && pentLeading4) {
+        // pentagon leading-4: rotate the KI quadrant about the i-axis
+        // corner to skip the deleted k subsequence (normalize is
+        // axial-preserving, so the intermediate negative i is safe)
+        ijk.i -= maxDim
+        normalize(ijk)
+        ijkRotate60cw(ijk)
+        ijk.i += maxDim
+        normalize(ijk)
+      }
+      val (nf, rot, tv) = faceNeighborTransforms(fr(0))(dir)
+      fr(0) = nf
+      var i = 0
+      while (i < rot) { ijkRotate60ccw(ijk); i += 1 }
+      var us = unitScaleByCIIres(res)
+      if (substrate) us *= 3
+      ijk.i += tv._1 * us; ijk.j += tv._2 * us; ijk.k += tv._3 * us
+      normalize(ijk)
+      // overage points on pentagon boundaries can land exactly on edges
+      if (substrate && ijk.i + ijk.j + ijk.k == maxDim) overage = FaceEdge
+    }
+    overage
+  }
+
+  /** owner (face, ijk at the cell's res) — h3lib _h3ToFaceIjk: decode
+    * in the home frame, then resolve at most one overage (hexagons)
+    * or chase secondary overages (pentagons).
+    */
+  private def h3ToFaceIjk(hIn: Long): (Int, IJK) = {
+    val bc = getBaseCell(hIn)
+    var h = hIn
+    if (isPentagonBaseCell(bc) && leadingNonZeroDigit(h) == 5)
+      h = rotate60cw(h)
+    val (hf, hi, hj, hk, _, _, _) = baseCellData(bc)
+    val ijk = new IJK(hi, hj, hk)
+    val res0 = getResolution(h)
+    val possibleOverage = isPentagonBaseCell(bc) ||
+      (res0 != 0 && !(ijk.i == 0 && ijk.j == 0 && ijk.k == 0))
+    var r = 1
+    while (r <= res0) {
+      if (isClassIII(r)) downAp7(ijk) else downAp7r(ijk)
+      val u = unitVecs(getDigit(h, r))
+      ijk.i += u._1; ijk.j += u._2; ijk.k += u._3
+      normalize(ijk)
+      r += 1
+    }
+    val fr = Array(hf)
+    if (possibleOverage) {
+      val orig = ijk.copy()
+      var res = res0
+      if (isClassIII(res)) { downAp7r(ijk); res += 1 }
+      val pentLeading4 =
+        isPentagonBaseCell(bc) && leadingNonZeroDigit(h) == 4
+      if (adjustOverageClassII(fr, ijk, res, pentLeading4,
+          substrate = false) != NoOverage) {
+        if (isPentagonBaseCell(bc)) {
+          while (adjustOverageClassII(fr, ijk, res, pentLeading4 = false,
+            substrate = false) != NoOverage) ()
+        }
+        if (res != res0) upAp7r(ijk)
+      } else if (res != res0) {
+        ijk.i = orig.i; ijk.j = orig.j; ijk.k = orig.k
+      }
+    }
+    (fr(0), ijk)
+  }
+
+  /** Spec hook: the owner-frame decomposition must re-index to the
+    * same cell through the fully independent [[indexFromFaceIjk]]
+    * path (base-cell lookup + canonicalize) — the self-certification
+    * for [[h3ToFaceIjk]], the derived face-neighbor table, and the
+    * overage adjustment in one shot.
+    */
+  def faceIjkRoundTrips(h: Long): Boolean = {
+    val (f, ijk) = h3ToFaceIjk(h)
+    indexFromFaceIjk(f, ijk.copy(), getResolution(h)) == h
+  }
+
+  /** Spec hook: the cell's owner icosahedron face (0-19). */
+  def ownerFace(h: Long): Int = h3ToFaceIjk(h)._1
+
+  /** Spec hook: face center (lat, lon radians) — lets the boundary
+    * spec assert a distortion vertex sits ON a face edge
+    * (equidistant from the two nearest face centers).
+    */
+  def faceCenterForSpec(face: Int): (Double, Double) = faceCenterGeo(face)
+
+  /** substrate vertex offsets of an origin cell, ccw from the i-axis:
+    * Class II lives on an aperture-33r substrate, Class III on 33r7r
+    * (one aperture-7 finer to get back to Class II orientation).
+    * Pentagons use the first five.
+    */
+  private val substrateVertsCII: Array[(Long, Long, Long)] = Array(
+    (2L, 1L, 0L), (1L, 2L, 0L), (0L, 2L, 1L),
+    (0L, 1L, 2L), (1L, 0L, 2L), (2L, 0L, 1L))
+  private val substrateVertsCIII: Array[(Long, Long, Long)] = Array(
+    (5L, 4L, 0L), (1L, 5L, 0L), (0L, 5L, 4L),
+    (0L, 1L, 5L), (4L, 0L, 5L), (5L, 0L, 1L))
+
+  /** center (face, ijk, res) → (substrate center, adjusted res, verts). */
+  private def substrateVerts(center: IJK, res: Int, nVerts: Int)
+      : (Int, Array[IJK]) = {
+    val c = center.copy()
+    downAp3(c); downAp3r(c)
+    var adjRes = res
+    if (isClassIII(res)) { downAp7r(c); adjRes += 1 }
+    val vt = if (isClassIII(res)) substrateVertsCIII else substrateVertsCII
+    val verts = Array.tabulate(nVerts) { v =>
+      val ijk = new IJK(c.i + vt(v)._1, c.j + vt(v)._2, c.k + vt(v)._3)
+      normalize(ijk)
+      ijk
+    }
+    (adjRes, verts)
+  }
+
+  /** planar segment intersection (h3lib _v2dIntersect — parametric,
+    * callers guarantee the segments genuinely cross).
+    */
+  private def v2dIntersect(p0: (Double, Double), p1: (Double, Double),
+      p2: (Double, Double), p3: (Double, Double)): (Double, Double) = {
+    val s1x = p1._1 - p0._1; val s1y = p1._2 - p0._2
+    val s2x = p3._1 - p2._1; val s2y = p3._2 - p2._2
+    val t = (s2x * (p0._2 - p2._2) - s2y * (p0._1 - p2._1)) /
+      (-s2x * s1y + s1x * s2y)
+    (p0._1 + t * s1x, p0._2 + t * s1y)
+  }
+
+  /** the icosahedron face triangle's corners in SUBSTRATE hex2d. */
+  private def faceCorners(adjRes: Int): Array[(Double, Double)] = {
+    val m = maxDimByCIIres(adjRes).toDouble
+    Array((3.0 * m, 0.0), (-1.5 * m, 3.0 * Sin60 * m),
+      (-1.5 * m, -3.0 * Sin60 * m))
+  }
+
+  private def faceEdgeFor(adjRes: Int, dir: Int)
+      : ((Double, Double), (Double, Double)) = {
+    val c = faceCorners(adjRes)
+    dir match {
+      case DirIJ => (c(0), c(1))
+      case DirJK => (c(1), c(2))
+      case DirKI => (c(2), c(0))
+      case d => throw new IllegalStateException(s"not an edge quadrant: $d")
+    }
+  }
+
+  /** cell id → boundary vertices (lat, lon DEGREES) via the substrate
+    * construction — h3lib-faithful including the Class III distortion
+    * vertices at icosahedron-edge crossings, which the dual
+    * construction ([[cellToBoundary]]) structurally lacks. Vertex
+    * order matches h3lib's: ccw, distortion vertices interleaved
+    * before the vertex that crossed, closing-edge distortion last.
+    */
+  def cellToBoundaryExact(h: Long): Array[(Double, Double)] =
+    cellToBoundaryExactTagged(h).map { case (la, lo, _) => (la, lo) }
+
+  /** [[cellToBoundaryExact]] with each vertex tagged true when it is
+    * an INSERTED icosahedron-edge distortion vertex (vs one of the
+    * cell's own substrate vertices) — the spec hook for asserting the
+    * distortion structure precisely.
+    */
+  def cellToBoundaryExactTagged(h: Long): Array[(Double, Double, Boolean)] = {
+    require(isValidCell(h), s"invalid cell ${h3ToString(h)}")
+    val res = getResolution(h)
+    val (face0, centerIjk) = h3ToFaceIjk(h)
+    val out =
+      if (isPentagon(h)) pentBoundarySubstrate(face0, centerIjk, res)
+      else hexBoundarySubstrate(face0, centerIjk, res)
+    out.map { case (la, lo, d) => (math.toDegrees(la), math.toDegrees(lo), d) }
+  }
+
+  private def hexBoundarySubstrate(face0: Int, center: IJK, res: Int)
+      : Array[(Double, Double, Boolean)] = {
+    val (adjRes, verts) = substrateVerts(center, res, 6)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Boolean)]
+    var lastFace = -1
+    var lastOverage = NoOverage
+    var vert = 0
+    while (vert < 7) { // extra iteration: closing-edge distortion only
+      val v = vert % 6
+      val fr = Array(face0)
+      val ijk = verts(v).copy()
+      val overage =
+        adjustOverageClassII(fr, ijk, adjRes, pentLeading4 = false,
+          substrate = true)
+      // a Class III edge whose endpoints project to different faces
+      // crosses the icosahedron edge: insert the exact planar
+      // intersection, computed in the ORIGINAL face's substrate plane
+      // (Class II vertices land ON face edges — no crossings)
+      if (isClassIII(res) && vert > 0 && fr(0) != lastFace
+          && lastOverage != FaceEdge) {
+        val lastV = (v + 5) % 6
+        val p0 = ijkToHex2d(verts(lastV))
+        val p1 = ijkToHex2d(verts(v))
+        // the crossed icosahedron edge is center-face ↔ whichever
+        // endpoint left the center face (the last one, if both did)
+        val face2 = if (lastFace == face0) fr(0) else lastFace
+        val (e0, e1) = faceEdgeFor(adjRes, adjacentFaceDir(face0)(face2))
+        val inter = v2dIntersect(p0, p1, e0, e1)
+        // an intersection AT a hexagon vertex means both half-edges
+        // already lie on single faces — no extra vertex
+        if (inter != p0 && inter != p1) {
+          val g = hex2dToGeo(face0, inter._1, inter._2, adjRes,
+            substrate = true)
+          out += ((g._1, g._2, true))
+        }
+      }
+      if (vert < 6) {
+        val (x, y) = ijkToHex2d(ijk)
+        val g = hex2dToGeo(fr(0), x, y, adjRes, substrate = true)
+        out += ((g._1, g._2, false))
+      }
+      lastFace = fr(0)
+      lastOverage = overage
+      vert += 1
+    }
+    out.toArray
+  }
+
+  private def pentBoundarySubstrate(face0: Int, center: IJK, res: Int)
+      : Array[(Double, Double, Boolean)] = {
+    val (adjRes, verts) = substrateVerts(center, res, 5)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Boolean)]
+    var lastFace = -1
+    var lastIjk: IJK = null
+    var vert = 0
+    while (vert < 6) {
+      val v = vert % 5
+      val fr = Array(face0)
+      val ijk = verts(v).copy()
+      // pentagon vertices can overage across several faces — chase
+      var ov = adjustOverageClassII(fr, ijk, adjRes, pentLeading4 = false,
+        substrate = true)
+      while (ov == NewFace)
+        ov = adjustOverageClassII(fr, ijk, adjRes, pentLeading4 = false,
+          substrate = true)
+      // every Class III pentagon edge crosses an icosahedron edge
+      if (isClassIII(res) && vert > 0) {
+        // express THIS vertex in the LAST vertex's face frame, then
+        // intersect with that frame's face edge
+        val dirToLast = adjacentFaceDir(fr(0))(lastFace)
+        require(dirToLast > 0,
+          s"pentagon edge endpoints unexpectedly share face ${fr(0)}")
+        val (nf, rot, tv) = faceNeighborTransforms(fr(0))(dirToLast)
+        val cur = ijk.copy()
+        var i = 0
+        while (i < rot) { ijkRotate60ccw(cur); i += 1 }
+        val us = unitScaleByCIIres(adjRes) * 3
+        cur.i += tv._1 * us; cur.j += tv._2 * us; cur.k += tv._3 * us
+        normalize(cur)
+        val p0 = ijkToHex2d(lastIjk)
+        val p1 = ijkToHex2d(cur)
+        val (e0, e1) = faceEdgeFor(adjRes, adjacentFaceDir(nf)(fr(0)))
+        val inter = v2dIntersect(p0, p1, e0, e1)
+        val g = hex2dToGeo(nf, inter._1, inter._2, adjRes, substrate = true)
+        out += ((g._1, g._2, true))
+      }
+      if (vert < 5) {
+        val (x, y) = ijkToHex2d(ijk)
+        val g = hex2dToGeo(fr(0), x, y, adjRes, substrate = true)
+        out += ((g._1, g._2, false))
+      }
+      lastFace = fr(0)
+      lastIjk = ijk
+      vert += 1
+    }
+    out.toArray
+  }
+
   /** circumcenter (lat, lon radians) of the spherical triangle abc:
     * normalize((b − a) × (c − a)), oriented into a's hemisphere —
     * equidistant from all three by construction.

@@ -44,6 +44,16 @@ object H3ExprHelpers {
     */
   def boundaryWkt(cell: UTF8String): UTF8String = {
     val vs = H3Core.cellToBoundary(H3Core.stringToH3(cell.toString))
+    wktRing(vs)
+  }
+  /** WKT of the SUBSTRATE-exact boundary ([[H3Core.cellToBoundaryExact]]
+    * — h3lib's construction, including Class III distortion vertices).
+    */
+  def boundaryExactWkt(cell: UTF8String): UTF8String = {
+    val vs = H3Core.cellToBoundaryExact(H3Core.stringToH3(cell.toString))
+    wktRing(vs)
+  }
+  private def wktRing(vs: Array[(Double, Double)]): UTF8String = {
     val ring = vs :+ vs.head
     // plain decimal notation: Double.toString emits 1.2E-4 below 1e-3,
     // which OGC-strict WKT parsers reject; toPlainString keeps the
@@ -182,6 +192,21 @@ case class H3BoundaryWktExpr(child: Expression) extends UnaryExpression {
     H3ExprHelpers.boundaryWkt(cell.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.boundaryWkt($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** h3_boundary_exact_wkt(cell) → the cell's boundary polygon as WKT
+  * via the substrate construction ([[H3Core.cellToBoundaryExact]] —
+  * h3lib-faithful: planar substrate vertices, Class III distortion
+  * vertices at icosahedron-edge crossings).
+  */
+case class H3BoundaryExactWktExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(cell: Any): Any =
+    H3ExprHelpers.boundaryExactWkt(cell.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.H3ExprHelpers.boundaryExactWkt($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -1151,6 +1151,67 @@ object Spatial {
       |  ('verts_near_center', true), ('center_roundtrip', true),
       |  ('cell_count_bounded', true)) AS t(chk, ok)""".stripMargin
 
+  /** Scorecard form of the SUBSTRATE-exact boundary (r9 — closes the
+    * last "missing" line: h3lib's own construction with Class III
+    * distortion vertices at icosahedron-edge crossings, which the
+    * dual construction structurally lacks). Same fixed-check shape as
+    * [[h3BoundaryChecks]]; arity here is a band (6 substrate vertices
+    * + up to 4 inserted edge crossings at Class III res 7; pentagons
+    * exactly 10). The sharp substrate properties — derived
+    * face-transform certification, distortion vertices ON face edges
+    * to 1e-12, cross-face vertex sharing — run in
+    * H3SubstrateBoundarySpec, which also guarantees crossings are
+    * exercised (random fixture points may or may not hit a fold).
+    */
+  def h3BoundaryExactChecks(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(((col("value") % 120.0) - 60.0).as("lat"),
+        (((col("event_id") % 3600).cast("double") / 10.0) - 180.0).as("lon"))
+    val b = pts
+      .select(h3_index(col("lat"), col("lon"), lit(7)).as("cell"))
+      .where(col("cell").isNotNull)
+      .distinct()
+      .select(col("cell"),
+        h3_boundary_exact_wkt(col("cell")).as("wkt"),
+        h3_is_pentagon(col("cell")).as("pent"),
+        h3_center_lat(col("cell")).as("clat"),
+        h3_center_lon(col("cell")).as("clon"))
+      .withColumn("vs",
+        split(regexp_extract(col("wkt"), "^POLYGON\\(\\((.*)\\)\\)$", 1), ", "))
+      .withColumn("vlat", expr("transform(vs, s -> cast(split(s, ' ')[1] as double))"))
+      .withColumn("vlon", expr("transform(vs, s -> cast(split(s, ' ')[0] as double))"))
+    val checks = b.agg(
+      bool_and(element_at(col("vs"), 1) === element_at(col("vs"), -1))
+        .as("ring_closed"),
+      bool_and(when(col("pent"), size(col("vs")) === 11)
+        .otherwise(size(col("vs")).between(7, 11))).as("vertex_arity"),
+      bool_and(expr("forall(vlat, v -> abs(v - clat) <= 0.15)") &&
+        expr("forall(vlon, v -> least(abs(v - clon), 360.0 - abs(v - clon))" +
+          " <= 0.30)")).as("verts_near_center"),
+      bool_and(h3_index(col("clat"), col("clon"), lit(7)) === col("cell"))
+        .as("center_roundtrip"),
+      count(lit(1)).as("n_cells"))
+    val nPts = pts.distinct().agg(count(lit(1)).as("n_pts"))
+    checks.crossJoin(broadcast(nPts))
+      .select(explode(array(
+        struct(lit("ring_closed").as("chk"), col("ring_closed").as("ok")),
+        struct(lit("vertex_arity").as("chk"), col("vertex_arity").as("ok")),
+        struct(lit("verts_near_center").as("chk"),
+          col("verts_near_center").as("ok")),
+        struct(lit("center_roundtrip").as("chk"),
+          col("center_roundtrip").as("ok")),
+        struct(lit("cell_count_bounded").as("chk"),
+          (col("n_cells") >= 1 && col("n_cells") <= col("n_pts")).as("ok"))))
+        .as("c"))
+      .select(col("c.chk").as("chk"), col("c.ok").as("ok"))
+  }
+
+  private val h3BoundaryExactChecksSql =
+    """SELECT chk, ok FROM (VALUES
+      |  ('ring_closed', true), ('vertex_arity', true),
+      |  ('verts_near_center', true), ('center_roundtrip', true),
+      |  ('cell_count_bounded', true)) AS t(chk, ok)""".stripMargin
+
   /** H3 polyfill (polygonToCells, center-containment mode): the cells
     * of the municipio-style catalog polygons at res 4 — the step that
     * turns an admin boundary into a cell allowlist for joins against
@@ -1480,6 +1541,7 @@ object Spatial {
     Op("h3_cells", h3CellsVerdict, Some(h3CellsVerdictSql)),
     Op("h3_rg", h3RgVerdict, Some(h3RgVerdictSql)),
     Op("h3_boundary", h3BoundaryChecks, Some(h3BoundaryChecksSql)),
+    Op("h3_boundary_exact", h3BoundaryExactChecks, Some(h3BoundaryExactChecksSql)),
     Op("h3_polyfill", h3PolyfillChecks, Some(h3PolyfillChecksSql)),
     Op("h3_compact", h3CompactChecks, Some(h3CompactChecksSql)),
     Op("hex_kring_neighbors", hexKringNeighbors, Some(hexKringNeighborsSql)),
