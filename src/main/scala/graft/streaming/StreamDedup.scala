@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
+
+/** Streaming MinHash/LSH near-duplicate SUPPRESSION: keep the first
+  * document of each LSH band bucket, emit a dup edge (doc → keeper)
+  * for every later arrival that collides — the streaming counterpart
+  * of the batch `dedup_minhash_lsh` candidate join, for ingest
+  * pipelines that must drop near-dups as documents ARRIVE rather
+  * than in a nightly batch.
+  *
+  * Shape: one codegen'd per-row minhash pass (the batch
+  * [[graft.functions.MinHashSigExpr]] kernel — zero exchanges for
+  * signatures), explode to (band_key, doc) rows, then ONE stateful
+  * shuffle keyed by band: a `transformWithState` processor holds one
+  * ValueState[Long] — the bucket's keeper — per distinct band key.
+  * State is O(distinct band keys), sharded across executors by the
+  * band hash exactly like the batch join's exchange; a TTLConfig
+  * converts it to a sliding-recency corpus at 100 TB (dup-of-anything
+  * -ever is unbounded for an unbounded stream by definition).
+  *
+  * Within a micro-batch, first-wins resolves deterministically to the
+  * SMALLEST doc_id (arrival order inside a batch is partition-
+  * dependent, so "first" must be a total order to be reproducible —
+  * the prorate_exact lesson applied to streams).
+  */
+object StreamDedup {
+
+  case class BandHit(band_key: String, doc_id: Long)
+  case class DupEdge(doc_id: Long, keeper_id: Long, band_key: String)
+
+  class Processor extends StatefulProcessor[String, BandHit, DupEdge] {
+    @transient private var keeper: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      keeper = getHandle.getValueState[Long]("keeper", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandHit],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupEdge] = {
+      val ids = rows.map(_.doc_id).toArray.distinct.sorted
+      val keep =
+        if (keeper.exists()) keeper.get()
+        else { keeper.update(ids.head); ids.head }
+      ids.iterator.filter(_ != keep).map(DupEdge(_, keep, key))
+    }
+  }
+
+  /** (band_key, doc_id) rows of a document stream — the same
+    * signature arithmetic and 8-byte band hashing as the batch LSH
+    * (numHashes/bandSize mirror `Dedup`'s constants).
+    */
+  def bandHits(spark: SparkSession, docsDir: String,
+      numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.minhash_sig
+    val schema = spark.read.parquet(docsDir).schema
+    val bands = (0 until numHashes / bandSize).map { bi =>
+      concat_ws(":", lit(bi),
+        xxhash64((0 until bandSize)
+          .map(j => element_at(col("sig"), bi * bandSize + j + 1)): _*))
+    }
+    spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("doc_id"), minhash_sig(col("text"), lit(numHashes)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bands: _*)).as("band_key"))
+  }
+
+  /** The dup-edge stream: append-mode evidence rows (doc_id, keeper_id,
+    * band_key) for every near-dup arrival. Keepers never appear as
+    * doc_id unless they re-arrive after being admitted.
+    */
+  def dupEdges(spark: SparkSession, docsDir: String): Dataset[DupEdge] = {
+    import spark.implicits._
+    bandHits(spark, docsDir)
+      .as[BandHit]
+      .groupByKey(_.band_key)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+  }
+}

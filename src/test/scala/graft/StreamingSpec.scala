@@ -327,4 +327,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.select("doc_id").distinct().count() == docs.count(),
       "no duplicate rows across the restart")
   }
+
+  test("streaming LSH dedup: first-wins across micro-batches, deterministic in-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString + "/docs"
+    val txtA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val txtB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val txtC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    // dir named documents.parquet so the SAME base dir serves the
+    // batch reader (Tables.documents) for the equivalence check below
+    val base = new java.io.File(dir).getParent
+    val dDir = s"$base/documents.parquet"
+    def df(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 1: 2 is an exact near-dup of 1 (same bands); 3 distinct
+    df((1L, txtA), (2L, txtA), (3L, txtB)).coalesce(1).write.parquet(dDir)
+    // batch 2: 5 re-collides with 1's buckets ACROSS batches; 6 new
+    df((5L, txtA), (6L, txtC)).coalesce(1).write.mode("append").parquet(dDir)
+    // transformWithState requires the RocksDB store (column families)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.StreamDedup.dupEdges(spark, dDir)
+        .writeStream.outputMode("append").format("memory").queryName("sdedup_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val edges = spark.table("sdedup_out")
+        .select(col("doc_id"), col("keeper_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // in-batch dup resolves to the batch MIN (2 → 1), cross-batch dup
+      // to the STATE keeper (5 → 1); distinct docs emit nothing
+      assert(edges == Set((2L, 1L), (5L, 1L)), edges.toString)
+      // every streamed edge is a batch LSH candidate pair on the same data
+      val batchPairs = operators.Dedup.dedupMinhashLsh(spark, base)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      edges.foreach { case (d, k) =>
+        assert(batchPairs.contains((math.min(d, k), math.max(d, k))),
+          s"stream edge ($d,$k) missing from batch candidates $batchPairs")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
