@@ -32,6 +32,20 @@ object DevScaleProbe {
         Runtime.getRuntime.availableProcessors.toString))
     spark.sparkContext.setLogLevel("WARN")
 
+    val out = ensureReplicated(spark, sfDir, reps)
+
+    runProbe(spark, out, names, runs) // stops the session before pairing
+  }
+
+  /** Build (once, memoized by a `_done` marker) the density-preserving
+    * reps× replication of `sfDir` under /dev/shm: events densify in
+    * place (ids offset by a multiple of 3600 so replicas land in the
+    * same cells/buckets), orders/lineitem grow TPC-H-style with offset
+    * keys, small catalogs symlink. Shared by the scale probes and the
+    * in-session perf A/B harnesses.
+    */
+  def ensureReplicated(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, reps: Int): String = {
     val out = s"/dev/shm/graft_sf${reps}x"
     val done = new java.io.File(s"$out/_done")
     if (!done.exists()) {
@@ -84,7 +98,11 @@ object DevScaleProbe {
       }
       done.createNewFile()
     }
+    out
+  }
 
+  private def runProbe(spark: org.apache.spark.sql.SparkSession,
+      out: String, names: Seq[String], runs: Int): Unit = {
     val ops = names.map(n => SparkEntry.allOps.find(_.name == n).get)
     ops.foreach(op => op.run(spark, out).count()) // warm
     val spark_t = ops.map { op =>
@@ -98,6 +116,11 @@ object DevScaleProbe {
       op.name -> ts.min
     }.toMap
     spark.stop()
+
+    // GRAFT_PAIR=0 skips the oracle pairing — for queries where the
+    // oracle engine is resource-bound at 10× (the r18 impute_fixpoint
+    // lesson: DuckDB materializing a wedge-scale join eats >100 GB)
+    if (sys.env.get("GRAFT_PAIR").contains("0")) return
 
     // paired DuckDB over the SAME replicated dir, same session window
     val spec = ops.flatMap(op => op.oracle.map(sql =>

@@ -158,6 +158,14 @@ object GraftFunctions {
           items.asInstanceOf[Number].longValue(),
           fpp.asInstanceOf[Number].doubleValue()).toAggregateExpression()
       }),
+    ("bitset_agg", "bitset_agg(idx, n) - fixed-width bitset over dense int indexes [0, n)",
+      es => {
+        require(es(1).foldable, "bitset_agg: n must be a literal")
+        val n = es(1).eval()
+        require(n != null, "bitset_agg: n must be non-null")
+        BitsetAgg(es(0), n.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }),
     ("heavy_hitters", "heavy_hitters(token, capacity) - Misra-Gries frequent-items summary",
       es => {
         require(es(1).foldable, "heavy_hitters: capacity must be a literal")

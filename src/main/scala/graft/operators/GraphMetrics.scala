@@ -416,14 +416,123 @@ object GraphMetrics {
     * |N(u)∪N(v)| — the classic similarity heuristic for "who should be
     * connected" (contact recommendation, graph densification QA).
     *
-    * Scale shape: the wedge join (adjacency self-joined on the shared
-    * neighbor) is the SAME shape as [[graphTriangles]] — candidates ∝
-    * wedge count, bounded here by cell capacity; degrees join back on
-    * the node key; existing edges are removed by an anti-join on the
-    * canonical (src, dst) orientation. No cartesian anywhere.
+    * ADAPTIVE kernel (r19): the answer is inherently Θ(candidate
+    * pairs), but HOW the common-neighbor counts are produced differs
+    * by density regime, and the regimes differ by orders of magnitude:
+    *
+    *  - dense + node-bounded (this co-location graph: n≈1.5k/d≈278 at
+    *    sf0.1, n≈7.5k/d≈1394 at ≈sf1) → [[jaccardLinksBitset]]: the
+    *    wedge join flows Σd² = n·d² rows through a hash aggregate
+    *    (7.4 G rows at 5×, 105 GB of partial-agg spill measured by
+    *    DevJacAb — the 346 s ≈sf1 sweep entry), while a bitset
+    *    adjacency matrix is only n²/8 bytes (7 MB!) and one AND+popcnt
+    *    word-loop answers cn, BOTH degrees, and the existing-edge test
+    *    with zero joins, zero wedge shuffle.
+    *  - sparse or wide (n beyond the broadcast cap, or d < n/64 where
+    *    word-ops per pair outgrow wedge rows) → [[jaccardLinksWedge]]:
+    *    the streaming wedge join; Σd² rows is then the honest floor
+    *    and nothing node²-sized is ever materialized.
+    *
+    * The switch needs one edges-bounded pre-aggregate (n, avg degree);
+    * bitset work is n²·(n/64) word-ops vs the wedge's n·d² agg rows at
+    * ~64× the per-unit cost, so bitset wins iff d ≳ n/64 — and it
+    * additionally requires n ≤ 32768 so the matrix broadcast is
+    * ≤ 128 MB (at 100 TB with millions of nodes the wedge join is the
+    * only exact shape, and the guard routes there).
     */
   def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    val e0 = edges(spark, dir)
+    // the chooser needs one pass over e (n, avg degree) and the bitset
+    // build needs two more (id collect, bitset agg) — all EAGER, all
+    // during construction, and e is the expensive co-location distinct.
+    // Persist across those passes, then release BEFORE returning: the
+    // bitset plan is a broadcast scan that no longer references e at
+    // all, so nothing persisted outlives construction. (Graph-sized,
+    // MEMORY_AND_DISK: spills rather than evicts under pressure.)
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)), avg(col("d"))).collect()(0)
+      val n = st.getLong(0)
+      if (n >= 2 && n <= MaxBitsetNodes && st.getDouble(1) * 64 >= n)
+        jaccardLinksBitset(spark, e, n.toInt)
+      else jaccardLinksWedge(e0) // lazy plan on the UN-persisted subtree
+    } finally e.unpersist()
+  }
+
+  /** n²/8 bytes at the cap = 128 MB broadcast / driver collect — the
+    * hard feasibility line for the dense kernel.
+    */
+  private val MaxBitsetNodes = 32768
+
+  /** Dense kernel: broadcast the adjacency BITSET matrix (built by the
+    * mergeable `bitset_agg`, so the build exchange carries n/8-byte
+    * buffers, never adjacency rows), then scan node pairs a<b in an
+    * embarrassingly parallel mapPartitions — cn = popcount(N(a)&N(b)),
+    * degrees = row popcounts, existing-edge test = bit b of N(a).
+    */
+  private[graft] def jaccardLinksBitset(spark: SparkSession, e: DataFrame,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val ids = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+      .distinct().as[Long].collect().sorted // n-bounded by the caller
+    val idmap = spark.createDataset(ids.toSeq.zipWithIndex).toDF("id", "nid")
+    val enc = e
+      .join(broadcast(idmap.select(col("id").as("src"), col("nid").as("na"))), Seq("src"))
+      .join(broadcast(idmap.select(col("id").as("dst"), col("nid").as("nb"))), Seq("dst"))
+      .select(col("na"), col("nb"))
+    val words = (n + 63) >>> 6
+    val bits = Array.fill(n)(new Array[Long](words))
+    enc.select(col("na").as("g"), col("nb").as("i"))
+      .unionByName(enc.select(col("nb").as("g"), col("na").as("i")))
+      .groupBy(col("g"))
+      .agg(call_function("bitset_agg", col("i"), lit(n)).as("bits"))
+      .as[(Int, Array[Byte])].collect() // n rows of n/8 bytes — ≤128 MB
+      .foreach { case (g, b) => bits(g) = graft.functions.BitsetAgg.words(b) }
+    val bBits = spark.sparkContext.broadcast(bits)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val parts = spark.sparkContext.defaultParallelism * 4
+    // hash-repartition the row index so the triangular (n-a) tail work
+    // mixes evenly across tasks instead of loading the first range
+    spark.range(n).select(col("id").cast("int").as("a"))
+      .repartition(parts, col("a"))
+      .as[Int]
+      .mapPartitions { it =>
+        val bs = bBits.value
+        val idArr = bIds.value
+        val dg = bs.map(_.map(java.lang.Long.bitCount(_).toLong).sum)
+        val nn = idArr.length
+        val w = (nn + 63) >>> 6
+        it.flatMap { a =>
+          val ba = bs(a)
+          val da = dg(a)
+          Iterator.range(a + 1, nn).flatMap { b =>
+            if ((ba(b >>> 6) >>> (b & 63) & 1L) == 1L) Iterator.empty // edge
+            else {
+              val bb = bs(b)
+              var cn = 0L; var k = 0
+              while (k < w) { cn += java.lang.Long.bitCount(ba(k) & bb(k)); k += 1 }
+              if (cn == 0L) Iterator.empty
+              else Iterator.single((idArr(a), idArr(b), cn,
+                cn.toDouble / (da + dg(b) - cn)))
+            }
+          }
+        }
+      }
+      .toDF("node_a", "node_b", "cn", "jraw")
+      .select(col("node_a"), col("node_b"), col("cn"),
+        round(col("jraw"), 9).as("jaccard"))
+  }
+
+  /** Sparse/wide kernel — the streaming wedge join (adjacency
+    * self-joined on the shared neighbor): candidates ∝ wedge count;
+    * degrees join back on the node key; existing edges are removed by
+    * an anti-join on the canonical (src, dst) orientation. No
+    * cartesian anywhere, nothing node²-sized held in memory.
+    */
+  private[graft] def jaccardLinksWedge(e: DataFrame): DataFrame = {
     // every join side below (adjacency, edge list, degrees) is graph-
     // sized — pin shuffle-hash so fixture-scale broadcasts can't hide
     // a 100 TB OOM; only the wedge aggregation's own exchange remains
@@ -477,14 +586,18 @@ object GraphMetrics {
        |JOIN deg db ON nonedge.node_b = db.node""".stripMargin
 
   val ops: Seq[Op] = Seq(
-    Op("graph_jaccard_links", graphJaccardLinks, Some(graphJaccardLinksSql)),
+    // bench flags (r19, TODO carry-over): the graph family was the
+    // heaviest unbenched surface — jaccard links (the adaptive kernel
+    // this round rebuilt), the triangle wedge join, and the iterative
+    // pagerank now regress-guard in the artifact of record
+    Op("graph_jaccard_links", graphJaccardLinks, Some(graphJaccardLinksSql), bench = true),
     Op("sssp_bounded", (s, d) => ssspBounded(s, d), Some(ssspBoundedSql)),
     Op("kcore_membership", (s, d) => kcoreMembership(s, d), Some(kcoreMembershipSql)),
     Op("clustering_coefficient", clusteringCoefficient, Some(clusteringCoefficientSql)),
     Op("graph_bfs_depth", (s, d) => graphBfsDepth(s, d), Some(graphBfsDepthSql)),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
-    Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
-    Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
+    Op("graph_triangles", graphTriangles, Some(graphTrianglesSql), bench = true),
+    Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql), bench = true),
     Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
   )
 }

@@ -49,6 +49,59 @@ object StreamDedup {
     }
   }
 
+  case class BandHitTs(band_key: String, doc_id: Long, ts: Long)
+  case class KeeperState(keeper_id: Long, last_seen: Long)
+
+  /** Sliding-recency keeper (TODO r19 carry-over): the unbounded
+    * "dup-of-anything-ever" corpus becomes a recency window — a bucket
+    * whose last hit is more than `ttlMs` of EVENT time ago has expired,
+    * and the next arrival is RE-ADMITTED as the bucket's new keeper
+    * (no dup edge; later colliders point at the new keeper). Every hit
+    * — keeper re-arrival or dup — refreshes the bucket's recency
+    * (sliding, not admission-anchored), so an actively-colliding
+    * bucket never expires but a dormant one is forgotten.
+    *
+    * Determinism: rows are processed in (ts, doc_id) order within a
+    * micro-batch, and recency only moves forward (`max`), so a late
+    * out-of-order row can neither un-expire a bucket nor roll its
+    * window back — replaying the same batches yields the same edges.
+    *
+    * State size: the event-time window bounds which entries are LIVE;
+    * a production deployment ALSO passes a processing-time TTLConfig
+    * (sized ≥ the event-time window + max expected lateness) so the
+    * store physically evicts what the logic has already expired —
+    * expiry CORRECTNESS never depends on wall-clock eviction.
+    */
+  class TtlProcessor(ttlMs: Long, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, BandHitTs, DupEdge] {
+    @transient private var st: ValueState[KeeperState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KeeperState]("keeper",
+        Encoders.product[KeeperState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[BandHitTs],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupEdge] = {
+      // per-bucket batch volume is collision-bounded (the same bound
+      // as the non-TTL processor's distinct/sort buffer)
+      val sorted = rows.toArray.sortBy(r => (r.ts, r.doc_id))
+      val out = Seq.newBuilder[DupEdge]
+      var cur = if (st.exists()) Option(st.get()) else None
+      sorted.foreach { r =>
+        cur match {
+          case Some(k) if r.ts - k.last_seen <= ttlMs =>
+            if (r.doc_id != k.keeper_id) out += DupEdge(r.doc_id, k.keeper_id, key)
+            cur = Some(k.copy(last_seen = math.max(k.last_seen, r.ts)))
+          case _ => // vacant or expired: (re-)admit, no edge
+            cur = Some(KeeperState(r.doc_id, r.ts))
+        }
+      }
+      cur.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
   /** (band_key, doc_id) rows of a document stream — the same
     * signature arithmetic and 8-byte band hashing as the batch LSH
     * (numHashes/bandSize mirror `Dedup`'s constants).
@@ -78,5 +131,35 @@ object StreamDedup {
       .as[BandHit]
       .groupByKey(_.band_key)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The TTL'd dup-edge stream: the source must carry an event-time
+    * long column `tsCol` (epoch millis); buckets idle for more than
+    * `ttlMs` expire and the next collider is re-admitted as keeper.
+    */
+  def dupEdgesTtl(spark: SparkSession, docsDir: String, ttlMs: Long,
+      tsCol: String = "ts", maxFilesPerTrigger: Option[Int] = None)
+      : Dataset[DupEdge] = {
+    import graft.functions.GraftFunctions.minhash_sig
+    import spark.implicits._
+    val numHashes = 8; val bandSize = 4
+    val schema = spark.read.parquet(docsDir).schema
+    val bands = (0 until numHashes / bandSize).map { bi =>
+      concat_ws(":", lit(bi),
+        xxhash64((0 until bandSize)
+          .map(j => element_at(col("sig"), bi * bandSize + j + 1)): _*))
+    }
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(docsDir)
+      .select(col("doc_id"), col(tsCol).cast("long").as("ts"),
+        minhash_sig(col("text"), lit(numHashes)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        explode(array(bands: _*)).as("band_key"))
+      .as[BandHitTs]
+      .groupByKey(_.band_key)
+      .transformWithState(new TtlProcessor(ttlMs), TimeMode.None(),
+        OutputMode.Append())
   }
 }

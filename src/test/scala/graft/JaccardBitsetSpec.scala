@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The adaptive graph_jaccard_links kernels (r19): the dense bitset
+  * matrix and the streaming wedge join must be EXACTLY interchangeable
+  * — same pairs, same counts, same rounded jaccard — because the
+  * density guard picks between them at runtime and the oracle only
+  * ever sees one.
+  */
+class JaccardBitsetSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = Sessions.build("graft-test", "4")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def asSet(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("bitset and wedge kernels agree exactly on the sf0.001 co-location graph") {
+    val e = operators.Interactions.empiricEdges(spark, "/root/testdata/sf0.001")
+    val n = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+      .distinct().count().toInt
+    val bs = asSet(operators.GraphMetrics.jaccardLinksBitset(spark, e, n))
+    val wj = asSet(operators.GraphMetrics.jaccardLinksWedge(e))
+    assert(bs.nonEmpty, "fixture produced no candidate links")
+    assert(bs == wj, s"kernels diverge: only-bitset=${(bs -- wj).take(3)} " +
+      s"only-wedge=${(wj -- bs).take(3)}")
+  }
+
+  test("hand graph: values, edge exclusion, and hub degrees are right in both kernels") {
+    import spark.implicits._
+    // path 1-2-3-4 plus hub 9 connected to 1,2,3 — non-edge pairs and
+    // their hand-computed jaccard:
+    //   (1,3): N1={2,9} N3={2,4,9} cn=2 J=2/(2+3-2)=2/3
+    //   (2,4): N2={1,3,9} N4={3}   cn=1 J=1/(3+1-1)=1/3
+    //   (1,4)(4,9): no common neighbor -> absent
+    //   (2,9): EDGE -> excluded even though cn=2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("src", "dst")
+    val expect = Set(
+      (1L, 3L, 2L, math.rint(2.0 / 3 * 1e9) / 1e9),
+      (2L, 4L, 1L, math.rint(1.0 / 3 * 1e9) / 1e9),
+      (4L, 9L, 1L, 1.0 / 3), // N4={3} N9={1,2,3} cn=1 J=1/(1+3-1)=1/3
+      (1L, 4L, 0L, 0.0)).filter(_._3 > 0L) // (1,4) cn=0: marker row, dropped
+    val bs = asSet(operators.GraphMetrics.jaccardLinksBitset(spark, e, 5))
+    val wj = asSet(operators.GraphMetrics.jaccardLinksWedge(e))
+    assert(bs == wj, s"kernels diverge on hand graph: $bs vs $wj")
+    // compare pair/cn structure exactly; jaccard to 1e-9 (both kernels
+    // round identically by construction, asserted by the set equality)
+    assert(bs.map(t => (t._1, t._2, t._3)) == expect.map(t => (t._1, t._2, t._3)),
+      bs.toString)
+    bs.foreach { case (a, b, _, j) =>
+      val ex = expect.find(t => t._1 == a && t._2 == b).get._4
+      assert(math.abs(j - ex) < 1e-9, s"($a,$b) jaccard $j != $ex")
+    }
+  }
+
+  test("adaptive chooser routes the dense fixture to the bitset kernel (no wedge shuffle in plan)") {
+    val df = operators.GraphMetrics.graphJaccardLinks(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert(!plan.contains("ShuffledHashJoin"),
+      "dense fixture took the wedge join:\n" + plan.take(800))
+  }
+}

@@ -373,4 +373,44 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming LSH dedup TTL: sliding recency keeps hot buckets, re-admits after expiry") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sdttl").toString
+    val dDir = s"$base/documents.parquet"
+    val txtA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    def df(rows: (Long, Long)*) = rows.toSeq
+      .map { case (id, ts) => (id, txtA, ts) }
+      .toDF("doc_id", "text", "ts")
+    // ttl = 1000 ms of EVENT time. Wave 1 admits 1@0 and dups 2@800
+    // (recency slides 0 → 800); wave 2's 5@1600 is >ttl past ADMISSION
+    // but within ttl of the last HIT — sliding recency must keep the
+    // bucket alive (an admission-anchored window would expire it);
+    // wave 3's 7@3000 is 1400 ms past the last hit — expired, so 7
+    // re-admits silently and 8@3050 dups to the NEW keeper.
+    df((1L, 0L), (2L, 800L)).coalesce(1).write.parquet(dDir)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.StreamDedup.dupEdgesTtl(spark, dDir, ttlMs = 1000L)
+        .writeStream.outputMode("append").format("memory").queryName("sdttl_out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        df((5L, 1600L)).coalesce(1).write.mode("append").parquet(dDir)
+        q.processAllAvailable()
+        df((7L, 3000L), (8L, 3050L)).coalesce(1).write.mode("append").parquet(dDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      val edges = spark.table("sdttl_out")
+        .select(col("doc_id"), col("keeper_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edges == Set((2L, 1L), (5L, 1L), (8L, 7L)), edges.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
