@@ -473,8 +473,13 @@ object GraphMetrics {
     * embarrassingly parallel mapPartitions — cn = popcount(N(a)&N(b)),
     * degrees = row popcounts, existing-edge test = bit b of N(a).
     */
-  private[graft] def jaccardLinksBitset(spark: SparkSession, e: DataFrame,
-      n: Int): DataFrame = {
+  /** Shared dense-kernel build: sorted original node ids and the
+    * adjacency bitset matrix (built by the mergeable `bitset_agg`, so
+    * the build exchange carries n/8-byte buffers, never adjacency
+    * rows). Caller guarantees n ≤ [[MaxBitsetNodes]].
+    */
+  private def buildBitsets(spark: SparkSession, e: DataFrame,
+      n: Int): (Array[Long], Array[Array[Long]]) = {
     import spark.implicits._
     val ids = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
       .distinct().as[Long].collect().sorted // n-bounded by the caller
@@ -491,13 +496,24 @@ object GraphMetrics {
       .agg(call_function("bitset_agg", col("i"), lit(n)).as("bits"))
       .as[(Int, Array[Byte])].collect() // n rows of n/8 bytes — ≤128 MB
       .foreach { case (g, b) => bits(g) = graft.functions.BitsetAgg.words(b) }
+    (ids, bits)
+  }
+
+  /** The parallel pair-index driver for the dense kernels: node row
+    * indexes 0..n-1, hash-repartitioned so the triangular (n-a) tail
+    * work mixes evenly across tasks instead of loading the first range.
+    */
+  private def pairDriver(spark: SparkSession, n: Int) =
+    spark.range(n).select(col("id").cast("int").as("a"))
+      .repartition(spark.sparkContext.defaultParallelism * 4, col("a"))
+
+  private[graft] def jaccardLinksBitset(spark: SparkSession, e: DataFrame,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n)
     val bBits = spark.sparkContext.broadcast(bits)
     val bIds = spark.sparkContext.broadcast(ids)
-    val parts = spark.sparkContext.defaultParallelism * 4
-    // hash-repartition the row index so the triangular (n-a) tail work
-    // mixes evenly across tasks instead of loading the first range
-    spark.range(n).select(col("id").cast("int").as("a"))
-      .repartition(parts, col("a"))
+    pairDriver(spark, n)
       .as[Int]
       .mapPartitions { it =>
         val bs = bBits.value
@@ -585,7 +601,162 @@ object GraphMetrics {
        |JOIN deg da ON nonedge.node_a = da.node
        |JOIN deg db ON nonedge.node_b = db.node""".stripMargin
 
+  /** Adamic–Adar link prediction (r19): for every NON-edge pair with a
+    * common neighbor, AA = Σ_{w ∈ N(u)∩N(v)} 1/ln(d(w)) — the rare-
+    * mutual-friend refinement of [[graphJaccardLinks]] (a shared hub
+    * says little, a shared 2-degree contact says a lot). Same adaptive
+    * dense-bitset / sparse-wedge split.
+    *
+    * Float discipline: the AA sum is a double SUM feeding a rounded
+    * oracle-compared output, so both kernels accumulate
+    * round(term, 12) exactly (the sum_order_free idiom at scale 12 —
+    * terms ≤ 1/ln 2 ≈ 1.443, so 12-dp scaled longs cannot overflow
+    * even at n = 32768 terms). The bitset kernel does NOT re-implement
+    * Spark's rounding: the per-degree weight table round(1/ln d, 12)
+    * is computed BY a Spark job (degree domain is [2, n] — a common
+    * neighbor is adjacent to both endpoints, so d(w) ≥ 2 and ln ≠ 0)
+    * and carried into the closure as exact scaled longs.
+    */
+  def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = edges(spark, dir)
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)), avg(col("d"))).collect()(0)
+      val n = st.getLong(0)
+      if (n >= 2 && n <= MaxBitsetNodes && st.getDouble(1) * 64 >= n)
+        adamicAdarBitset(spark, e, n.toInt)
+      else adamicAdarWedge(e0)
+    } finally e.unpersist()
+  }
+
+  private val AaScale = 12
+
+  /** round(1/ln d, 12) as a Spark Column — the ONE definition of the
+    * AA term, shared by the wedge aggregation and (via a Spark job in
+    * [[adamicAdarBitset]]) the dense kernel's weight table, so the two
+    * kernels cannot drift in rounding semantics.
+    */
+  private def aaTermDec(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // the d >= 2 guard never fires for a SHARED neighbor (adjacent to
+    // both endpoints ⟹ degree ≥ 2) but the projection is evaluated
+    // for every adjacency row under ANSI mode, where a degree-1 leaf
+    // would be ln(1) = 0 division
+    when(d >= 2, round(lit(1.0) / log(d.cast("double")), AaScale)
+      .cast(org.apache.spark.sql.types.DecimalType(28, AaScale)))
+
+  private[graft] def adamicAdarBitset(spark: SparkSession, e: DataFrame,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n)
+    // per-degree scaled-long weights, Spark-computed (see scaladoc)
+    val scaled = new Array[Long](n + 1)
+    spark.range(2, n + 1L)
+      .select(col("id").cast("int").as("d"),
+        aaTermDec(col("id")).cast("string").as("s"))
+      .collect()
+      .foreach(r => scaled(r.getInt(0)) =
+        new java.math.BigDecimal(r.getString(1))
+          .movePointRight(AaScale).longValueExact())
+    val bBits = spark.sparkContext.broadcast(bits)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bScaled = spark.sparkContext.broadcast(scaled)
+    pairDriver(spark, n)
+      .as[Int]
+      .mapPartitions { it =>
+        val bs = bBits.value
+        val idArr = bIds.value
+        val wt = bScaled.value
+        val dg = bs.map(_.map(java.lang.Long.bitCount(_)).sum)
+        val nn = idArr.length
+        val w = (nn + 63) >>> 6
+        it.flatMap { a =>
+          val ba = bs(a)
+          Iterator.range(a + 1, nn).flatMap { b =>
+            if ((ba(b >>> 6) >>> (b & 63) & 1L) == 1L) Iterator.empty // edge
+            else {
+              val bb = bs(b)
+              var cn = 0L; var acc = 0L; var k = 0
+              while (k < w) {
+                var m = ba(k) & bb(k)
+                cn += java.lang.Long.bitCount(m)
+                while (m != 0L) {
+                  val cw = (k << 6) + java.lang.Long.numberOfTrailingZeros(m)
+                  acc += wt(dg(cw)) // exact: sum of 12-dp scaled longs
+                  m &= m - 1
+                }
+                k += 1
+              }
+              if (cn == 0L) Iterator.empty
+              else Iterator.single((idArr(a), idArr(b), cn,
+                java.math.BigDecimal.valueOf(acc, AaScale).doubleValue()))
+            }
+          }
+        }
+      }
+      // UNROUNDED output (the r18 round-portability lesson): the sum
+      // is exact decimal in every engine, and decimal→double is
+      // correctly rounded everywhere — but round(·, 9) of a value
+      // sitting ON a 9-dp boundary flips between engines (measured:
+      // 8.0197052485 at sf0.1)
+      .toDF("node_a", "node_b", "cn", "adamic_adar")
+  }
+
+  private[graft] def adamicAdarWedge(e: DataFrame): DataFrame = {
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // attach the SHARED NEIGHBOR's weight to the probe side once, so
+    // the wedge join carries the term instead of re-joining degrees
+    // after the explode; all graph-sized sides stay shuffle-hash
+    val adjW = adj.select(col("node").as("node_a"), col("nbr"))
+      .hint("shuffle_hash")
+      .join(deg.select(col("node").as("nbr"), aaTermDec(col("d")).as("term")),
+        Seq("nbr"))
+    val common = adjW
+      .hint("shuffle_hash")
+      .join(adj.select(col("node").as("node_b"), col("nbr")), Seq("nbr"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("term")).as("adec"))
+    common
+      .join(e.hint("shuffle_hash"),
+        common("node_a") === e("src") && common("node_b") === e("dst"),
+        "left_anti")
+      .select(col("node_a"), col("node_b"), col("cn"),
+        col("adec").cast("double").as("adamic_adar")) // unrounded, see bitset kernel
+  }
+
+  private val adamicAdarLinksSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |adj AS (
+       |  SELECT src AS node, dst AS nbr FROM edges
+       |  UNION ALL
+       |  SELECT dst AS node, src AS nbr FROM edges),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+       |common AS (
+       |  SELECT a.node AS node_a, b.node AS node_b,
+       |    CAST(count(*) AS BIGINT) AS cn,
+       |    SUM(CAST(round(1.0 / ln(w.d), 12) AS DECIMAL(28,12))) AS adec
+       |  FROM adj a
+       |  JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+       |  JOIN deg w ON w.node = a.nbr
+       |  GROUP BY 1, 2)
+       |SELECT c.node_a, c.node_b, c.cn,
+       |  CAST(c.adec AS DOUBLE) AS adamic_adar
+       |FROM common c
+       |LEFT JOIN edges e ON c.node_a = e.src AND c.node_b = e.dst
+       |WHERE e.src IS NULL""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("adamic_adar_links", adamicAdarLinks, Some(adamicAdarLinksSql)),
     // bench flags (r19, TODO carry-over): the graph family was the
     // heaviest unbenched surface — jaccard links (the adaptive kernel
     // this round rebuilt), the triangle wedge join, and the iterative

@@ -60,6 +60,29 @@ class JaccardBitsetSpec extends AnyFunSuite {
     }
   }
 
+  test("adamic-adar: bitset and wedge kernels agree exactly on sf0.001; hand values check") {
+    import spark.implicits._
+    val e = operators.Interactions.empiricEdges(spark, "/root/testdata/sf0.001")
+    val n = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+      .distinct().count().toInt
+    val bs = asSet(operators.GraphMetrics.adamicAdarBitset(spark, e, n))
+    val wj = asSet(operators.GraphMetrics.adamicAdarWedge(e))
+    assert(bs.nonEmpty && bs == wj,
+      s"AA kernels diverge: only-bitset=${(bs -- wj).take(3)} " +
+        s"only-wedge=${(wj -- bs).take(3)}")
+    // hand graph (same as the jaccard test): d(2)=d(3)=d(9)=3, so
+    //   (1,3): common {2,9} -> 2/ln 3;  (2,4),(4,9): common {3} -> 1/ln 3
+    val h = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("src", "dst")
+    val hb = asSet(operators.GraphMetrics.adamicAdarBitset(spark, h, 5))
+    assert(hb == asSet(operators.GraphMetrics.adamicAdarWedge(h)))
+    val exp = Map((1L, 3L) -> 2.0 / math.log(3), (2L, 4L) -> 1.0 / math.log(3),
+      (4L, 9L) -> 1.0 / math.log(3))
+    assert(hb.map(t => (t._1, t._2)) == exp.keySet, hb.toString)
+    hb.foreach { case (a, b, _, aa) =>
+      assert(math.abs(aa - exp((a, b))) < 1e-8, s"($a,$b) aa=$aa") }
+  }
+
   test("adaptive chooser routes the dense fixture to the bitset kernel (no wedge shuffle in plan)") {
     val df = operators.GraphMetrics.graphJaccardLinks(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

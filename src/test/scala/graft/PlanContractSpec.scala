@@ -570,8 +570,23 @@ class PlanContractSpec extends AnyFunSuite {
         + p.take(2000))
   }
 
-  test("graph_jaccard_links: wedge/degree/anti joins all shuffle-hash, no sort") {
+  test("graph_jaccard_links: dense fixture takes the bitset scan — no graph-sized join at run time") {
+    // the r19 adaptive chooser: the co-location fixture is dense
+    // (d ≥ n/64), so the returned plan is the broadcast-bitset pair
+    // scan; every graph-sized relation was consumed EAGERLY during
+    // construction and nothing joins, sorts, or crosses at run time
     val p = finalPlan("graph_jaccard_links")
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(count(p, "ShuffledHashJoin") == 0
+      && !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "bitset path must carry no graph-sized join:\n" + p.take(2000))
+  }
+
+  test("graph_jaccard_links: sparse/wide fallback keeps every join shuffle-hash, no sort") {
+    val e = graft.operators.Interactions.empiricEdges(spark, sf)
+    val df = graft.operators.GraphMetrics.jaccardLinksWedge(e)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(count(p, "ShuffledHashJoin") == 4,
       "wedge join + 2 degree joins + edge anti-join, all pinned:\n"
         + p.take(2000))
