@@ -104,6 +104,14 @@ object WebDataset {
       }
       close()
     }
+    // deterministic java.io presence check right after the action: if
+    // the write really produced nothing the caller gets THIS message,
+    // not a downstream empty-listing mystery (and a non-empty input
+    // with zero shards can only be a write failure)
+    val shards = Option(new File(outDir).list()).getOrElse(Array.empty)
+      .count(_.endsWith(".tar"))
+    require(shards > 0 || df.isEmpty,
+      s"writeShards: no .tar files landed in $outDir after the write action")
   }
 
   /** Raw entry stream: one row per tar entry across all shards —
@@ -111,7 +119,12 @@ object WebDataset {
     */
   def readEntries(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    // option-filter, not a path glob: glob RESOLUTION throws at
+    // analysis when a concurrent-JVM IO stall makes the listing come
+    // back empty (observed once under a parallel parity run), while a
+    // directory load with pathGlobFilter lists lazily and the
+    // post-write assertion in the writers already guarantees presence
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(dir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("shard_file"),
         col("content"))
       .as[(String, Array[Byte])]
