@@ -32,14 +32,31 @@ object DevSqlReplay {
       val op = SparkEntry.allOps.find(_.name == name).get
       val t0 = System.nanoTime()
       val df = op.run(spark, dir)
-      val sq = spark.sql(op.oracle.get).toDF(df.columns: _*)
-      val nDf = df.count(); val nSq = sq.count()
-      val extra = df.exceptAll(sq).count()
-      val missing = sq.exceptAll(df).count()
-      val ok = nDf == nSq && extra == 0 && missing == 0
+      // the r18 dialect shims (COVERAGE.md): both operands of // are
+      // non-negative everywhere it appears, so DuckDB floor-division
+      // and Spark DIV agree
+      val shimmed = op.oracle.get
+        .replace("//", " DIV ")
+        .replace("epoch_us(", "unix_micros(")
+      val sq = spark.sql(shimmed).toDF(df.columns: _*)
+      // ONE pass per side: order-free multiset signature (count +
+      // decimal sum of per-row hashes over name-sorted columns). An
+      // exceptAll would re-execute the expensive SQL plan three more
+      // times and quadruple the tmpfs shuffle footprint.
+      def sig(x: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+        import org.apache.spark.sql.functions._
+        val cols = x.columns.sorted.map(c => col(c).cast("string"))
+        val r = x.select(xxhash64(concat_ws("|", cols: _*)).as("h"))
+          .agg(count(lit(1)), sum(col("h").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val (nDf, hDf) = sig(df)
+      val (nSq, hSq) = sig(sq)
+      val ok = nDf == nSq && hDf == hSq
       if (!ok) bad += 1
       println(f"[replay] $name%-24s ${if (ok) "PASS" else "FAIL"} " +
-        f"rows=$nDf/$nSq extra=$extra missing=$missing " +
+        f"rows=$nDf/$nSq hash=${hDf}/${hSq} " +
         f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
     }
     spark.stop()

@@ -51,10 +51,19 @@ object GraphMetrics {
        |GROUP BY 1""".stripMargin
 
   /** Global triangle count: wedges (a<b<c from edges (a,b),(b,c))
-    * closed by edge (a,c).
+    * closed by edge (a,c). Adaptive like [[graphJaccardLinks]] (r19):
+    * the wedge+semi-join is the sparse shape; on the dense co-location
+    * regime the whole count falls out of the per-node bitset pass.
     */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    withDensityChoice(spark, dir)(
+      (e, n) => nodeTrianglesBitset(spark, e, n)
+        // Σ_v tri(v) counts each triangle at all 3 corners; the sum is
+        // < 2^52 so the double division is exact
+        .agg((sum(col("tri")) / 3).cast("long").as("n_triangles")))(
+      trianglesWedge)
+
+  private[graft] def trianglesWedge(e: DataFrame): DataFrame = {
     // the three edge references are the identical subtree — the wedge
     // self-join reuses one exchange (SelfJoinShuffleRule keeps it a
     // shuffle join), and a left-semi closes the wedge without
@@ -308,8 +317,22 @@ object GraphMetrics {
     * gives Δ(v) with no second join. Degree-1 nodes define 0. Integer
     * counts into one division, rounded 1e-9.
     */
-  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
+    withDensityChoice(spark, dir)(
+      (e, n) => coefCols(nodeTrianglesBitset(spark, e, n)
+        .select(col("node"), col("degree"), col("tri").as("triangles"))))(
+      clusteringWedge)
+
+  /** The shared coefficient projection — ONE spelling of the rounded
+    * formula so the dense and sparse kernels cannot drift.
+    */
+  private def coefCols(ndt: DataFrame): DataFrame =
+    ndt.withColumn("coef",
+      when(col("degree") < 2, lit(0.0))
+        .otherwise(round((lit(2) * col("triangles")).cast("double")
+          / (col("degree") * (col("degree") - 1)), 9)))
+
+  private[graft] def clusteringWedge(e: DataFrame): DataFrame = {
     val wedges = e.alias("e1")
       .join(e.alias("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
@@ -318,14 +341,13 @@ object GraphMetrics {
     val triPerNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-    graphDegrees(spark, dir)
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    coefCols(deg
       .join(triPerNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
-        coalesce(col("tri"), lit(0L)).as("triangles"))
-      .withColumn("coef",
-        when(col("degree") < 2, lit(0.0))
-          .otherwise(round((lit(2) * col("triangles")).cast("double")
-            / (col("degree") * (col("degree") - 1)), 9)))
+        coalesce(col("tri"), lit(0L)).as("triangles")))
   }
 
   private val clusteringCoefficientSql =
@@ -440,15 +462,24 @@ object GraphMetrics {
     * ≤ 128 MB (at 100 TB with millions of nodes the wedge join is the
     * only exact shape, and the guard routes there).
     */
-  def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+  def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame =
+    withDensityChoice(spark, dir)(jaccardLinksBitset(spark, _, _))(
+      jaccardLinksWedge)
+
+  /** The adaptive scaffold shared by the dense-capable graph metrics:
+    * one (n, avg degree) pre-aggregate decides the regime, and the
+    * chooser pass plus the dense build's two further passes (id
+    * collect, bitset agg) share one persisted edge relation — e is the
+    * expensive co-location distinct, and all dense-path consumption is
+    * EAGER, so the persist is released BEFORE the plan returns and
+    * nothing persisted outlives construction. The sparse branch gets
+    * the UN-persisted subtree (its plan stays lazy). Graph-sized,
+    * MEMORY_AND_DISK: spills rather than evicts under pressure.
+    */
+  private def withDensityChoice(spark: SparkSession, dir: String)(
+      dense: (DataFrame, Int) => DataFrame)(
+      sparse: DataFrame => DataFrame): DataFrame = {
     val e0 = edges(spark, dir)
-    // the chooser needs one pass over e (n, avg degree) and the bitset
-    // build needs two more (id collect, bitset agg) — all EAGER, all
-    // during construction, and e is the expensive co-location distinct.
-    // Persist across those passes, then release BEFORE returning: the
-    // bitset plan is a broadcast scan that no longer references e at
-    // all, so nothing persisted outlives construction. (Graph-sized,
-    // MEMORY_AND_DISK: spills rather than evicts under pressure.)
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val st = e.select(col("src").as("node"))
@@ -457,9 +488,48 @@ object GraphMetrics {
         .agg(count(lit(1)), avg(col("d"))).collect()(0)
       val n = st.getLong(0)
       if (n >= 2 && n <= MaxBitsetNodes && st.getDouble(1) * 64 >= n)
-        jaccardLinksBitset(spark, e, n.toInt)
-      else jaccardLinksWedge(e0) // lazy plan on the UN-persisted subtree
+        dense(e, n.toInt)
+      else sparse(e0)
     } finally e.unpersist()
+  }
+
+  /** Per-node degree + triangle count off the bitset matrix: tri(v) =
+    * ½ Σ_{u∈N(v)} |N(v)∩N(u)| (each triangle pair at v is seen from
+    * both endpoints). Work = 2|E|·(n/64) word-ops — the dense-regime
+    * replacement for the Σd² wedge explode, feeding both
+    * [[graphTriangles]] (Σ/3) and [[clusteringCoefficient]].
+    */
+  private[graft] def nodeTrianglesBitset(spark: SparkSession, e: DataFrame,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n)
+    val bBits = spark.sparkContext.broadcast(bits)
+    val bIds = spark.sparkContext.broadcast(ids)
+    pairDriver(spark, n)
+      .as[Int]
+      .map { a =>
+        val bs = bBits.value
+        val idArr = bIds.value
+        val ba = bs(a)
+        val w = ba.length
+        var deg = 0L
+        var t = 0L
+        var k = 0
+        while (k < w) {
+          var m = ba(k)
+          deg += java.lang.Long.bitCount(m)
+          while (m != 0L) {
+            val u = (k << 6) + java.lang.Long.numberOfTrailingZeros(m)
+            val bu = bs(u)
+            var j = 0
+            while (j < w) { t += java.lang.Long.bitCount(ba(j) & bu(j)); j += 1 }
+            m &= m - 1
+          }
+          k += 1
+        }
+        (idArr(a), deg, t / 2)
+      }
+      .toDF("node", "degree", "tri")
   }
 
   /** n²/8 bytes at the cap = 128 MB broadcast / driver collect — the
@@ -617,20 +687,9 @@ object GraphMetrics {
     * neighbor is adjacent to both endpoints, so d(w) ≥ 2 and ln ≠ 0)
     * and carried into the closure as exact scaled longs.
     */
-  def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = edges(spark, dir)
-    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val st = e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)), avg(col("d"))).collect()(0)
-      val n = st.getLong(0)
-      if (n >= 2 && n <= MaxBitsetNodes && st.getDouble(1) * 64 >= n)
-        adamicAdarBitset(spark, e, n.toInt)
-      else adamicAdarWedge(e0)
-    } finally e.unpersist()
-  }
+  def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame =
+    withDensityChoice(spark, dir)(adamicAdarBitset(spark, _, _))(
+      adamicAdarWedge)
 
   private val AaScale = 12
 

@@ -83,6 +83,34 @@ class JaccardBitsetSpec extends AnyFunSuite {
       assert(math.abs(aa - exp((a, b))) < 1e-8, s"($a,$b) aa=$aa") }
   }
 
+  test("triangles + clustering: bitset and wedge kernels agree exactly; hand graph counts") {
+    import spark.implicits._
+    val e = operators.Interactions.empiricEdges(spark, "/root/testdata/sf0.001")
+    val n = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+      .distinct().count().toInt
+    val triB = operators.GraphMetrics.nodeTrianglesBitset(spark, e, n)
+      .agg((sum(col("tri")) / 3).cast("long")).collect()(0).getLong(0)
+    val triW = operators.GraphMetrics.trianglesWedge(e).collect()(0).getLong(0)
+    assert(triB == triW && triB > 0, s"triangles: bitset=$triB wedge=$triW")
+    def ccSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val cb = ccSet(operators.GraphMetrics.nodeTrianglesBitset(spark, e, n)
+      .select(col("node"), col("degree"), col("tri").as("triangles"))
+      .withColumn("coef", when(col("degree") < 2, lit(0.0))
+        .otherwise(round((lit(2) * col("triangles")).cast("double")
+          / (col("degree") * (col("degree") - 1)), 9))))
+    val cw = ccSet(operators.GraphMetrics.clusteringWedge(e))
+    assert(cb == cw, s"clustering kernels diverge: ${(cb -- cw).take(3)} vs ${(cw -- cb).take(3)}")
+    // hand graph (see jaccard test): triangles (1,2,9) and (2,3,9);
+    // per-node tri 1,2,1,0,2 and coef 1.0, 2/3, 1/3, 0, 2/3
+    val h = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("src", "dst")
+    val ht = operators.GraphMetrics.nodeTrianglesBitset(spark, h, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ht == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 3L, 1L), (4L, 1L, 0L),
+      (9L, 3L, 2L)), ht.toString)
+  }
+
   test("adaptive chooser routes the dense fixture to the bitset kernel (no wedge shuffle in plan)") {
     val df = operators.GraphMetrics.graphJaccardLinks(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

@@ -8,7 +8,7 @@ and canonically-ordered values.
 
 Usage: tools/check_parity.py [sfdir] [outdir] [--no-run] [only_query ...]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -51,6 +51,15 @@ def main():
             sys.exit(1)
 
     con = duckdb.connect()
+    # resource guards for beyond-fixture dirs (the r18 sweep lesson:
+    # DuckDB's default ~80%-of-RAM limit + an implicit temp dir lets a
+    # wedge-scale join eat the box). GRAFT_DUCK_MEM like '60GB';
+    # GRAFT_DUCK_TMP a DISK path - never /dev/shm.
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        os.makedirs(os.environ["GRAFT_DUCK_TMP"], exist_ok=True)
+        con.sql(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
