@@ -45,8 +45,15 @@ object DevSqlReplay {
       // times and quadruple the tmpfs shuffle footprint.
       def sig(x: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
         import org.apache.spark.sql.functions._
-        val cols = x.columns.sorted.map(c => col(c).cast("string"))
-        val r = x.select(xxhash64(concat_ws("|", cols: _*)).as("h"))
+        // Hash per column FIRST (xxhash64 never returns null — a null
+        // input yields the seed constant), then mix the fixed-width
+        // column hashes positionally. concat_ws would SKIP nulls and
+        // has no delimiter escaping, so (NULL,"x")/("x",NULL) or
+        // "a|b" vs "a","b" would alias — a false PASS in the one tool
+        // that gates oracle-resource-bound formulations. Plain
+        // xxhash64(cols:_*) has the same null-skip, hence two levels.
+        val cols = x.columns.sorted.map(c => xxhash64(col(c).cast("string")))
+        val r = x.select(xxhash64(cols: _*).as("h"))
           .agg(count(lit(1)), sum(col("h").cast(
             org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
         (r.getLong(0), r.getDecimal(1))

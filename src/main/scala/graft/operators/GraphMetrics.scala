@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Op
+import graft.{Op, Tables}
 
 /** Graph metrics over the empiric co-location network
   * (/root/reference/scripts/MakeEmpiricNetworks.py builds these
@@ -480,6 +480,19 @@ object GraphMetrics {
       dense: (DataFrame, Int) => DataFrame)(
       sparse: DataFrame => DataFrame): DataFrame = {
     val e0 = edges(spark, dir)
+    // Feasibility gate BEFORE touching the expensive pair subtree:
+    // graph nodes ⊆ distinct devices in events, and that bound is one
+    // column-pruned scan with no join. When even the bound is far past
+    // the bitset cap, sparse is the only possible outcome — skip the
+    // persist AND the exact stats pass entirely (at 100 TB the chooser
+    // would otherwise materialize the whole co-location distinct into
+    // the block store, spill included, just to unpersist it).
+    // approx_count_distinct's default rsd is 5%; the 1.25× margin
+    // keeps this a one-sided test — near-cap graphs fall through to
+    // the exact chooser below and pay the old (correct) cost.
+    val deviceUb = Tables.events(spark, dir)
+      .agg(approx_count_distinct(col("user_id"))).collect()(0).getLong(0)
+    if (deviceUb > MaxBitsetNodes * 1.25) return sparse(e0)
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val st = e.select(col("src").as("node"))

@@ -119,6 +119,20 @@ object WebDataset {
     */
   def readEntries(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The lazy pathGlobFilter load silently returns an EMPTY dataset
+    // for an existing-but-tar-less directory (wrong path, stale dir,
+    // reader used without the writer) — the writer's post-write
+    // assertion only covers same-process read-after-write. Mirror the
+    // writer's java.io listing here so an independent reader still
+    // fails loudly, with a short retry so the transient empty-listing
+    // IO stall that motivated dropping the glob can't re-fire as a
+    // spurious driver-side throw.
+    val hasTar = (1 to 3).exists { attempt =>
+      if (attempt > 1) Thread.sleep(100L * attempt)
+      Option(new File(dir).list()).exists(_.exists(_.endsWith(".tar")))
+    }
+    require(hasTar, s"readEntries: no .tar shards present in $dir " +
+      "(wrong path, or the writer never ran?)")
     // option-filter, not a path glob: glob RESOLUTION throws at
     // analysis when a concurrent-JVM IO stall makes the listing come
     // back empty (observed once under a parallel parity run), while a

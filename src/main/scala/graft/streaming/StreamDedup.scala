@@ -136,9 +136,20 @@ object StreamDedup {
   /** The TTL'd dup-edge stream: the source must carry an event-time
     * long column `tsCol` (epoch millis); buckets idle for more than
     * `ttlMs` expire and the next collider is re-admitted as keeper.
+    *
+    * `stateTtl` is the PHYSICAL eviction knob: without it the
+    * event-time expiry above is semantic only — expired entries stay
+    * in the state store and state grows with distinct band keys.
+    * Passing a processing-time TTLConfig bounds the store itself
+    * (entries a long-idle band key would re-admit anyway get dropped
+    * physically); it also switches the processor to
+    * TimeMode.ProcessingTime, which the state-TTL machinery requires.
+    * Size it ≥ the event-time ttlMs plus the max expected
+    * ingestion lag, so physical eviction never races semantic expiry.
     */
   def dupEdgesTtl(spark: SparkSession, docsDir: String, ttlMs: Long,
-      tsCol: String = "ts", maxFilesPerTrigger: Option[Int] = None)
+      tsCol: String = "ts", maxFilesPerTrigger: Option[Int] = None,
+      stateTtl: Option[TTLConfig] = None)
       : Dataset[DupEdge] = {
     import graft.functions.GraftFunctions.minhash_sig
     import spark.implicits._
@@ -159,7 +170,9 @@ object StreamDedup {
         explode(array(bands: _*)).as("band_key"))
       .as[BandHitTs]
       .groupByKey(_.band_key)
-      .transformWithState(new TtlProcessor(ttlMs), TimeMode.None(),
+      .transformWithState(
+        new TtlProcessor(ttlMs, stateTtl.getOrElse(TTLConfig.NONE)),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
 }

@@ -8,7 +8,7 @@ and canonically-ordered values.
 
 Usage: tools/check_parity.py [sfdir] [outdir] [--no-run] [only_query ...]
 """
-import json, math, os, subprocess, sys
+import json, math, os, re, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -55,11 +55,20 @@ def main():
     # DuckDB's default ~80%-of-RAM limit + an implicit temp dir lets a
     # wedge-scale join eat the box). GRAFT_DUCK_MEM like '60GB';
     # GRAFT_DUCK_TMP a DISK path - never /dev/shm.
-    if os.environ.get("GRAFT_DUCK_MEM"):
-        con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
-    if os.environ.get("GRAFT_DUCK_TMP"):
-        os.makedirs(os.environ["GRAFT_DUCK_TMP"], exist_ok=True)
-        con.sql(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
+    # validate before interpolating into the single-quoted SET: a value
+    # carrying a quote would break the statement (and for the temp dir,
+    # only after os.makedirs already created partial state)
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*(K|M|G|T)i?B", mem):
+            sys.exit(f"GRAFT_DUCK_MEM must look like '60GB', got: {mem!r}")
+        con.sql(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("GRAFT_DUCK_TMP")
+    if tmp:
+        if "'" in tmp or any(ord(c) < 0x20 for c in tmp):
+            sys.exit(f"GRAFT_DUCK_TMP contains a quote/control char: {tmp!r}")
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
