@@ -24,9 +24,17 @@ object DevExplain {
         // adaptive plan printed below is the final one with reused stages;
         // count() would execute a derived plan and leave it non-final.
         val collect = sys.env.get("GRAFT_COLLECT").contains("1")
+        // GRAFT_REBUILD=1 re-runs op.run() INSIDE the timing loop —
+        // what Bench measures. Matters for the adaptive graph kernels,
+        // whose chooser/id-collect/bitset-agg passes run EAGERLY at
+        // construction: timing only the returned plan (default) hides
+        // that cost entirely (0.2 s vs the bench's 2-3 s for
+        // graph_triangles).
+        val rebuild = sys.env.get("GRAFT_REBUILD").contains("1")
         (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
-          val n = if (collect) df.collect().length.toLong else df.count()
+          val d = if (rebuild) op.run(spark, sfDir) else df
+          val n = if (collect) d.collect().length.toLong else d.count()
           println(f"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         if (explain) {

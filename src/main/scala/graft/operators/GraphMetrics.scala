@@ -57,7 +57,7 @@ object GraphMetrics {
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     withDensityChoice(spark, dir)(
-      (e, n) => nodeTrianglesBitset(spark, e, n)
+      (e, pre) => nodeTrianglesBitset(spark, e, pre.ids.length, Some(pre))
         // Σ_v tri(v) counts each triangle at all 3 corners; the sum is
         // < 2^52 so the double division is exact
         .agg((sum(col("tri")) / 3).cast("long").as("n_triangles")))(
@@ -319,7 +319,7 @@ object GraphMetrics {
     */
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
     withDensityChoice(spark, dir)(
-      (e, n) => coefCols(nodeTrianglesBitset(spark, e, n)
+      (e, pre) => coefCols(nodeTrianglesBitset(spark, e, pre.ids.length, Some(pre))
         .select(col("node"), col("degree"), col("tri").as("triangles"))))(
       clusteringWedge)
 
@@ -463,7 +463,8 @@ object GraphMetrics {
     * only exact shape, and the guard routes there).
     */
   def graphJaccardLinks(spark: SparkSession, dir: String): DataFrame =
-    withDensityChoice(spark, dir)(jaccardLinksBitset(spark, _, _))(
+    withDensityChoice(spark, dir)(
+      (e, pre) => jaccardLinksBitset(spark, e, pre.ids.length, Some(pre)))(
       jaccardLinksWedge)
 
   /** The adaptive scaffold shared by the dense-capable graph metrics:
@@ -477,7 +478,7 @@ object GraphMetrics {
     * MEMORY_AND_DISK: spills rather than evicts under pressure.
     */
   private def withDensityChoice(spark: SparkSession, dir: String)(
-      dense: (DataFrame, Int) => DataFrame)(
+      dense: (DataFrame, DenseBuild) => DataFrame)(
       sparse: DataFrame => DataFrame): DataFrame = {
     val e0 = edges(spark, dir)
     // Feasibility gate BEFORE touching the expensive pair subtree:
@@ -495,16 +496,31 @@ object GraphMetrics {
     if (deviceUb > MaxBitsetNodes * 1.25) return sparse(e0)
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val st = e.select(col("src").as("node"))
+      // Past the gate, distinct nodes ≤ 1.25×cap, so the node-degree
+      // relation is a bounded collect (≤ 40960 × 16 B): n, d̄ AND the
+      // sorted id list the dense build needs all come from this ONE
+      // pass over e — previously the stats agg and the ids distinct
+      // inside the bitset build each re-read e (two jobs, one extra
+      // shuffle), a measurable slice of the 0.1-0.3 s/job floor that
+      // dominates these queries at bench SF.
+      import spark.implicits._
+      val nd = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)), avg(col("d"))).collect()(0)
-      val n = st.getLong(0)
-      if (n >= 2 && n <= MaxBitsetNodes && st.getDouble(1) * 64 >= n)
-        dense(e, n.toInt)
+        .as[(Long, Long)].collect()
+      val n = nd.length
+      val sumD = nd.map(_._2).sum // = 2|E|: the edge count is free here
+      val avgD = if (n == 0) 0.0 else sumD.toDouble / n
+      if (n >= 2 && n <= MaxBitsetNodes && avgD * 64 >= n)
+        dense(e, DenseBuild(nd.map(_._1).sorted, sumD / 2))
       else sparse(e0)
     } finally e.unpersist()
   }
+
+  /** What the chooser pass already knows and the dense build can
+    * reuse: the sorted node-id universe and the exact edge count.
+    */
+  private[graft] case class DenseBuild(ids: Array[Long], edgeCount: Long)
 
   /** Per-node degree + triangle count off the bitset matrix: tri(v) =
     * ½ Σ_{u∈N(v)} |N(v)∩N(u)| (each triangle pair at v is seen from
@@ -513,9 +529,9 @@ object GraphMetrics {
     * [[graphTriangles]] (Σ/3) and [[clusteringCoefficient]].
     */
   private[graft] def nodeTrianglesBitset(spark: SparkSession, e: DataFrame,
-      n: Int): DataFrame = {
+      n: Int, pre: Option[DenseBuild] = None): DataFrame = {
     import spark.implicits._
-    val (ids, bits) = buildBitsets(spark, e, n)
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
     val bBits = spark.sparkContext.broadcast(bits)
     val bIds = spark.sparkContext.broadcast(ids)
     pairDriver(spark, n)
@@ -561,24 +577,56 @@ object GraphMetrics {
     * the build exchange carries n/8-byte buffers, never adjacency
     * rows). Caller guarantees n ≤ [[MaxBitsetNodes]].
     */
+  /** Above this the raw edge list stops being driver-collectable
+    * (8M × 16 B = 128 MB — the same feasibility line as the matrix
+    * collect) and the build goes through the mergeable bitset agg.
+    */
+  private val MaxDriverEdges = 8L * 1024 * 1024
+
   private def buildBitsets(spark: SparkSession, e: DataFrame,
-      n: Int): (Array[Long], Array[Array[Long]]) = {
+      n: Int, pre: Option[DenseBuild] = None)
+      : (Array[Long], Array[Array[Long]]) = {
     import spark.implicits._
-    val ids = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
-      .distinct().as[Long].collect().sorted // n-bounded by the caller
-    val idmap = spark.createDataset(ids.toSeq.zipWithIndex).toDF("id", "nid")
-    val enc = e
-      .join(broadcast(idmap.select(col("id").as("src"), col("nid").as("na"))), Seq("src"))
-      .join(broadcast(idmap.select(col("id").as("dst"), col("nid").as("nb"))), Seq("dst"))
-      .select(col("na"), col("nb"))
+    // pre: the chooser already collected the node-degree relation, so
+    // the production path passes the sorted ids AND the exact edge
+    // count in; the None default keeps the kernels directly callable
+    // (kernel-equality specs, ad-hoc graphs).
+    val ids = pre.map(_.ids).getOrElse(
+      e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+        .distinct().as[Long].collect().sorted) // n-bounded by the caller
     val words = (n + 63) >>> 6
     val bits = Array.fill(n)(new Array[Long](words))
-    enc.select(col("na").as("g"), col("nb").as("i"))
-      .unionByName(enc.select(col("nb").as("g"), col("na").as("i")))
-      .groupBy(col("g"))
-      .agg(call_function("bitset_agg", col("i"), lit(n)).as("bits"))
-      .as[(Int, Array[Byte])].collect() // n rows of n/8 bytes — ≤128 MB
-      .foreach { case (g, b) => bits(g) = graft.functions.BitsetAgg.words(b) }
+    if (pre.exists(_.edgeCount <= MaxDriverEdges)) {
+      // Small-|E| regime (known EXACTLY and for free from the chooser
+      // pass: Σd = 2|E|): collect the cached edge list and build the
+      // matrix driver-side — one cache-scan job, no join, no
+      // bitset-agg exchange. At bench SF this removes the single most
+      // expensive build stage (the agg shuffle was ~25% of
+      // graph_triangles); the mergeable-agg path below stays the
+      // scale route for dense graphs past the bound.
+      def idx(v: Long): Int = {
+        val i = java.util.Arrays.binarySearch(ids, v)
+        require(i >= 0, s"edge endpoint $v missing from chooser id universe")
+        i
+      }
+      e.as[(Long, Long)].collect().foreach { case (s, d) =>
+        val a = idx(s); val b = idx(d)
+        bits(a)(b >>> 6) |= 1L << (b & 63)
+        bits(b)(a >>> 6) |= 1L << (a & 63)
+      }
+    } else {
+      val idmap = spark.createDataset(ids.toSeq.zipWithIndex).toDF("id", "nid")
+      val enc = e
+        .join(broadcast(idmap.select(col("id").as("src"), col("nid").as("na"))), Seq("src"))
+        .join(broadcast(idmap.select(col("id").as("dst"), col("nid").as("nb"))), Seq("dst"))
+        .select(col("na"), col("nb"))
+      enc.select(col("na").as("g"), col("nb").as("i"))
+        .unionByName(enc.select(col("nb").as("g"), col("na").as("i")))
+        .groupBy(col("g"))
+        .agg(call_function("bitset_agg", col("i"), lit(n)).as("bits"))
+        .as[(Int, Array[Byte])].collect() // n rows of n/8 bytes — ≤128 MB
+        .foreach { case (g, b) => bits(g) = graft.functions.BitsetAgg.words(b) }
+    }
     (ids, bits)
   }
 
@@ -591,9 +639,9 @@ object GraphMetrics {
       .repartition(spark.sparkContext.defaultParallelism * 4, col("a"))
 
   private[graft] def jaccardLinksBitset(spark: SparkSession, e: DataFrame,
-      n: Int): DataFrame = {
+      n: Int, pre: Option[DenseBuild] = None): DataFrame = {
     import spark.implicits._
-    val (ids, bits) = buildBitsets(spark, e, n)
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
     val bBits = spark.sparkContext.broadcast(bits)
     val bIds = spark.sparkContext.broadcast(ids)
     pairDriver(spark, n)
@@ -701,7 +749,8 @@ object GraphMetrics {
     * and carried into the closure as exact scaled longs.
     */
   def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame =
-    withDensityChoice(spark, dir)(adamicAdarBitset(spark, _, _))(
+    withDensityChoice(spark, dir)(
+      (e, pre) => adamicAdarBitset(spark, e, pre.ids.length, Some(pre)))(
       adamicAdarWedge)
 
   private val AaScale = 12
@@ -720,9 +769,9 @@ object GraphMetrics {
       .cast(org.apache.spark.sql.types.DecimalType(28, AaScale)))
 
   private[graft] def adamicAdarBitset(spark: SparkSession, e: DataFrame,
-      n: Int): DataFrame = {
+      n: Int, pre: Option[DenseBuild] = None): DataFrame = {
     import spark.implicits._
-    val (ids, bits) = buildBitsets(spark, e, n)
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
     // per-degree scaled-long weights, Spark-computed (see scaladoc)
     val scaled = new Array[Long](n + 1)
     spark.range(2, n + 1L)
