@@ -73,6 +73,8 @@ object GraftFunctions {
       es => GramHashSetExpr(es(0), es(1))),
     ("gram_tf", "gram_tf(text, k) - struct(n2, array<struct(g, tf)>) per-doc gram tfs",
       es => GramTfExpr(es(0), es(1))),
+    ("gram_bucket_hist", "gram_bucket_hist(text, b) - per-doc uni+bigram md5-bucket histogram",
+      es => GramBucketHistExpr(es(0), es(1))),
     ("pair_structs", "pair_structs(items) - all unordered (ia < ib) pairs of a long array",
       es => PairStructsExpr(es.head)),
     ("pair_structs_tagged", "pair_structs_tagged(members) - canonical pairs of an id-sorted struct array, tags carried",

@@ -155,6 +155,50 @@ object TextShingleHelpers {
     new GenericArrayData(out)
   }
 
+  /** Per-document DSIR bucket HISTOGRAM in one byte-scan pass:
+    * counts[b] = number of word unigrams + bigrams whose 60-bit md5
+    * hash lands in bucket b (b = hash % nBuckets). Hash-exact with the
+    * relational spelling `conv(substring(md5(g),1,15),16,10) % B` over
+    * `explode(toks) UNION ALL explode(bigrams)`: a bigram substring
+    * text[start(tok_i) .. end(tok_{i+1})) is byte-identical to
+    * tok_i || ' ' || tok_{i+1} under the single-space separator (the
+    * same round-trip argument as [[shingleHashSet]]'s scaladoc). This
+    * is the front end that removes the per-gram explode + the
+    * (doc, lang, bucket) count exchange from the DSIR pipeline — a
+    * document's whole histogram lives in its own row.
+    */
+  def gramBucketHist(text: UTF8String, nBuckets: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends) = tokenBounds(bytes)
+    val n = starts.length
+    val h = new Array[Long](nBuckets)
+    val digest = md5.get()
+    var i = 0
+    while (i < n) {
+      h(md5Bucket(digest, bytes, starts(i), ends(i) - starts(i), nBuckets)) += 1
+      if (i < n - 1)
+        h(md5Bucket(digest, bytes, starts(i), ends(i + 1) - starts(i), nBuckets)) += 1
+      i += 1
+    }
+    new GenericArrayData(h.map(x => x: Any))
+  }
+
+  /** hash60(bytes[from, from+len)) % nBuckets — hex chars 1..15 of the
+    * md5 digest as a 60-bit positive long (same extraction as
+    * [[minhashSig]]'s h1), reduced mod the bucket count.
+    */
+  private def md5Bucket(digest: MessageDigest, bytes: Array[Byte],
+      from: Int, len: Int, nBuckets: Int): Int = {
+    digest.reset()
+    digest.update(bytes, from, len)
+    val d = digest.digest()
+    var h1 = 0L
+    var b = 0
+    while (b < 7) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+    h1 = (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+    (h1 % nBuckets).toInt
+  }
+
   /** DISTINCT word-k-gram hashes ([[shingleHashSet]] generalized to
     * any k): the row-local dedup that replaces a corpus-wide
     * `.distinct()` exchange in per-doc gram-set operators.
@@ -239,6 +283,27 @@ case class ShingleHashSetExpr(child: Expression) extends UnaryExpression {
       s"graft.functions.TextShingleHelpers.shingleHashSet($t)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** gram_bucket_hist(text, nBuckets) → array<long> of length nBuckets:
+  * per-document DSIR bucket histogram over word unigrams + bigrams
+  * (md5-60-bit hash mod nBuckets). Codegen'd.
+  */
+case class GramBucketHistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_bucket_hist expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextShingleHelpers.gramBucketHist(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.TextShingleHelpers.gramBucketHist($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** gram_hash_seq(text, k) → array<long>: ALL word-k-gram hashes in

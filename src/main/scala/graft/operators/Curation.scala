@@ -848,33 +848,59 @@ object Curation {
     * into fixed buckets is exactly what makes DSIR streamable at
     * corpus scale.
     */
+  /** DSIR importance weights via the per-document bucket HISTOGRAM
+    * kernel (`gram_bucket_hist` — one codegen'd byte-scan per doc, no
+    * gram explode). The r10 A/B (DevAbDsir) showed every explode
+    * spelling loses to the same vectorized-agg constant as CF, so the
+    * SHAPE changed (the r19 lesson): pass 1 aggregates the in-row
+    * histograms down to the B=128 bucket totals (partial agg reduces
+    * every partition to ≤B groups before the exchange) and collects
+    * the λ table eagerly — O(B) driver state, the graph-chooser
+    * precedent; pass 2, the RETURNED plan, is a shuffle-free per-doc
+    * projection against the λ literal (weights come out of zip_with +
+    * an exact-decimal aggregate over the doc's own row). At 100 TB:
+    * no per-gram rows ever exist, no per-(doc,bucket) exchange —
+    * corpus passes are embarrassingly parallel scans; the only
+    * synchronization is 128 longs. Arithmetic is kept EXACTLY the
+    * relational spelling's (same round(c·λ, 9) DECIMAL(24,9) terms,
+    * exact-decimal summation), so the oracle hash is unchanged.
+    */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.CrossHash
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-    val uni = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("g"))
-    val bi = t.select(col("doc_id"), col("lang"),
-      explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
-    val counts = uni.unionByName(bi)
+    val h = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        (CrossHash.hash60(col("g")) % DsirBuckets).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val agg = counts.groupBy(col("b"))
+        call_function("gram_bucket_hist", col("text"), lit(DsirBuckets)).as("hist"))
+    val agg = h.select(col("lang"), posexplode(col("hist")).as(Seq("b", "c")))
+      .where(col("c") > 0) // absent (doc,bucket) pairs, as in the join form
+      .groupBy(col("b"))
       .agg(sum(col("c")).as("raw_c"),
         sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("tgt_c"))
     val tot = agg.agg(sum(col("raw_c")).as("nr"), sum(col("tgt_c")).as("nt"))
-    val lam = agg.crossJoin(broadcast(tot))
+    val lamArr = new Array[Double](DsirBuckets) // unseen buckets: λ=0 × c=0
+    agg.crossJoin(broadcast(tot))
       .select(col("b"), expr(s"round($DsirLamSql, 9)").as("lam"))
-    counts.join(broadcast(lam), "b")
-      .withColumn("s", expr("CAST(round(c * lam, 9) AS DECIMAL(24,9))"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"), sum(col("s")).as("w"))
-      .select(col("doc_id"), col("n_grams"),
-        expr("CAST(w AS DOUBLE)").as("dsir_weight"))
+      .collect() // B=128 rows — bounded eager state, like the graph chooser
+      .foreach(r => lamArr(r.getInt(0)) = r.getDouble(1))
+    val lamLit = array(lamArr.map(lit(_)): _*)
+    // Exact-decimal summation as scaled longs: the DECIMAL(24,9) term
+    // is the SAME expression the relational spelling summed; ×10⁹ is
+    // integer-valued and exact in DECIMAL(38,9), the long cast is
+    // exact, long adds are exact, and the final /10⁹ division is
+    // exact at the division's ≥9-dp result scale — so the double that
+    // comes out is bit-identical to CAST(sum(s) AS DOUBLE) in the
+    // oracle. (A direct decimal accumulate can't keep scale 9:
+    // (38,9)+(24,9) widens to (38,8) under ANSI and would round.
+    // Long headroom: Σ|terms| ≤ n_grams·|λ|max·10⁹ — overflow needs a
+    // single ~10⁸-gram document.)
+    val dec = org.apache.spark.sql.types.DecimalType
+    h.select(col("doc_id"),
+        aggregate(col("hist"), lit(0L), (a, x) => a + x).as("n_grams"),
+        (aggregate(
+          zip_with(col("hist"), lamLit, (c, l) =>
+            (round(c * l, 9).cast(dec(24, 9)) * lit(1000000000L))
+              .cast(org.apache.spark.sql.types.LongType)),
+          lit(0L), (a, s) => a + s)
+          .cast(dec(38, 9)) / lit(1000000000L)).cast("double").as("dsir_weight"))
+      .where(col("n_grams") > 0) // null-text docs, as the explode form dropped
   }
 
   private val dsirWeightsSql = {

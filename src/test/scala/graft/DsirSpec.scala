@@ -48,6 +48,32 @@ class DsirSpec extends AnyFunSuite {
       s"separation too weak: en=$enMean fr=$frMean")
   }
 
+  test("gram_bucket_hist equals the relational explode+count formula") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real corpus text (punctuation, repeated spaces, unicode) — the
+    // kernel's byte-scan tokenization and md5-60 bucketing must agree
+    // with split(text,' ') + explode + conv(substring(md5(g),1,15),16,10)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).select(col("doc_id"), col("text"))
+    val hist = docs.select(col("doc_id"),
+        posexplode(call_function("gram_bucket_hist", col("text"), lit(128))))
+      .where(col("col") > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = t.select(col("doc_id"), explode(col("toks")).as("g"))
+      .unionByName(t.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g")))
+    val rel = grams.select(col("doc_id"),
+        (graft.functions.CrossHash.hash60(col("g")) % 128).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(hist == rel, s"hist size ${hist.size} vs rel ${rel.size}")
+    assert(hist.nonEmpty)
+  }
+
   test("deterministic across runs on the real corpus") {
     val sf = "/root/testdata/sf0.001"
     val a = operators.Curation.dsirWeights(spark, sf).collect()

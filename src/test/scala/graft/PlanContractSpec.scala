@@ -716,20 +716,20 @@ class PlanContractSpec extends AnyFunSuite {
       "per-dim sums must ride a hashed exchange:\n" + p.take(2000))
   }
 
-  test("dsir_weights: one corpus gram aggregation, reused; only O(B) state broadcasts") {
+  test("dsir_weights: the returned per-doc weight plan is SHUFFLE-FREE") {
+    // r10 histogram dataflow: λ is eager bounded state (B=128 values
+    // collected at construction, the graph-chooser precedent), and the
+    // RETURNED plan is scan → gram_bucket_hist → per-row zip_with/
+    // aggregate arithmetic → filter. No per-gram rows exist, no
+    // (doc, bucket) exchange, no join — corpus passes are
+    // embarrassingly parallel, which is the whole point at 100 TB.
     val p = finalPlan("dsir_weights")
-    // the (doc, lang, bucket) count exchange feeds BOTH the bucket
-    // rollup (λ) and the final per-doc weight join — it must be
-    // computed once and reused, not re-aggregated from the corpus
-    assert(p.contains("ReusedExchange"),
-      "the gram-count exchange must be shared by λ and the weight join:\n"
-        + p.take(3000))
-    // the only broadcasts are the scalar totals and the B=128 λ table
-    assert(count(p, "BroadcastExchange") <= 2,
-      "only O(B) state may broadcast:\n" + p.take(3000))
-    assert(count(p, "CartesianProduct") == 0
-      && count(p, "SortMergeJoin") == 0,
-      "bucket joins are broadcast-hash against O(B) state:\n" + p.take(3000))
+    assert(count(p, "Exchange") == 0,
+      "per-doc weights must not shuffle:\n" + p.take(3000))
+    assert(count(p, "Join") == 0 && count(p, "CartesianProduct") == 0,
+      "λ rides a literal, not a join:\n" + p.take(3000))
+    assert(p.contains("grambuckethistexpr") || p.contains("gram_bucket_hist"),
+      "the histogram kernel must be in the plan:\n" + p.take(3000))
   }
 
   test("set_sim_join: every corpus-derived join shuffles; no all-pairs path") {
