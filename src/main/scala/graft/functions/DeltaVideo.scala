@@ -23,14 +23,16 @@ import java.util.zip.{Deflater, Inflater}
   *
   * Layout (all integers little-endian):
   *   "GVD1" | w:i32 | h:i32 | nFrames:i32 | gop:i32
-  *   then per frame: type:u8 ('I'|'P'|'M') | len:i32 | zlib payload
+  *   then per frame: type:u8 ('I'|'P'|'M'|'K'|'R') | len:i32 | zlib payload
   * I payload inflates to the raw w*h luma plane; P inflates to the
   * byte-wise residual (cur − prev mod 256); M inflates to one vector
   * byte per block followed by the residual against the
-  * motion-predicted plane. Lossless by construction in ALL frame
-  * types (residual coding absorbs whatever the search picks) — the
+  * motion-predicted plane. I/P/M are lossless by construction
+  * (residual coding absorbs whatever the search picks) — the
   * round-trip is EXACT, unlike the MJPEG path, so recon checks are
-  * equality, not tolerance bands.
+  * equality, not tolerance bands. 'K'/'R' (r10) are the LOSSY
+  * DCT+quantization mode — see the lossy section below; their recon
+  * checks are rate-distortion bands (PSNR), by nature.
   */
 object DeltaVideo {
 
@@ -187,6 +189,315 @@ object DeltaVideo {
     cur
   }
 
+  // ---- lossy DCT + quantization mode (frame types 'K'/'R', r10) ------
+  // The rate-distortion leg the r9 verdict left as a stretch: 8×8
+  // DCT-II + the published IJG quality-scaled JPEG luminance quant
+  // table, zigzag coefficient order, deflate entropy stage. Two frame
+  // types: 'K' = lossy intra (level-shifted plane blocks), 'R' = lossy
+  // inter (motion vectors against the RECONSTRUCTED reference + DCT-
+  // quantized spatial residual). Prediction is CLOSED-LOOP: the
+  // encoder reconstructs each frame exactly as the decoder will and
+  // predicts the next frame from that reconstruction — predicting from
+  // the pristine source instead is the classic drift bug where decoder
+  // error compounds every frame of a GOP; DeltaVideoSpec pins no-drift
+  // explicitly. Coefficient payloads are FIXED-SIZE per plane
+  // (64 i16/block, zigzagged, deflated — zigzag groups the quantized
+  // high-frequency zeros into one run for the deflate stage), so the
+  // untrusted-bytes framing validation carries over unchanged.
+  // This is still not an entropy-optimal bitstream (no Huffman/CABAC,
+  // no coded-block flags), but transform, quantization, rate-quality
+  // trade, and closed-loop reconstruction — the parts a 100 TB
+  // pipeline's quality/size planning reasons about — are real and
+  // measured by the specs.
+
+  /** JPEG Annex K.1 luminance quantization table (zigzag-DEROTATED:
+    * natural row-major order), the public base every quality scale
+    * derives from.
+    */
+  private val JpegLumaQ50: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** IJG quality scaling: q in [1,100] → per-coefficient divisors. */
+  private def quantTable(quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality $quality")
+    val s = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    JpegLumaQ50.map(b => math.max(1, math.min(255, (b * s + 50) / 100)))
+  }
+
+  /** Zigzag scan order: zz(k) = natural index of the k-th coefficient. */
+  private val Zigzag: Array[Int] = {
+    val order = new Array[Int](64)
+    var k = 0
+    for (sum <- 0 until 15) {
+      val range = if (sum % 2 == 0) (math.min(sum, 7) to math.max(0, sum - 7) by -1)
+        else (math.max(0, sum - 7) to math.min(sum, 7))
+      for (y <- range) { order(k) = y * 8 + (sum - y); k += 1 }
+    }
+    order
+  }
+
+  private val DctCos: Array[Double] =
+    Array.tabulate(64)(i => math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16.0))
+  @inline private def cosAt(x: Int, u: Int): Double = DctCos(x * 8 + u)
+  @inline private def cNorm(u: Int): Double =
+    if (u == 0) 0.3535533905932738 else 0.5 // 1/(2√2), 1/2
+
+  /** Forward 8×8 DCT-II of one level-shifted block (row-major doubles). */
+  private def dct8(in: Array[Double], out: Array[Double]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            acc += in(y * 8 + x) * cosAt(x, u) * cosAt(y, v)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = cNorm(u) * cNorm(v) * acc
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Inverse 8×8 DCT (type III with the same normalization). */
+  private def idct8(in: Array[Double], out: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            acc += cNorm(u) * cNorm(v) * in(v * 8 + u) * cosAt(x, u) * cosAt(y, v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Transform+quantize a full plane (or residual) into zigzagged i16
+    * coefficients; `shift` is the level shift (128 for intra pixels, 0
+    * for signed residuals). Edge blocks BORDER-EXTEND into the 8×8
+    * transform (the same clamp treatment as motion references), so
+    * arbitrary dims carry no special-case coefficient layout.
+    */
+  private def planeToCoeffs(plane: Array[Int], w: Int, h: Int, shift: Int,
+      qt: Array[Int]): Array[Byte] = {
+    val nbx = blocksAcross(w); val nby = blocksAcross(h)
+    val out = new Array[Byte](nbx * nby * 128)
+    val blk = new Array[Double](64); val fr = new Array[Double](64)
+    var by = 0
+    while (by < nby) {
+      var bx = 0
+      while (bx < nbx) {
+        var i = 0
+        while (i < 64) {
+          val px = math.min(bx * 8 + i % 8, w - 1)
+          val py = math.min(by * 8 + i / 8, h - 1)
+          blk(i) = (plane(py * w + px) - shift).toDouble
+          i += 1
+        }
+        dct8(blk, fr)
+        val base = (by * nbx + bx) * 128
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          val q = math.round(fr(nat) / qt(nat)).toInt
+          val c = if (q > 32767) 32767 else if (q < -32768) -32768 else q
+          out(base + 2 * k) = (c & 0xff).toByte
+          out(base + 2 * k + 1) = ((c >> 8) & 0xff).toByte
+          k += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Dequantize+inverse-transform zigzagged i16 coefficients back to a
+    * plane of ints (caller adds the level shift / prediction + clamps).
+    */
+  private def coeffsToPlane(coeffs: Array[Byte], w: Int, h: Int,
+      qt: Array[Int]): Array[Int] = {
+    val nbx = blocksAcross(w); val nby = blocksAcross(h)
+    val plane = new Array[Int](w * h)
+    val fr = new Array[Double](64); val sp = new Array[Double](64)
+    var by = 0
+    while (by < nby) {
+      var bx = 0
+      while (bx < nbx) {
+        val base = (by * nbx + bx) * 128
+        var k = 0
+        while (k < 64) {
+          val c = ((coeffs(base + 2 * k) & 0xff) |
+            (coeffs(base + 2 * k + 1) << 8)).toShort.toInt
+          fr(Zigzag(k)) = (c * qt(Zigzag(k))).toDouble
+          k += 1
+        }
+        idct8(fr, sp)
+        var i = 0
+        while (i < 64) {
+          val px = bx * 8 + i % 8; val py = by * 8 + i / 8
+          if (px < w && py < h)
+            plane(py * w + px) = math.round(sp(i)).toInt
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    plane
+  }
+
+  @inline private def clampByte(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Motion-predicted plane from per-block vector bytes over `ref`
+    * (border-extended sampling, shared by the lossless 'M' decode and
+    * both sides of the closed 'R' loop).
+    */
+  private def motionPredict(vecs: Array[Byte], ref: Array[Byte],
+      w: Int, h: Int): Array[Int] = {
+    val nbx = blocksAcross(w); val nby = blocksAcross(h)
+    val nVec = (2 * SearchR + 1) * (2 * SearchR + 1)
+    val pred = new Array[Int](w * h)
+    var by = 0
+    while (by < nby) {
+      var bx = 0
+      while (bx < nbx) {
+        val v = vecs(by * nbx + bx) & 0xff
+        if (v >= nVec)
+          throw new java.io.IOException(
+            s"GVD1: bad motion vector byte $v at block ($bx,$by)")
+        val dy = v / (2 * SearchR + 1) - SearchR
+        val dx = v % (2 * SearchR + 1) - SearchR
+        val x0 = bx * BlockSize; val y0 = by * BlockSize
+        var yy = 0
+        while (yy < math.min(BlockSize, h - y0)) {
+          var xx = 0
+          while (xx < math.min(BlockSize, w - x0)) {
+            pred((y0 + yy) * w + x0 + xx) =
+              refAt(ref, w, h, x0 + dx + xx, y0 + dy + yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    pred
+  }
+
+  /** Decode one lossy payload into its reconstructed plane. */
+  private def lossyDecode(t: Char, payload: Array[Byte], prev: Array[Byte],
+      w: Int, h: Int): Array[Byte] = {
+    val nb = blocksAcross(w) * blocksAcross(h)
+    if (t == 'K') {
+      val q = payload(0) & 0xff
+      if (q < 1 || q > 100)
+        throw new java.io.IOException(s"GVD1: bad quality byte $q")
+      val qt = quantTable(q)
+      val dec = coeffsToPlane(
+        java.util.Arrays.copyOfRange(payload, 1, payload.length), w, h, qt)
+      Array.tabulate(w * h)(i => clampByte(dec(i) + 128))
+    } else { // 'R'
+      if (prev == null)
+        throw new java.io.IOException("GVD1: R-frame without reference")
+      val vecs = java.util.Arrays.copyOfRange(payload, 0, nb)
+      val q = payload(nb) & 0xff
+      if (q < 1 || q > 100)
+        throw new java.io.IOException(s"GVD1: bad quality byte $q")
+      val qt = quantTable(q)
+      val pred = motionPredict(vecs, prev, w, h)
+      val decR = coeffsToPlane(
+        java.util.Arrays.copyOfRange(payload, nb + 1, payload.length), w, h, qt)
+      Array.tabulate(w * h)(i => clampByte(pred(i) + decR(i)))
+    }
+  }
+
+  /** Lossy encode: 'K' keyframes every `gop`, 'R' motion-compensated
+    * DCT-residual frames between, closed-loop prediction throughout.
+    * Container layout matches [[write]] exactly (same header, same
+    * per-frame type/len framing); the quality rides INSIDE each
+    * payload — 'K' inflates to quality:u8 ++ coeffs, 'R' to
+    * vectors ++ quality:u8 ++ coeffs — so the header stays GVD1 and
+    * a stream may in principle mix lossless and lossy GOPs.
+    */
+  def writeLossy(frames: Seq[Array[Byte]], w: Int, h: Int, gop: Int,
+      quality: Int): Array[Byte] = {
+    require(gop >= 1 && frames.forall(_.length == w * h),
+      s"GVD1: planes must be ${w}x$h and gop >= 1")
+    val qt = quantTable(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = out.write(
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    out.write(Magic); i32(w); i32(h); i32(frames.length); i32(gop)
+    var recon: Array[Byte] = null // decoder-identical reconstruction
+    frames.zipWithIndex.foreach { case (cur, f) =>
+      val key = f % gop == 0
+      val curI = Array.tabulate(w * h)(i => cur(i) & 0xff)
+      val (t, raw) =
+        if (key) {
+          val coeffs = planeToCoeffs(curI, w, h, 128, qt)
+          val dec = coeffsToPlane(coeffs, w, h, qt)
+          recon = Array.tabulate(w * h)(i => clampByte(dec(i) + 128))
+          ('K', Array(quality.toByte) ++ coeffs)
+        } else {
+          val (vecs, _) = motionEncode(cur, recon, w, h)
+          // spatial residual vs the motion-predicted RECONSTRUCTION
+          val pred = motionPredict(vecs, recon, w, h)
+          val resid = Array.tabulate(w * h)(i => curI(i) - pred(i))
+          val coeffs = planeToCoeffs(resid, w, h, 0, qt)
+          val decR = coeffsToPlane(coeffs, w, h, qt)
+          recon = Array.tabulate(w * h)(i => clampByte(pred(i) + decR(i)))
+          ('R', vecs ++ Array(quality.toByte) ++ coeffs)
+        }
+      val payload = deflate(raw)
+      out.write(t)
+      i32(payload.length)
+      out.write(payload)
+    }
+    out.toByteArray
+  }
+
+  /** Peak signal-to-noise ratio between two equal-length planes (dB);
+    * infinite for identical planes.
+    */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length)
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+
   /** Encode w*h luma planes; a keyframe every `gop` frames. Predicted
     * frames are plain temporal deltas ('P') by default; `motion = true`
     * block-matches each predicted frame against its reference and
@@ -255,13 +566,28 @@ object DeltaVideo {
     if (off + 5 > bytes.length)
       throw new java.io.IOException("GVD1: truncated frame header")
     val t = bytes(off).toChar
-    if (t != 'I' && t != 'P' && t != 'M')
+    if (t != 'I' && t != 'P' && t != 'M' && t != 'K' && t != 'R')
       throw new java.io.IOException(s"GVD1: bad frame type '$t'")
     val len = ByteBuffer.wrap(bytes, off + 1, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
     if (len < 0 || len > bytes.length - off - 5)
       throw new java.io.IOException(s"GVD1: bad frame length $len")
     (t, len)
+  }
+
+  /** Exact inflated payload size per frame type (all types are
+    * fixed-size per plane, which is what lets the untrusted-bytes
+    * framing stay a pure length check).
+    */
+  private def inflatedLen(t: Char, w: Int, h: Int): Int = {
+    val nb = blocksAcross(w) * blocksAcross(h)
+    t match {
+      case 'I' | 'P' => w * h
+      case 'M' => nb + w * h
+      case 'K' => 1 + nb * 128
+      case 'R' => nb + 1 + nb * 128
+      case _ => throw new java.io.IOException(s"GVD1: bad frame type '$t'")
+    }
   }
 
   /** Full decode: reconstruct every plane through the I/P chain. */
@@ -273,15 +599,16 @@ object DeltaVideo {
     var off = 20
     for (f <- 0 until n) {
       val (t, len) = frameHeader(bytes, off)
-      val outLen =
-        if (t == 'M') blocksAcross(w) * blocksAcross(h) + w * h else w * h
       val payload = inflate(
-        java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len), outLen)
+        java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len),
+        inflatedLen(t, w, h))
       val cur =
         if (t == 'I') payload
+        else if (t == 'K') lossyDecode(t, payload, null, w, h)
         else if (prev == null)
           throw new java.io.IOException(s"GVD1: $t-frame $f without reference")
         else if (t == 'M') motionDecode(payload, prev, w, h)
+        else if (t == 'R') lossyDecode(t, payload, prev, w, h)
         else Array.tabulate(w * h)(i => (prev(i) + payload(i)).toByte)
       types += t; frames += cur; prev = cur
       off += 5 + len
@@ -306,15 +633,16 @@ object DeltaVideo {
     while (f <= frameIdx) {
       val (t, len) = frameHeader(bytes, off)
       if (f >= gopStart) {
-        val outLen =
-          if (t == 'M') blocksAcross(w) * blocksAcross(h) + w * h else w * h
         val payload = inflate(
-          java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len), outLen)
+          java.util.Arrays.copyOfRange(bytes, off + 5, off + 5 + len),
+          inflatedLen(t, w, h))
         prev =
           if (t == 'I') payload
+          else if (t == 'K') lossyDecode(t, payload, null, w, h)
           else if (prev == null)
             throw new java.io.IOException(s"GVD1: $t-frame $f without reference")
           else if (t == 'M') motionDecode(payload, prev, w, h)
+          else if (t == 'R') lossyDecode(t, payload, prev, w, h)
           else Array.tabulate(w * h)(i => (prev(i) + payload(i)).toByte)
       }
       off += 5 + len

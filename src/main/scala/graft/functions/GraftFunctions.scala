@@ -146,6 +146,14 @@ object GraftFunctions {
       es => EpsgLonExpr(es(0), es(1), es(2))),
     ("crs_epsg_lat", "crs_epsg_lat(code, easting, northing) - EPSG-dispatched inverse latitude (deg)",
       es => EpsgLatExpr(es(0), es(1), es(2))),
+    ("helmert_lon", "helmert_lon(code, lon, lat) - datum shift to WGS84, longitude (deg)",
+      es => HelmertLonExpr(es(0), es(1), es(2))),
+    ("helmert_lat", "helmert_lat(code, lon, lat) - datum shift to WGS84, latitude (deg)",
+      es => HelmertLatExpr(es(0), es(1), es(2))),
+    ("helmert_inv_lon", "helmert_inv_lon(code, lon, lat) - datum shift from WGS84, longitude (deg)",
+      es => HelmertInvLonExpr(es(0), es(1), es(2))),
+    ("helmert_inv_lat", "helmert_inv_lat(code, lon, lat) - datum shift from WGS84, latitude (deg)",
+      es => HelmertInvLatExpr(es(0), es(1), es(2))),
     ("asof_cond", "asof_cond(lkey, rkey, ltime, rtime) - as-of join marker predicate",
       es => graft.plans.AsOfCondExpr(es(0), es(1), es(2), es(3))),
     ("bloom_build", "bloom_build(key, items, fpp) - serialized bloom filter over long keys",

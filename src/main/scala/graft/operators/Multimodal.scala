@@ -664,6 +664,95 @@ object Multimodal {
       |  TRUE AS mc_recon_ok, TRUE AS mc_gain_ok
       |FROM documents""".stripMargin
 
+  final case class VideoLossyFeat(doc_id: Long, n_frames: Long,
+      width: Int, height: Int, types_ok: Boolean, psnr_ok: Boolean,
+      rd_size_monotone: Boolean, rd_psnr_monotone: Boolean,
+      beats_lossless: Boolean, no_drift: Boolean, seek_ok: Boolean)
+
+  /** LOSSY DCT+quantization video leg (r10, the r9 stretch): GVD1
+    * 'K'/'R' frames — 8×8 DCT-II, IJG quality-scaled JPEG luminance
+    * quant table, motion-compensated DCT-coded residuals, CLOSED-LOOP
+    * prediction ([[graft.functions.DeltaVideo.writeLossy]]). Per doc:
+    * a DCT-friendly synthetic scene (gradient + soft moving blob)
+    * encodes at three qualities and the verdict booleans pin the
+    * rate-distortion economics a 100 TB video pipeline plans around —
+    * size AND min-PSNR strictly monotone in quality, the q50 stream
+    * strictly below the LOSSLESS encoding of the same frames, PSNR >
+    * 30 dB at q50, no drift across the GOP (closed loop), and
+    * keyframe-seek equal to the full decode. Exact facts (counts,
+    * dims) oracle-hash directly; verdicts ride as booleans the oracle
+    * expects TRUE (the [[videoDeltaCodec]] discipline). Exchange-free
+    * scan-parallel; per-row work is bounded by the fixed plane size.
+    */
+  def videoLossyCodec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[ImgIn]
+      .mapPartitions { batch =>
+        batch.map { in =>
+          val d = in.doc_id
+          val nf = (6 + d % 5).toInt
+          val w = (32 + (d % 2) * 16).toInt
+          val h = 32
+          val gop = 4
+          def plane(f: Int): Array[Byte] = {
+            val p = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val cx = (w / 4 + f * 2 + (d % 7)).toInt % w
+                val d2 = (x - cx) * (x - cx) + (y - h / 2) * (y - h / 2)
+                val blob = (80.0 * math.exp(-d2 / 40.0)).toInt
+                val grad = (x * 140) / w + (y * 60) / h + (d % 11).toInt
+                val v = 20 + grad + blob
+                p(y * w + x) = (if (v > 255) 255 else v).toByte
+                x += 1
+              }
+              y += 1
+            }
+            p
+          }
+          val frames = (0 until nf).map(plane)
+          val qs = Seq(10, 50, 90)
+          val encs = qs.map(q =>
+            graft.functions.DeltaVideo.writeLossy(frames, w, h, gop, q))
+          val sizes = encs.map(_.length)
+          val parsed = graft.functions.DeltaVideo.read(encs(1))
+          val dbs = parsed.frames.zip(frames).map { case (g, want) =>
+            graft.functions.DeltaVideo.psnr(g, want) }
+          val minDbs = qs.indices.map { i =>
+            val p = graft.functions.DeltaVideo.read(encs(i))
+            p.frames.zip(frames).map { case (g, want) =>
+              graft.functions.DeltaVideo.psnr(g, want) }.min
+          }
+          val lossless = graft.functions.DeltaVideo.write(frames, w, h, gop)
+          val mid = nf / 2
+          VideoLossyFeat(d, parsed.frames.size.toLong, parsed.w, parsed.h,
+            types_ok = parsed.frameTypes.zipWithIndex.forall { case (t, f) =>
+              t == (if (f % gop == 0) 'K' else 'R') },
+            psnr_ok = dbs.forall(_ > 30.0),
+            rd_size_monotone = sizes(0) < sizes(1) && sizes(1) < sizes(2),
+            rd_psnr_monotone = minDbs(0) < minDbs(1) && minDbs(1) < minDbs(2),
+            beats_lossless = sizes(1) < lossless.length,
+            no_drift = dbs.last > dbs(1) - 3.0,
+            seek_ok = java.util.Arrays.equals(
+              graft.functions.DeltaVideo.readGop(encs(1), mid),
+              parsed.frames(mid)))
+        }
+      }.toDF()
+  }
+
+  private val videoLossyCodecSql =
+    """SELECT doc_id,
+      |  CAST(6 + doc_id % 5 AS BIGINT) AS n_frames,
+      |  CAST(32 + (doc_id % 2) * 16 AS INTEGER) AS width,
+      |  CAST(32 AS INTEGER) AS height,
+      |  TRUE AS types_ok, TRUE AS psnr_ok,
+      |  TRUE AS rd_size_monotone, TRUE AS rd_psnr_monotone,
+      |  TRUE AS beats_lossless, TRUE AS no_drift, TRUE AS seek_ok
+      |FROM documents""".stripMargin
+
   final case class DocMedia(doc_id: Long, text: String, lang: String,
       source: String)
 
@@ -744,6 +833,7 @@ object Multimodal {
     Op("audio_decode", audioDecode, Some(audioDecodeSql)),
     Op("video_decode", videoDecode, Some(videoDecodeSql)),
     Op("video_delta_codec", videoDeltaCodec, Some(videoDeltaCodecSql)),
+    Op("video_lossy_codec", videoLossyCodec, Some(videoLossyCodecSql)),
     Op("webdataset_roundtrip", webdatasetRoundtrip, Some(webdatasetRoundtripSql)),
     Op("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Op("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

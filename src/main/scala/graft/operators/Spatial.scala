@@ -1069,6 +1069,136 @@ object Spatial {
       .mkString("\nUNION ALL\n")
   }
 
+  /** F20 datum leg (r10, VERDICT r9 "What's missing" #1): 7-parameter
+    * Helmert datum shift to WGS84 and back
+    * ([[graft.functions.DatumRegistry]] — EPSG method 9606, position-
+    * vector convention). The reference's geopandas `to_crs` routes a
+    * geographic CRS on a classical datum through exactly this
+    * geocentric step (RadiusOfGyrationHandler.py:73-85); this was the
+    * last geodesy-generality delta. Two blocks over code-appropriate
+    * synthetic geography from customer: OSGB36 (EPSG:4277, the full
+    * 7-param matrix incl. rotations + scale) and ED50 (EPSG:4230,
+    * translation-only — the degenerate path). Forward to WGS84 then
+    * back via the EPSG-standard negated-parameter reversal, the
+    * inverse consuming the ROUNDED forward columns (house
+    * discipline); degrees round 6 dp with the ±0.0 normalization.
+    * NB the 2-D round-trip is exact only to ~1e-6 deg by nature —
+    * h=0 is re-asserted on the WGS84 ellipsoid before the reverse
+    * leg, the same convention pyproj applies to 2-D geometry — but
+    * both engines replay the identical op sequence, so parity is
+    * bit-for-bit (correctness vs the published transform is pinned
+    * in HelmertSpec's worked-example golden).
+    *
+    * Scale shape: per-row straight-line scalar resolved at plan time
+    * from the foldable code; zero joins, zero shuffles.
+    */
+  def crsDatumShift(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val k = col("c_custkey")
+    def blk(code: Int, lon: Column, lat: Column): DataFrame =
+      cust.select(k.as("key"), lon.as("lon"), lat.as("lat"))
+        .withColumn("code", lit(code))
+        .withColumn("wlon", round(call_function("helmert_lon",
+          lit(code), col("lon"), col("lat")), 6) + lit(0.0))
+        .withColumn("wlat", round(call_function("helmert_lat",
+          lit(code), col("lon"), col("lat")), 6) + lit(0.0))
+        .withColumn("lon2", round(call_function("helmert_inv_lon",
+          lit(code), col("wlon"), col("wlat")), 6) + lit(0.0))
+        .withColumn("lat2", round(call_function("helmert_inv_lat",
+          lit(code), col("wlon"), col("wlat")), 6) + lit(0.0))
+        .select(col("key"), col("code"), col("lon"), col("lat"),
+          col("wlon"), col("wlat"), col("lon2"), col("lat2"))
+    blk(4277, lit(-6.0) + (k % 1000).cast("double") / 100.0,
+        lit(50.0) + (k % 900).cast("double") / 100.0)
+      .unionByName(blk(4230, lit(-9.0) + (k % 4000).cast("double") / 100.0,
+        lit(36.0) + (k % 3500).cast("double") / 100.0))
+  }
+
+  /** Parameter-driven Helmert SQL template: one geodetic→geocentric→
+    * 7-param→geodetic leg per direction, the reverse leg splicing the
+    * NEGATED parameter values as literals (so its expression shape
+    * matches the kernel's negated-spelling arithmetic exactly). The
+    * geocentric→geodetic latitude uses the same fixed-count (8)
+    * REPLACE-iteration discipline as [[lccRoundTripSql]].
+    */
+  private def helmertRoundTripSql(t: graft.functions.HelmertToWgs84,
+      code: Int, ptsSql: String): String = {
+    val C = t.SqlC
+    def L(v: Double): String = s"CAST($v AS DOUBLE)"
+    val pi = L(C.pi)
+    def leg(sfx: String, lonIn: String, latIn: String,
+        aF: String, e2F: String,
+        tx: String, ty: String, tz: String,
+        rx: String, ry: String, rz: String, s: String,
+        aT: String, e2T: String, from: String): (String, String, String) = {
+      def step(phi: String): String =
+        s"atan2(zb$sfx + $e2T * ($aT / sqrt(1 - $e2T * sin($phi) * sin($phi)))" +
+          s" * sin($phi), pp$sfx)"
+      val iters = (1 to 8).map(i =>
+        s"q$i$sfx AS (SELECT * REPLACE ((${step(s"phi$sfx")}) AS phi$sfx) " +
+          s"FROM ${if (i == 1) s"p$sfx" else s"q${i - 1}$sfx"})")
+        .mkString(",\n")
+      val ctes =
+        s"""g$sfx AS (SELECT *, $lonIn / 180.0 * $pi AS lam$sfx,
+           |    $latIn / 180.0 * $pi AS ph0$sfx FROM $from),
+           |n$sfx AS (SELECT *,
+           |    $aF / sqrt(1 - $e2F * sin(ph0$sfx) * sin(ph0$sfx)) AS nu$sfx
+           |  FROM g$sfx),
+           |c$sfx AS (SELECT *,
+           |    nu$sfx * cos(ph0$sfx) * cos(lam$sfx) AS xa$sfx,
+           |    nu$sfx * cos(ph0$sfx) * sin(lam$sfx) AS ya$sfx,
+           |    nu$sfx * (1 - $e2F) * sin(ph0$sfx) AS za$sfx
+           |  FROM n$sfx),
+           |h$sfx AS (SELECT *,
+           |    $tx + $s * (xa$sfx - $rz * ya$sfx + $ry * za$sfx) AS xb$sfx,
+           |    $ty + $s * ($rz * xa$sfx + ya$sfx - $rx * za$sfx) AS yb$sfx,
+           |    $tz + $s * (-$ry * xa$sfx + $rx * ya$sfx + za$sfx) AS zb$sfx
+           |  FROM c$sfx),
+           |p$sfx AS (SELECT *,
+           |    sqrt(xb$sfx * xb$sfx + yb$sfx * yb$sfx) AS pp$sfx,
+           |    atan2(zb$sfx,
+           |      sqrt(xb$sfx * xb$sfx + yb$sfx * yb$sfx) * (1 - $e2T)) AS phi$sfx
+           |  FROM h$sfx),
+           |$iters""".stripMargin
+      (ctes, s"atan2(yb$sfx, xb$sfx) * 180.0 / $pi",
+        s"phi$sfx * 180.0 / $pi")
+    }
+    val (fwdCtes, fLon, fLat) = leg("f", "lon", "lat",
+      L(C.aSrc), L(C.e2Src),
+      L(C.tx), L(C.ty), L(C.tz), L(C.rxR), L(C.ryR), L(C.rzR), L(C.sc),
+      L(C.aW), L(C.e2W), "pts")
+    val (revCtes, rLon, rLat) = leg("r", "wlon", "wlat",
+      L(C.aW), L(C.e2W),
+      L(-C.tx), L(-C.ty), L(-C.tz), L(-C.rxR), L(-C.ryR), L(-C.rzR), L(C.scInv),
+      L(C.aSrc), L(C.e2Src), "fwd")
+    s"""WITH pts AS ($ptsSql),
+       |$fwdCtes,
+       |fwd AS (SELECT key, $code AS code, lon, lat,
+       |    round($fLon, 6) + 0.0 AS wlon,
+       |    round($fLat, 6) + 0.0 AS wlat
+       |  FROM q8f),
+       |$revCtes
+       |SELECT key, code, lon, lat, wlon, wlat,
+       |  round($rLon, 6) + 0.0 AS lon2,
+       |  round($rLat, 6) + 0.0 AS lat2
+       |FROM q8r""".stripMargin
+  }
+
+  private val crsDatumShiftSql: String = {
+    def custPts(lonSql: String, latSql: String): String =
+      s"""SELECT c_custkey AS key,
+         |    $lonSql AS lon,
+         |    $latSql AS lat
+         |  FROM customer""".stripMargin
+    val osgb = helmertRoundTripSql(graft.functions.DatumRegistry.Osgb36, 4277,
+      custPts("-6.0 + CAST(c_custkey % 1000 AS DOUBLE) / 100.0",
+        "50.0 + CAST(c_custkey % 900 AS DOUBLE) / 100.0"))
+    val ed50 = helmertRoundTripSql(graft.functions.DatumRegistry.Ed50, 4230,
+      custPts("-9.0 + CAST(c_custkey % 4000 AS DOUBLE) / 100.0",
+        "36.0 + CAST(c_custkey % 3500 AS DOUBLE) / 100.0"))
+    s"SELECT * FROM (\n$osgb\n)\nUNION ALL\nSELECT * FROM (\n$ed50\n)"
+  }
+
   /** Boundary geometry of the distinct H3 cells the events points
     * occupy (h3_to_geo_boundary analog) — the export step that hands
     * cell footprints to GIS/viz. WKT strings, not nested arrays, so
@@ -1536,6 +1666,7 @@ object Spatial {
     Op("crs_polar_stereo_south", crsPolarStereoSouth,
       Some(crsPolarStereoSouthSql)),
     Op("crs_epsg_dispatch", crsEpsgDispatch, Some(crsEpsgDispatchSql)),
+    Op("crs_datum_shift", crsDatumShift, Some(crsDatumShiftSql)),
     Op("impute_by_kring", (s, d) => imputeByKRing(s, d), Some(imputeByKRingSql)),
     Op("hex_cells", hexCells, Some(hexCellsSql)),
     Op("h3_cells", h3CellsVerdict, Some(h3CellsVerdictSql)),

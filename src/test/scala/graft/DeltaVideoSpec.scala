@@ -173,4 +173,95 @@ class DeltaVideoSpec extends AnyFunSuite {
       DeltaVideo.readGop(truncated, 5), frames(5)))
     assert(p.frames.size == 11) // sanity: the full stream had them all
   }
+
+  // ---- lossy DCT mode ('K'/'R', r10) --------------------------------
+
+  /** A DCT-friendly scene: smooth gradients plus a soft moving blob —
+    * energy concentrates in low frequencies, so quantization has
+    * something to cut (pure noise would show no rate lever).
+    */
+  private def scene(n: Int, w: Int, h: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val cx = (w / 4 + f * 2) % w; val cy = h / 2
+        val d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+        val blob = (80.0 * math.exp(-d2 / 40.0)).toInt
+        val grad = (x * 140) / w + (y * 60) / h
+        DeltaVideoSpec.clamp255(20 + grad + blob).toByte
+      }
+    }
+
+  test("lossy round-trip: typed K/R, dims preserved, PSNR in the quality band") {
+    val frames = scene(9, 48, 32)
+    val enc = DeltaVideo.writeLossy(frames, 48, 32, gop = 4, quality = 50)
+    val p = DeltaVideo.read(enc)
+    assert(p.w == 48 && p.h == 32 && p.frames.size == 9)
+    assert(p.frameTypes.zipWithIndex.forall { case (t, f) =>
+      t == (if (f % 4 == 0) 'K' else 'R') })
+    p.frames.zip(frames).foreach { case (got, want) =>
+      val db = DeltaVideo.psnr(got, want)
+      assert(db > 30.0, s"q50 PSNR $db dB")
+    }
+  }
+
+  test("rate-distortion: size and PSNR both increase monotonically with quality") {
+    val frames = scene(8, 48, 32)
+    val qs = Seq(10, 50, 90)
+    val encs = qs.map(q => DeltaVideo.writeLossy(frames, 48, 32, 4, q))
+    val sizes = encs.map(_.length)
+    val psnrs = encs.map { e =>
+      val p = DeltaVideo.read(e)
+      p.frames.zip(frames).map { case (g, w0) => DeltaVideo.psnr(g, w0) }.min
+    }
+    assert(sizes(0) < sizes(1) && sizes(1) < sizes(2),
+      s"sizes not monotone: $sizes")
+    assert(psnrs(0) < psnrs(1) && psnrs(1) < psnrs(2),
+      s"PSNR not monotone: $psnrs")
+    // and the lossy stream must actually be SMALLER than lossless
+    val lossless = DeltaVideo.write(frames, 48, 32, 4)
+    assert(sizes(1) < lossless.length,
+      s"q50 ${sizes(1)} not below lossless ${lossless.length}")
+  }
+
+  test("closed-loop prediction: no drift across a long GOP") {
+    // with open-loop prediction (predicting from the source instead of
+    // the reconstruction) the decoder error compounds every R frame;
+    // closed-loop keeps the last frame of a 16-frame GOP in the same
+    // PSNR class as the first
+    val frames = scene(16, 48, 32)
+    val p = DeltaVideo.read(DeltaVideo.writeLossy(frames, 48, 32, 16, 50))
+    val dbs = p.frames.zip(frames).map { case (g, w0) => DeltaVideo.psnr(g, w0) }
+    val firstPredicted = dbs(1)
+    val last = dbs.last
+    assert(last > firstPredicted - 3.0,
+      s"drift: frame1 $firstPredicted dB -> frame15 $last dB")
+    assert(dbs.forall(_ > 30.0), s"GOP PSNR floor violated: $dbs")
+  }
+
+  test("lossy seek: readGop reconstructs the same plane as the full decode") {
+    val frames = scene(11, 40, 24)
+    val enc = DeltaVideo.writeLossy(frames, 40, 24, 4, 60)
+    val full = DeltaVideo.read(enc)
+    for (target <- Seq(0, 2, 5, 10))
+      assert(java.util.Arrays.equals(
+        DeltaVideo.readGop(enc, target), full.frames(target)))
+  }
+
+  test("lossy payloads validate like the lossless ones (bad quality byte is fatal)") {
+    val frames = scene(2, 16, 16)
+    val enc = DeltaVideo.writeLossy(frames, 16, 16, 4, 50)
+    // non-block-aligned dims still work
+    val odd = scene(5, 23, 13)
+    val pOdd = DeltaVideo.read(DeltaVideo.writeLossy(odd, 23, 13, 3, 50))
+    assert(pOdd.frames.size == 5 &&
+      pOdd.frames.zip(odd).forall { case (g, w0) => DeltaVideo.psnr(g, w0) > 28.0 })
+    // flip the frame type of record 0 to an unknown letter: fatal
+    val bad = enc.clone(); bad(20) = 'X'.toByte
+    intercept[java.io.IOException](DeltaVideo.read(bad))
+  }
+}
+
+object DeltaVideoSpec {
+  def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 }
