@@ -19,7 +19,7 @@ import graft.{Op, Tables}
   */
 object GraphMetrics {
 
-  private def edges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def edges(spark: SparkSession, dir: String): DataFrame =
     Interactions.empiricEdges(spark, dir) // canonical src < dst, distinct
 
   /** Degree per node (undirected). */
@@ -110,9 +110,25 @@ object GraphMetrics {
     * partialing; round-12 re-canonicalizes r between rounds and the
     * output rounds to 9 dp as before.
     */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    // PageRank's adaptive gate differs from the pair-scan kernels: the
+    // kernel cost is Σd per iteration (iterate set bits), not n²·w, so
+    // density is irrelevant — ANY node-bounded graph wins by collapsing
+    // ~2 chained shuffle jobs PER ITERATION into one eager matrix
+    // collect. Past the node cap the relational iteration is the only
+    // shape that scales (rank/degree co-partitioned, ReusedExchange on
+    // the edge subtree) and the chooser routes there.
+    withDensityChoice(spark, dir, acceptDense = (_, _) => true)(
+      (e, pre) => pagerankKernel(spark, e, pre.ids.length, Some(pre), iters))(
+      e0 => pagerankRelational(spark, e0, iters))
+
+  /** Relational PageRank iteration — the 100 TB shape: each round is
+    * contributions = ranks ⋈ edges on src, re-aggregated on dst, all
+    * rounds reading ONE materialized edge exchange (ReusedExchange).
+    */
+  private[graft] def pagerankRelational(spark: SparkSession, e0: DataFrame,
+      iters: Int): DataFrame = {
     import graft.functions.GraftFunctions.sum_order_free
-    val e0 = edges(spark, dir)
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = deg.agg(count(lit(1)).as("n"))
@@ -127,6 +143,78 @@ object GraphMetrics {
         .select(col("dst").as("node"),
           round(lit(0.15) / col("n") + lit(0.85) * col("s"), 12).as("r"))
     r.select(col("node"), round(col("r"), 9).as("pagerank"))
+  }
+
+  /** Spark round(double, s) semantics for the kernel: Catalyst's Round
+    * on DoubleType goes through BigDecimal.valueOf (shortest-decimal
+    * representation), setScale(s, HALF_UP) — NOT new BigDecimal(d)
+    * (exact binary expansion), which rounds differently within an ulp
+    * of the boundary. Pinned against Spark's own round() by spec.
+    */
+  private[graft] def roundHalfUp(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Dense/bounded kernel: with n ≤ [[MaxBitsetNodes]] the adjacency
+    * matrix is driver-collectable (n²/8 ≤ 128 MB — [[buildBitsets]],
+    * shared with the pair-scan kernels) and 3 iterations over it are
+    * microseconds of exact scaled-long arithmetic, replacing
+    * ~2 shuffle jobs per relational iteration. Float-parity with
+    * [[pagerankRelational]] (and hence the DuckDB oracle) is EXACT,
+    * not approximate: each contribution is round(r/d, 15) as a scale-15
+    * long (sum_order_free's DECIMAL(28,15) term — r ≤ 1 so the
+    * unscaled value fits a long with 3 digits to spare), per-node sums
+    * are exact long adds (≤ 10^15 total mass), and the decimal→double
+    * cast plus the round-12/round-9 steps reproduce Catalyst's
+    * BigDecimal.valueOf path bit for bit (kernel-equality spec at two
+    * SFs + hand graphs; oracle hash at all three SFs).
+    */
+  private[graft] def pagerankKernel(spark: SparkSession, e: DataFrame,
+      n: Int, pre: Option[DenseBuild] = None, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
+    val nn = ids.length
+    val words = (nn + 63) >>> 6
+    val deg = bits.map { row =>
+      var c = 0L; var k = 0
+      while (k < row.length) { c += java.lang.Long.bitCount(row(k)); k += 1 }
+      c
+    }
+    val nD = nn.toDouble
+    var r = Array.fill(nn)(1.0 / nD)
+    for (_ <- 1 to iters) {
+      // round(r/d, 15) · 10^15 as an exact long (longValueExact guards
+      // the capacity argument rather than trusting it)
+      val contrib = Array.tabulate(nn) { u =>
+        java.math.BigDecimal.valueOf(r(u) / deg(u))
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+      val next = new Array[Double](nn)
+      var v = 0
+      while (v < nn) {
+        val row = bits(v)
+        var s = 0L
+        var k = 0
+        while (k < words) {
+          var w = row(k)
+          while (w != 0L) {
+            s += contrib((k << 6) + java.lang.Long.numberOfTrailingZeros(w))
+            w &= w - 1
+          }
+          k += 1
+        }
+        // CAST(DECIMAL(38,15) AS DOUBLE) — construct the decimal, don't
+        // divide doubles (s/1e15 can differ in the last ulp)
+        val sD = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(s), 15).doubleValue()
+        next(v) = roundHalfUp(0.15 / nD + 0.85 * sD, 12)
+        v += 1
+      }
+      r = next
+    }
+    ids.toSeq.zip(r.toSeq).map { case (id, rv) => (id, roundHalfUp(rv, 9)) }
+      .toDF("node", "pagerank")
   }
 
   private def prIterSql(prev: String, cur: String): String =
@@ -214,9 +302,11 @@ object GraphMetrics {
     * place of the weighted sum; the directed-edge relation
     * materializes once and later rounds read ReusedExchange.
     */
-  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    labelPropagationEdges(edges(spark, dir), iters)
+
+  private[graft] def labelPropagationEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e0 = edges(spark, dir)
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     var l = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -256,6 +346,89 @@ object GraphMetrics {
        |${lpaIterSql("l1", "l2")},
        |${lpaIterSql("l2", "l3")}
        |SELECT node, label AS community FROM l3""".stripMargin
+
+  /** Per-community Newman–Girvan modularity contribution over the
+    * [[labelPropagation]] communities: Q_c = l_c/m − (d_c/2m)² (l_c =
+    * within-community edges, d_c = community degree sum, m = |E|), so
+    * the global Q is the column sum — the standard partition-quality
+    * report beside a community assignment (reference's networkx
+    * reporting role, re-expressed relationally).
+    *
+    * Scale notes: both aggregations group on the community key (high
+    * cardinality, bounded skew — LPA on this graph converges to many
+    * small communities, not one giant one); the only broadcast is the
+    * 1-row m scalar (the W5 pattern). The LPA subtree appears under
+    * three consumers, but all three read the same final-iteration
+    * exchange (ReusedExchange — the [[pagerank]] relational
+    * discipline); nothing corpus-sized is broadcast or collected.
+    * Float-parity: nodes/edges/degree sums are exact longs; the one
+    * double expression is computed from those longs by identical IEEE
+    * ops in both engines and rounded once at 9 dp (the
+    * clustering-coefficient discipline).
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    graphModularityEdges(edges(spark, dir))
+
+  private[graft] def graphModularityEdges(e0: DataFrame): DataFrame = {
+    val lab = labelPropagationEdges(e0)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val m = e0.agg(count(lit(1)).as("m"))
+    val intra = e0
+      .join(lab.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val halfDeg = col("degree_sum").cast("double") / (lit(2) * col("m"))
+    deg.join(lab, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("nodes"), sum(col("degree")).as("degree_sum"))
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("nodes"), col("internal_edges"),
+        col("degree_sum"),
+        round(col("internal_edges").cast("double") / col("m")
+          - halfDeg * halfDeg, 9).as("contribution"))
+  }
+
+  private val graphModularitySql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${lpaIterSql("l0", "l1")},
+       |${lpaIterSql("l1", "l2")},
+       |${lpaIterSql("l2", "l3")},
+       |lab AS (SELECT node, label AS community FROM l3),
+       |deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY 1),
+       |m AS (SELECT count(*) AS m FROM edges0),
+       |intra AS (
+       |  SELECT la.community AS community, count(*) AS internal_edges
+       |  FROM edges0 e0
+       |  JOIN lab la ON e0.src = la.node
+       |  JOIN lab lb ON e0.dst = lb.node
+       |  WHERE la.community = lb.community
+       |  GROUP BY 1),
+       |comm AS (
+       |  SELECT la.community AS community, count(*) AS nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS degree_sum
+       |  FROM deg d JOIN lab la ON d.node = la.node
+       |  GROUP BY 1)
+       |SELECT c.community, c.nodes,
+       |  COALESCE(i.internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
+       |  c.degree_sum,
+       |  round(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / m.m
+       |    - (CAST(c.degree_sum AS DOUBLE) / (2 * m.m))
+       |      * (CAST(c.degree_sum AS DOUBLE) / (2 * m.m)), 9) AS contribution
+       |FROM comm c LEFT JOIN intra i ON c.community = i.community
+       |CROSS JOIN m""".stripMargin
 
   /** 3-core membership after 3 synchronous peeling rounds: drop nodes
     * with degree < 3, recompute degrees over surviving edges, repeat —
@@ -477,7 +650,8 @@ object GraphMetrics {
     * the UN-persisted subtree (its plan stays lazy). Graph-sized,
     * MEMORY_AND_DISK: spills rather than evicts under pressure.
     */
-  private def withDensityChoice(spark: SparkSession, dir: String)(
+  private def withDensityChoice(spark: SparkSession, dir: String,
+      acceptDense: (Int, Double) => Boolean = (n, avgD) => avgD * 64 >= n)(
       dense: (DataFrame, DenseBuild) => DataFrame)(
       sparse: DataFrame => DataFrame): DataFrame = {
     val e0 = edges(spark, dir)
@@ -511,7 +685,7 @@ object GraphMetrics {
       val n = nd.length
       val sumD = nd.map(_._2).sum // = 2|E|: the edge count is free here
       val avgD = if (n == 0) 0.0 else sumD.toDouble / n
-      if (n >= 2 && n <= MaxBitsetNodes && avgD * 64 >= n)
+      if (n >= 2 && n <= MaxBitsetNodes && acceptDense(n, avgD))
         dense(e, DenseBuild(nd.map(_._1).sorted, sumD / 2))
       else sparse(e0)
     } finally e.unpersist()
@@ -891,5 +1065,6 @@ object GraphMetrics {
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql), bench = true),
     Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql), bench = true),
     Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
+    Op("graph_modularity", graphModularity, Some(graphModularitySql)),
   )
 }

@@ -119,4 +119,42 @@ class GraphSimSpec extends AnyFunSuite {
     assert(back.schema("n_nationkey").dataType ==
       org.apache.spark.sql.types.IntegerType)
   }
+
+  test("graph_modularity: hand graph (two triangles + bridge) has the textbook Q") {
+    import spark.implicits._
+    // triangles {1,2,3} and {7,8,9} bridged by 3-7; synchronous LPA
+    // with the (count desc, label asc) tie-break converges in 3 rounds
+    // to communities {1,2,3}->1 and {7,8,9}->3 (hand-traced). m=7;
+    // each community: 3 internal edges, degree sum 7
+    //   Q_c = 3/7 - (7/14)^2, global Q = 2 Q_c ~ 0.357142857
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L), (7L, 9L),
+      (8L, 9L)).toDF("src", "dst")
+    val rows = operators.GraphMetrics.graphModularityEdges(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val qc = operators.GraphMetrics.roundHalfUp(
+      3.0 / 7 - (7.0 / 14) * (7.0 / 14), 9)
+    assert(rows == Set((1L, 3L, 3L, 7L, qc), (3L, 3L, 3L, 7L, qc)), rows.toString)
+  }
+
+  test("graph_modularity: fixture invariants — sum degree_sum = 2m, formula re-derives") {
+    val rows = operators.GraphMetrics.graphModularity(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val m2 = rows.map(_._4).sum // Σ degree_sum = 2m
+    assert(m2 % 2 == 0, s"degree sum must be even, got $m2")
+    val mEdges = m2 / 2
+    assert(rows.map(_._3).sum <= mEdges, "internal edges exceed |E|")
+    rows.foreach { case (c, nodes, le, ds, contrib) =>
+      assert(nodes > 0 && ds > 0, s"community $c degenerate")
+      val expect = operators.GraphMetrics.roundHalfUp(
+        le.toDouble / mEdges - (ds.toDouble / (2 * mEdges)) * (ds.toDouble / (2 * mEdges)), 9)
+      assert(java.lang.Double.compare(contrib, expect) == 0,
+        s"community $c contribution $contrib != re-derived $expect")
+    }
+    // global Q of a real community structure sits in the meaningful band
+    val q = rows.map(_._5).sum
+    assert(q > -0.5 && q < 1.0, s"global Q out of range: $q")
+  }
 }

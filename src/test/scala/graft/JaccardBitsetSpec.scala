@@ -111,6 +111,57 @@ class JaccardBitsetSpec extends AnyFunSuite {
       (9L, 3L, 2L)), ht.toString)
   }
 
+  test("pagerank: kernel and relational iteration agree BIT-EXACTLY at sf0.001 and sf0.01") {
+    // the r20 dense/bounded kernel's whole correctness claim is exact
+    // float parity with the relational plan (and hence the oracle):
+    // scaled-long contribution sums == sum_order_free's DECIMAL(28,15),
+    // BigDecimal.valueOf rounding == Catalyst Round on double
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = operators.Interactions.empiricEdges(spark, sf)
+      val n = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+        .distinct().count().toInt
+      def prSet(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val k = prSet(operators.GraphMetrics.pagerankKernel(spark, e, n))
+      val rel = prSet(operators.GraphMetrics.pagerankRelational(spark, e, 3))
+      assert(k.nonEmpty, s"$sf produced an empty graph")
+      assert(k == rel, s"$sf pagerank kernels diverge (BIT equality required): " +
+        s"only-kernel=${(k -- rel).take(3)} only-relational=${(rel -- k).take(3)}")
+    }
+  }
+
+  test("pagerank kernel: hand graph — hub outranks leaves, mass conserved, relational-equal") {
+    import spark.implicits._
+    val h = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("src", "dst")
+    val k = operators.GraphMetrics.pagerankKernel(spark, h, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rel = operators.GraphMetrics.pagerankRelational(spark, h, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(k == rel, s"hand graph diverges: $k vs $rel")
+    assert(math.abs(k.values.sum - 1.0) < 1e-6, s"mass drifted: ${k.values.sum}")
+    // degree order: d(2)=d(3)=d(9)=3 > d(1)=2 > d(4)=1
+    assert(k(2L) > k(1L) && k(9L) > k(4L) && k(1L) > k(4L), k.toString)
+  }
+
+  test("roundHalfUp reproduces Catalyst round(double, s) on boundary-adversarial inputs") {
+    import spark.implicits._
+    // doubles NEAR scale-12/15 rounding boundaries (the class that
+    // flipped adamic_adar at sf0.1) plus a seeded random sweep
+    val rnd = new scala.util.Random(42)
+    val xs = (Seq(0.0, 1.0, 1.0 / 3, 2.0 / 3, 0.0000000000005, 8.0197052485e-3,
+      0.1234567890125, 0.9999999999995) ++
+      (1 to 500).map(_ => rnd.nextDouble())).distinct
+    for (s <- Seq(9, 12, 15)) {
+      val spark_ = xs.toDF("x").select(round(col("x"), s)).collect().map(_.getDouble(0))
+      val kernel = xs.map(operators.GraphMetrics.roundHalfUp(_, s))
+      xs.indices.foreach { i =>
+        assert(java.lang.Double.compare(spark_(i), kernel(i)) == 0,
+          s"scale $s diverges at x=${xs(i)}: spark=${spark_(i)} kernel=${kernel(i)}")
+      }
+    }
+  }
+
   test("adaptive chooser routes the dense fixture to the bitset kernel (no wedge shuffle in plan)") {
     val df = operators.GraphMetrics.graphJaccardLinks(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

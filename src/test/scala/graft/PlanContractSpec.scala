@@ -110,8 +110,23 @@ class PlanContractSpec extends AnyFunSuite {
       "both sides of the band self-join must share one exchange")
   }
 
-  test("pagerank iterations reuse the directed-edge exchange") {
+  test("pagerank (node-bounded regime): returned plan is join- and exchange-free") {
+    // the r20 adaptive kernel: at fixture SF the chooser collects the
+    // adjacency and iterates driver-side; the returned plan must be a
+    // local relation — all heavy lifting happened in the bounded
+    // construction passes, none of it re-runs per consumer
     val p = finalPlan("pagerank")
+    assert(count(p, "Exchange") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("pagerank (relational regime): iterations reuse the directed-edge exchange") {
+    // the 100 TB shape the chooser routes to past the node cap
+    val df = graft.operators.GraphMetrics.pagerankRelational(
+      spark, graft.operators.GraphMetrics.edges(spark, sf), 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"), p.take(2000))
   }
 
