@@ -254,8 +254,17 @@ object GraphMetrics {
     * subtree is identical each round, so all three rounds read one
     * materialized exchange (same mechanism as [[pagerank]]).
     */
-  def graphBfsDepth(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val e0 = edges(spark, dir)
+  def graphBfsDepth(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    // like pagerank: the kernel cost is a frontier sweep (not a pair
+    // scan), so density is irrelevant — any node-bounded graph wins
+    withDensityChoice(spark, dir, acceptDense = (_, _) => true)(
+      (e, pre) => bfsKernel(spark, e, pre.ids.length, Some(pre), rounds))(
+      e0 => bfsRelational(e0, rounds))
+
+  /** Relational frontier expansion — the 100 TB shape (see scaladoc
+    * above; each round joins ONLY the previous round's frontier).
+    */
+  private[graft] def bfsRelational(e0: DataFrame, rounds: Int = 3): DataFrame = {
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     var dist = e.select(col("src").as("node")).distinct()
       .where(col("node") % 50 === 0)
@@ -267,6 +276,39 @@ object GraphMetrics {
             .select(col("dst").as("node"), lit(k.toLong).as("depth")))
         .groupBy(col("node")).agg(min(col("depth")).as("depth"))
     dist
+  }
+
+  /** Node-bounded kernel: breadth-first frontier sweep over the
+    * collected adjacency (pure integer arithmetic — exact by
+    * construction, no float discipline needed).
+    */
+  private[graft] def bfsKernel(spark: SparkSession, e: DataFrame,
+      n: Int, pre: Option[DenseBuild] = None, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
+    val nn = ids.length
+    val words = (nn + 63) >>> 6
+    val depth = Array.fill(nn)(-1L)
+    ids.indices.foreach(i => if (ids(i) % 50 == 0) depth(i) = 0L)
+    for (k <- 1 to rounds) {
+      val reach = new Array[Long](words)
+      var i = 0
+      while (i < nn) {
+        if (depth(i) == k - 1) {
+          val row = bits(i); var w = 0
+          while (w < words) { reach(w) |= row(w); w += 1 }
+        }
+        i += 1
+      }
+      var v = 0
+      while (v < nn) {
+        if (depth(v) < 0 && ((reach(v >>> 6) >>> (v & 63)) & 1L) == 1L)
+          depth(v) = k
+        v += 1
+      }
+    }
+    ids.indices.collect { case i if depth(i) >= 0 => (ids(i), depth(i)) }
+      .toDF("node", "depth")
   }
 
   private val graphBfsDepthSql =
@@ -303,7 +345,54 @@ object GraphMetrics {
     * materializes once and later rounds read ReusedExchange.
     */
   def labelPropagation(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
-    labelPropagationEdges(edges(spark, dir), iters)
+    // synchronous LPA is pure integer argmax — kernel replication is
+    // exact by construction; node-bounded graphs skip 2 shuffles + a
+    // window per iteration
+    withDensityChoice(spark, dir, acceptDense = (_, _) => true)(
+      (e, pre) => lpaKernel(spark, e, pre.ids.length, Some(pre), iters))(
+      e0 => labelPropagationEdges(e0, iters))
+
+  /** Node-bounded kernel: per-node neighbor-label histogram with the
+    * (count desc, label asc) tie-break — the exact argmax the
+    * relational window computes.
+    */
+  private[graft] def lpaKernel(spark: SparkSession, e: DataFrame,
+      n: Int, pre: Option[DenseBuild] = None, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
+    val nn = ids.length
+    val words = (nn + 63) >>> 6
+    var label: Array[Long] = ids.clone()
+    for (_ <- 1 to iters) {
+      val next = new Array[Long](nn)
+      var v = 0
+      while (v < nn) {
+        val counts = new java.util.HashMap[java.lang.Long, Integer]()
+        val row = bits(v); var k = 0
+        while (k < words) {
+          var w = row(k)
+          while (w != 0L) {
+            val u = (k << 6) + java.lang.Long.numberOfTrailingZeros(w)
+            counts.merge(label(u), Integer.valueOf(1),
+              (a, b) => Integer.valueOf(a.intValue + b.intValue))
+            w &= w - 1
+          }
+          k += 1
+        }
+        var bestL = Long.MaxValue; var bestC = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          val c = en.getValue.intValue; val l = en.getKey.longValue
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next(v) = bestL
+        v += 1
+      }
+      label = next
+    }
+    ids.toSeq.zip(label.toSeq).toDF("node", "community")
+  }
 
   private[graft] def labelPropagationEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -367,10 +456,17 @@ object GraphMetrics {
     * clustering-coefficient discipline).
     */
   def graphModularity(spark: SparkSession, dir: String): DataFrame =
-    graphModularityEdges(edges(spark, dir))
+    // the community assignment rides the adaptive LPA (a bounded local
+    // relation on the dense path — Catalyst broadcasts it into the
+    // aggregation joins); the modularity aggregation itself stays
+    // relational: it is corpus-shaped (grouped on the community key)
+    // and must scale past the node cap unchanged
+    modularityFromLabels(edges(spark, dir), labelPropagation(spark, dir))
 
-  private[graft] def graphModularityEdges(e0: DataFrame): DataFrame = {
-    val lab = labelPropagationEdges(e0)
+  private[graft] def graphModularityEdges(e0: DataFrame): DataFrame =
+    modularityFromLabels(e0, labelPropagationEdges(e0))
+
+  private def modularityFromLabels(e0: DataFrame, lab: DataFrame): DataFrame = {
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     val m = e0.agg(count(lit(1)).as("m"))
@@ -442,8 +538,53 @@ object GraphMetrics {
     * is this plan.
     */
   def kcoreMembership(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame =
+    // synchronous peeling is integer-exact; the kernel is n·(n/64)
+    // popcount words per round — any node-bounded graph wins
+    withDensityChoice(spark, dir, acceptDense = (_, _) => true)(
+      (e, pre) => kcoreKernel(spark, e, pre.ids.length, Some(pre), k, rounds))(
+      e0 => kcoreRelational(e0, k, rounds))
+
+  /** Node-bounded kernel: alive-set peeling over the collected
+    * adjacency — deg(v) = |N(v) ∩ alive|, filtered against k, with the
+    * previous round's alive set used for BOTH endpoint tests (the
+    * synchronous semantics of the relational double semi-join).
+    */
+  private[graft] def kcoreKernel(spark: SparkSession, e: DataFrame,
+      n: Int, pre: Option[DenseBuild] = None, k: Int = 3,
       rounds: Int = 3): DataFrame = {
-    val e0 = edges(spark, dir)
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
+    val nn = ids.length
+    val words = (nn + 63) >>> 6
+    var alive = new Array[Long](words)
+    var i = 0
+    while (i < nn) { alive(i >>> 6) |= 1L << (i & 63); i += 1 }
+    var deg = new Array[Long](nn)
+    for (_ <- 1 to rounds) {
+      val nextAlive = new Array[Long](words)
+      val nd = new Array[Long](nn)
+      var v = 0
+      while (v < nn) {
+        if (((alive(v >>> 6) >>> (v & 63)) & 1L) == 1L) {
+          val row = bits(v); var c = 0L; var w = 0
+          while (w < words) {
+            c += java.lang.Long.bitCount(row(w) & alive(w)); w += 1
+          }
+          if (c >= k) { nd(v) = c; nextAlive(v >>> 6) |= 1L << (v & 63) }
+        }
+        v += 1
+      }
+      alive = nextAlive; deg = nd
+    }
+    ids.indices
+      .collect { case i if ((alive(i >>> 6) >>> (i & 63)) & 1L) == 1L =>
+        (ids(i), deg(i)) }
+      .toDF("node", "degree")
+  }
+
+  private[graft] def kcoreRelational(e0: DataFrame, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     var alive = e.select(col("src").as("node")).distinct()
     var deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
@@ -566,12 +707,35 @@ object GraphMetrics {
     * whose UNION-dedup keeps the frontier node×cost-bounded — never
     * path-enumerating.
     */
-  def ssspBounded(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val w = Interactions.interactionPairsCanon(spark, dir)
+  private[graft] def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    Interactions.interactionPairsCanon(spark, dir)
       .groupBy(col("a_caid"), col("b_caid")).agg(count(lit(1)).as("cnt"))
-    val e0 = w.select(col("a_caid").as("src"), col("b_caid").as("dst"),
-      when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L)
-        .otherwise(3L).as("cost"))
+      .select(col("a_caid").as("src"), col("b_caid").as("dst"),
+        when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L)
+          .otherwise(3L).as("cost"))
+
+  def ssspBounded(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e0 = weightedEdges(spark, dir)
+    // Weighted edges can't ride the shared bitset chooser; same
+    // discipline, separate gate: the device upper bound first (one
+    // pruned scan, no join), then the exact |E| on the persisted
+    // relation — collect only when BOTH are bounded (edge list
+    // ≤ MaxDriverEdges × 24 B ≤ 192 MB). The relational fallback gets
+    // the UN-persisted subtree.
+    val deviceUb = Tables.events(spark, dir)
+      .agg(approx_count_distinct(col("user_id"))).collect()(0).getLong(0)
+    if (deviceUb > MaxBitsetNodes * 1.25) return ssspRelational(e0, rounds)
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      if (e.count() <= MaxDriverEdges)
+        ssspKernel(spark, e.as[(Long, Long, Long)].collect(), rounds)
+      else ssspRelational(e0, rounds)
+    } finally e.unpersist()
+  }
+
+  /** Relational synchronous relaxation — the 100 TB shape. */
+  private[graft] def ssspRelational(e0: DataFrame, rounds: Int = 3): DataFrame = {
     val e = e0.unionByName(e0.select(col("dst").as("src"),
       col("src").as("dst"), col("cost")))
     var dist = e.select(col("src").as("node")).distinct()
@@ -583,6 +747,30 @@ object GraphMetrics {
             .select(col("dst").as("node"), (col("d") + col("cost")).as("d")))
         .groupBy(col("node")).agg(min(col("d")).as("d"))
     dist.select(col("node"), col("d").as("dist"))
+  }
+
+  /** Bounded kernel: synchronous Bellman-Ford rounds over the
+    * collected canonical weighted edge list (integer-exact).
+    */
+  private[graft] def ssspKernel(spark: SparkSession,
+      edgesArr: Array[(Long, Long, Long)], rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ids = (edgesArr.map(_._1) ++ edgesArr.map(_._2)).distinct.sorted
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+    val nn = ids.length
+    val Inf = Long.MaxValue / 4
+    var dist = Array.tabulate(nn)(i => if (ids(i) % 50 == 0) 0L else Inf)
+    val es = edgesArr.flatMap { case (a, b, c) =>
+      Iterator((idx(a), idx(b), c), (idx(b), idx(a), c)) }
+    for (_ <- 1 to rounds) {
+      val next = dist.clone()
+      es.foreach { case (u, v, c) =>
+        if (dist(u) < Inf && dist(u) + c < next(v)) next(v) = dist(u) + c
+      }
+      dist = next
+    }
+    ids.indices.collect { case i if dist(i) < Inf => (ids(i), dist(i)) }
+      .toDF("node", "dist")
   }
 
   private val ssspBoundedSql =

@@ -162,6 +162,73 @@ class JaccardBitsetSpec extends AnyFunSuite {
     }
   }
 
+  test("BFS / k-core / LPA kernels == relational loops EXACTLY at sf0.001 and sf0.01") {
+    // all three are integer-exact, so set equality is the full claim
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = operators.Interactions.empiricEdges(spark, sf)
+      val n = e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+        .distinct().count().toInt
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bk = pairs(operators.GraphMetrics.bfsKernel(spark, e, n))
+      val br = pairs(operators.GraphMetrics.bfsRelational(e))
+      assert(bk.nonEmpty && bk == br, s"$sf bfs: only-kernel=${(bk -- br).take(3)} " +
+        s"only-relational=${(br -- bk).take(3)}")
+      val kk = pairs(operators.GraphMetrics.kcoreKernel(spark, e, n))
+      val kr = pairs(operators.GraphMetrics.kcoreRelational(e))
+      assert(kk == kr, s"$sf kcore: only-kernel=${(kk -- kr).take(3)} " +
+        s"only-relational=${(kr -- kk).take(3)}")
+      val lk = pairs(operators.GraphMetrics.lpaKernel(spark, e, n))
+      val lr = pairs(operators.GraphMetrics.labelPropagationEdges(e))
+      assert(lk.nonEmpty && lk == lr, s"$sf lpa: only-kernel=${(lk -- lr).take(3)} " +
+        s"only-relational=${(lr -- lk).take(3)}")
+    }
+  }
+
+  test("sssp: kernel == relational EXACTLY at sf0.001 and sf0.01; hand graph distances") {
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e0 = operators.GraphMetrics.weightedEdges(spark, sf)
+      val arr = e0.as[(Long, Long, Long)].collect()
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sk = pairs(operators.GraphMetrics.ssspKernel(spark, arr))
+      val sr = pairs(operators.GraphMetrics.ssspRelational(e0))
+      assert(sk.nonEmpty && sk == sr, s"$sf sssp: only-kernel=${(sk -- sr).take(3)} " +
+        s"only-relational=${(sr -- sk).take(3)}")
+    }
+    // seed 50 (only node ≡ 0 mod 50); path 50 -(1)- 1 -(3)- 2 -(2)- 3
+    // with shortcut 50 -(3)- 2: d(50)=0, d(1)=1,
+    // d(2)=min(direct 3, via 1: 1+3=4)=3, d(3)=3+2=5
+    val h = Seq((50L, 1L, 1L), (1L, 2L, 3L), (2L, 3L, 2L), (50L, 2L, 3L))
+    val hk = operators.GraphMetrics.ssspKernel(spark, h.toArray)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hk == Map(50L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 5L), hk.toString)
+  }
+
+  test("bfs / kcore hand graphs: depths and peeling match hand trace in both kernels") {
+    import spark.implicits._
+    // path 50-1-2-3 plus leaf 4 off node 1: seed only 50
+    val p = Seq((50L, 1L), (1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val bk = operators.GraphMetrics.bfsKernel(spark, p, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val br = operators.GraphMetrics.bfsRelational(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bk == br && bk == Map(50L -> 0L, 1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L),
+      s"bfs: $bk vs $br")
+    // k=2 core of two triangles + a bridge + a pendant: pendant (10)
+    // peels round 1; everything else survives with within-core deg 2
+    val t = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L), (7L, 9L),
+      (8L, 9L), (9L, 10L)).toDF("src", "dst")
+    val kk = operators.GraphMetrics.kcoreKernel(spark, t, 7, None, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kr = operators.GraphMetrics.kcoreRelational(t, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kk == kr, s"kcore: $kk vs $kr")
+    assert(!kk.contains(10L) && kk(1L) == 2L && kk(3L) == 3L && kk(9L) == 2L
+      && kk(7L) == 3L, kk.toString)
+  }
+
   test("adaptive chooser routes the dense fixture to the bitset kernel (no wedge shuffle in plan)") {
     val df = operators.GraphMetrics.graphJaccardLinks(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
