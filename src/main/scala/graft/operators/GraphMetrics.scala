@@ -354,7 +354,10 @@ object GraphMetrics {
 
   /** Node-bounded kernel: per-node neighbor-label histogram with the
     * (count desc, label asc) tie-break — the exact argmax the
-    * relational window computes.
+    * relational window computes. Labels live as INDICES into the
+    * sorted id array, so "label asc" == "index asc" (order-preserving
+    * map) and the histogram is a flat int array + touched list —
+    * O(Σd) with zero boxing per round.
     */
   private[graft] def lpaKernel(spark: SparkSession, e: DataFrame,
       n: Int, pre: Option[DenseBuild] = None, iters: Int = 3): DataFrame = {
@@ -362,36 +365,39 @@ object GraphMetrics {
     val (ids, bits) = buildBitsets(spark, e, n, pre)
     val nn = ids.length
     val words = (nn + 63) >>> 6
-    var label: Array[Long] = ids.clone()
+    var label: Array[Int] = Array.tabulate(nn)(identity)
+    val counts = new Array[Int](nn)
+    val touched = new Array[Int](nn)
     for (_ <- 1 to iters) {
-      val next = new Array[Long](nn)
+      val next = new Array[Int](nn)
       var v = 0
       while (v < nn) {
-        val counts = new java.util.HashMap[java.lang.Long, Integer]()
+        var nTouched = 0
         val row = bits(v); var k = 0
         while (k < words) {
           var w = row(k)
           while (w != 0L) {
-            val u = (k << 6) + java.lang.Long.numberOfTrailingZeros(w)
-            counts.merge(label(u), Integer.valueOf(1),
-              (a, b) => Integer.valueOf(a.intValue + b.intValue))
+            val l = label((k << 6) + java.lang.Long.numberOfTrailingZeros(w))
+            if (counts(l) == 0) { touched(nTouched) = l; nTouched += 1 }
+            counts(l) += 1
             w &= w - 1
           }
           k += 1
         }
-        var bestL = Long.MaxValue; var bestC = 0
-        val it = counts.entrySet().iterator()
-        while (it.hasNext) {
-          val en = it.next()
-          val c = en.getValue.intValue; val l = en.getKey.longValue
+        var bestL = Int.MaxValue; var bestC = 0
+        var t = 0
+        while (t < nTouched) {
+          val l = touched(t); val c = counts(l)
           if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          counts(l) = 0
+          t += 1
         }
         next(v) = bestL
         v += 1
       }
       label = next
     }
-    ids.toSeq.zip(label.toSeq).toDF("node", "community")
+    ids.indices.map(i => (ids(i), ids(label(i)))).toDF("node", "community")
   }
 
   private[graft] def labelPropagationEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
