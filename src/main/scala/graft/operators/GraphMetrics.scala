@@ -442,6 +442,75 @@ object GraphMetrics {
        |${lpaIterSql("l2", "l3")}
        |SELECT node, label AS community FROM l3""".stripMargin
 
+  /** Newman degree assortativity of the empiric network: the Pearson
+    * correlation of endpoint degrees over the DIRECTED edge multiset —
+    * do high-contact devices co-locate with each other (r > 0) or with
+    * low-contact ones (r < 0)? The standard networkx structure report
+    * beside degrees/triangles/communities, re-expressed as ONE
+    * aggregation over the degree-joined edge relation.
+    *
+    * Scale notes: two shuffles total (the degree aggregate, reused for
+    * both endpoint joins, then a scalar aggregation with map-side
+    * partials); nothing broadcast but the 1-row result. Float-parity:
+    * all four moments are EXACT integers (decimal-38 accumulation; the
+    * directed doubling makes x/y moments symmetric so only the x side
+    * is emitted), and the one double expression is computed from those
+    * integers by identical IEEE ops in both engines and rounded once
+    * at 9 dp — the modularity discipline.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graphAssortativityEdges(edges(spark, dir))
+
+  private[graft] def graphAssortativityEdges(e0: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val p = e
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+    val mean = col("sx").cast("double") / col("m2")
+    p.agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sx2"))
+      .select(col("m2"),
+        col("sx").cast("long").as("sum_dx"),
+        col("sxy").cast("long").as("sum_dxdy"),
+        col("sx2").cast("long").as("sum_dx2"),
+        round((col("sxy").cast("double") / col("m2") - mean * mean)
+          / (col("sx2").cast("double") / col("m2") - mean * mean), 9)
+          .as("assortativity"))
+  }
+
+  private val graphAssortativitySql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |ep AS (
+       |  SELECT dx.d AS dx, dy.d AS dy
+       |  FROM e JOIN deg dx ON e.src = dx.src
+       |  JOIN deg dy ON e.dst = dy.src),
+       |agg AS (
+       |  SELECT count(*) AS m2,
+       |    CAST(sum(dx) AS BIGINT) AS sx,
+       |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       |    CAST(sum(dx * dx) AS BIGINT) AS sx2
+       |  FROM ep)
+       |SELECT m2, sx AS sum_dx, sxy AS sum_dxdy, sx2 AS sum_dx2,
+       |  round((CAST(sxy AS DOUBLE) / m2
+       |      - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+       |    / (CAST(sx2 AS DOUBLE) / m2
+       |      - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)), 9)
+       |    AS assortativity
+       |FROM agg""".stripMargin
+
   /** Per-community Newman–Girvan modularity contribution over the
     * [[labelPropagation]] communities: Q_c = l_c/m − (d_c/2m)² (l_c =
     * within-community edges, d_c = community degree sum, m = |E|), so
@@ -1260,5 +1329,6 @@ object GraphMetrics {
     Op("pagerank", (s, d) => pagerank(s, d), Some(pagerankSql), bench = true),
     Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
     Op("graph_modularity", graphModularity, Some(graphModularitySql)),
+    Op("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
   )
 }

@@ -157,4 +157,28 @@ class GraphSimSpec extends AnyFunSuite {
     val q = rows.map(_._5).sum
     assert(q > -0.5 && q < 1.0, s"global Q out of range: $q")
   }
+
+  test("graph_assortativity: P4 path has the textbook r = -0.5; moments exact") {
+    import spark.implicits._
+    // P4 degrees (1,2,2,1); directed edge degree pairs:
+    // (1,2)(2,1)(2,2)(2,2)(2,1)(1,2) -> m2=6, Σdx=10, Σdxdy=16, Σdx²=18
+    // r = (16/6 - (10/6)²) / (18/6 - (10/6)²) = -0.5 (classic result)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = operators.GraphMetrics.graphAssortativityEdges(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 10L, 16L, 18L)), r.toString)
+    assert(java.lang.Double.compare(r.getDouble(4), -0.5) == 0, r.toString)
+  }
+
+  test("graph_assortativity: fixture value in [-1, 1], moments re-derive the coefficient") {
+    val r = operators.GraphMetrics
+      .graphAssortativity(spark, "/root/testdata/sf0.001").collect()(0)
+    val (m2, sx, sxy, sx2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val mean = sx.toDouble / m2
+    val expect = operators.GraphMetrics.roundHalfUp(
+      (sxy.toDouble / m2 - mean * mean) / (sx2.toDouble / m2 - mean * mean), 9)
+    assert(java.lang.Double.compare(r.getDouble(4), expect) == 0, r.toString)
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0, r.toString)
+  }
 }
