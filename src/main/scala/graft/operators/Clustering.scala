@@ -21,22 +21,62 @@ import graft.Op
   */
 object Clustering {
 
+  /** Past this many distinct edges the bounded driver kernel is skipped
+    * and the star contraction runs. 4M edges ≈ two 16 MB int arrays +
+    * an id remap (≲150 MB transient during the Row collect) — the same
+    * bounded-collect budget class as GraphMetrics' 128 MB bitset cap,
+    * and like that cap it must not be raised without re-auditing the
+    * driver heap story. The count that gates it is EXACT (a count over
+    * the already-checkpointed distinct edges — one cheap job), so no
+    * approx margin is needed.
+    */
+  private[graft] val MaxLocalEdges = 4000000L
+
   /** Connected components over an undirected edge list (src, dst):
     * returns (node, component) with component = min node id reachable.
     * Only nodes appearing in edges are labeled.
+    *
+    * Adaptive (the GraphMetrics kernel discipline): the edge relation
+    * every caller feeds this is MATCH-bounded — LSH candidate pairs,
+    * fuzzy-linkage matches — i.e. ≪ the corpus that produced it. When
+    * the exact distinct-edge count is ≤ [[MaxLocalEdges]] the O(log²)
+    * star rounds (≈5-7 chained jobs, each paying the 0.1-0.3 s/job
+    * scheduling floor) collapse to ONE bounded collect + a driver
+    * union-find, integer-exact by construction (labels are min
+    * reachable ids — set semantics, no float discipline needed; the
+    * kernel-equality spec in ClusteringSpec is the whole correctness
+    * claim). Past the cap the star contraction runs unchanged, so
+    * nothing edge-count-unbounded ever reaches the driver. NOTE the
+    * kernel works eagerly at construction (count + collect happen at
+    * plan-build time) — bench with GRAFT_REBUILD=1 like the other
+    * adaptive kernels.
+    *
+    * `maxLocalEdges` is a spec knob (0 forces the distributed path);
+    * production callers use the default.
     */
-  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 20,
+      maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
     // localCheckpoint (eager) after every round: an iterative plan that
     // references its previous round several times (union + join + the
     // convergence signature) grows the LOGICAL tree exponentially —
     // caching truncates execution but not analysis, and by ~round 8
     // DeduplicateRelations alone takes minutes (measured). Physical
     // truncation keeps every round's plan O(round size).
-    var edges = edges0
+    val dedup = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+    // The chooser and the kernel's input are ONE job: distinct →
+    // limit(cap+1) → collect. The limit bounds the driver footprint
+    // (never more than cap+1 rows land, however big the graph), the
+    // overflow row IS the chooser verdict, and no separate count or
+    // checkpoint job runs on the common bounded path. The fallback
+    // re-derives the distinct once for its own checkpoint — the rare
+    // >cap case pays one extra pass, not the common case three jobs.
+    val capRows = math.min(maxLocalEdges, (Int.MaxValue - 1).toLong).toInt
+    val sample = dedup.limit(capRows + 1).collect()
+    if (sample.length <= maxLocalEdges) return localUnionFind(edges0.sparkSession, sample)
+    var edges = dedup.localCheckpoint(true)
     var prevSig: (Long, Long) = (-1L, -1L)
     var round = 0
     var converged = false
@@ -81,6 +121,57 @@ object Clustering {
     edges.select(col("src").as("node"), col("dst").as("component"))
       .unionByName(edges.select(col("dst").as("node"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Bounded driver kernel: union-find (path-halving find, min-index
+    * root wins the union) over the collected edge list, then one pass
+    * assigning each node the MINIMUM member id of its set — exactly the
+    * star contraction's label convention, independent of union order.
+    * Caller guarantees rows.length ≤ [[MaxLocalEdges]] and that rows
+    * are already src≠dst-filtered, long-cast and distinct.
+    */
+  private def localUnionFind(spark: SparkSession, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    // dense re-index: node id -> [0, n)
+    val idx = new java.util.HashMap[java.lang.Long, Integer](rows.length * 4)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length * 2)
+    def ix(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue
+      else { val i = ids.length; ids += v; idx.put(v, Integer.valueOf(i)); i }
+    }
+    val ea = new Array[Int](rows.length)
+    val eb = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ea(i) = ix(rows(i).getLong(0)); eb(i) = ix(rows(i).getLong(1)); i += 1
+    }
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    i = 0
+    while (i < rows.length) {
+      val ra = find(ea(i)); val rb = find(eb(i))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    // label = min node id in the set (NOT min index — insertion order
+    // is edge order, which carries no meaning)
+    val rootMin = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val r = find(j)
+      if (ids(j) < rootMin(r)) rootMin(r) = ids(j)
+      j += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    j = 0
+    while (j < n) { out(j) = (ids(j), rootMin(find(j))); j += 1 }
+    spark.createDataset(out.toIndexedSeq).toDF("node", "component")
   }
 
   /** Reference implementation: per-round min-label propagation

@@ -101,13 +101,15 @@ class R3Spec extends AnyFunSuite {
   test("star CC: unconverged maxRounds throws instead of returning split labels") {
     import spark.implicits._
     import graft.operators.Clustering
-    // a 40-node chain cannot reach fixpoint-signature agreement in 1 round
+    // a 40-node chain cannot reach fixpoint-signature agreement in 1
+    // round; maxLocalEdges = 0 forces the distributed star path (the
+    // adaptive driver kernel has no round budget to guard)
     val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {
-      Clustering.connectedComponentsStar(edges, maxRounds = 1)
+      Clustering.connectedComponentsStar(edges, maxRounds = 1, maxLocalEdges = 0L)
     }
     // and with the default budget it converges and is correct
-    val labels = Clustering.connectedComponentsStar(edges)
+    val labels = Clustering.connectedComponentsStar(edges, maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == (0L to 39L).map(_ -> 0L).toMap)
   }
