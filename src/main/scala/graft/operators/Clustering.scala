@@ -26,9 +26,9 @@ object Clustering {
     * an id remap (≲150 MB transient during the Row collect) — the same
     * bounded-collect budget class as GraphMetrics' 128 MB bitset cap,
     * and like that cap it must not be raised without re-auditing the
-    * driver heap story. The count that gates it is EXACT (a count over
-    * the already-checkpointed distinct edges — one cheap job), so no
-    * approx margin is needed.
+    * driver heap story. The gate is EXACT (the limit(cap+1) collect
+    * either fits or overflows by one row), so no approx margin is
+    * needed.
     */
   private[graft] val MaxLocalEdges = 4000000L
 

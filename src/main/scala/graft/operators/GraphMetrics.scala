@@ -442,6 +442,112 @@ object GraphMetrics {
        |${lpaIterSql("l2", "l3")}
        |SELECT node, label AS community FROM l3""".stripMargin
 
+  /** Connected components of the empiric network by SYNCHRONOUS
+    * min-label propagation, fixed 4 rounds: every node adopts the
+    * minimum of its own and its neighbors' labels each round, starting
+    * from label = node id. The contract is the 4-round recurrence
+    * itself (exact components wherever the component radius from its
+    * min-id node is ≤ 4 — co-location cores collapse in 1-2 rounds;
+    * the bounded-rounds discipline is the same as [[graphBfsDepth]]/
+    * [[labelPropagation]]/[[pagerank]], giving both engines an
+    * identical integer recurrence instead of an open-ended loop —
+    * unbounded CC for actionable dedup lives in
+    * [[Clustering.connectedComponentsStar]]). Output: node, its
+    * component label (min id reached within the horizon), and the
+    * component size — the structure report beside degrees/triangles/
+    * communities.
+    *
+    * Scale shape (relational path): each round is one (edge ⋈ labels)
+    * shuffle + a min aggregation — monotone, so a converged round is a
+    * no-op and early rounds dominate; the sizes join is node-bounded.
+    * Node-bounded graphs run the whole recurrence as a driver kernel
+    * over the bitset adjacency (integer-exact; min over sorted-id
+    * INDICES == min over ids).
+    */
+  def graphComponents(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    withDensityChoice(spark, dir, acceptDense = (_, _) => true)(
+      (e, pre) => componentsKernel(spark, e, pre.ids.length, Some(pre), rounds))(
+      e0 => componentsRelational(e0, rounds))
+
+  private[graft] def componentsRelational(e0: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var l = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds)
+      l = l.unionByName(
+          e.join(l, col("src") === col("node"))
+            .select(col("dst").as("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    // sizes: node-bounded but corpus-derived — plain join, never a
+    // baked broadcast (AQE may still pick one at fixture scale)
+    val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    l.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("component"), col("csize"))
+  }
+
+  /** Node-bounded kernel: the same synchronous recurrence over the
+    * collected adjacency bitsets. Labels are indices into the
+    * ascending-sorted id array, so index-min == id-min.
+    */
+  private[graft] def componentsKernel(spark: SparkSession, e: DataFrame,
+      n: Int, pre: Option[DenseBuild] = None, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (ids, bits) = buildBitsets(spark, e, n, pre)
+    val nn = ids.length
+    var label = Array.tabulate(nn)(identity)
+    for (_ <- 1 to rounds) {
+      val next = new Array[Int](nn)
+      var v = 0
+      while (v < nn) {
+        var best = label(v)
+        val row = bits(v)
+        var w = 0
+        while (w < row.length) {
+          var m = row(w)
+          while (m != 0L) {
+            val u = (w << 6) + java.lang.Long.numberOfTrailingZeros(m)
+            if (label(u) < best) best = label(u)
+            m &= m - 1
+          }
+          w += 1
+        }
+        next(v) = best
+        v += 1
+      }
+      label = next
+    }
+    val sizes = new Array[Long](nn)
+    label.foreach(c => sizes(c) += 1)
+    ids.indices.map(i => (ids(i), ids(label(i)), sizes(label(i))))
+      .toDF("node", "component", "csize")
+  }
+
+  private def ccIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT node, min(label) AS label FROM (
+       |    SELECT node, label FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.label FROM e JOIN $prev p ON e.src = p.node) u
+       |  GROUP BY node)""".stripMargin
+
+  private val graphComponentsSql =
+    s"""WITH p AS ($presenceSql),
+       |pairs AS ($pairsSql),
+       |edges0 AS (
+       |  SELECT DISTINCT least(a_caid, b_caid) AS src,
+       |    greatest(a_caid, b_caid) AS dst
+       |  FROM pairs),
+       |e AS (SELECT src, dst FROM edges0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${ccIterSql("l0", "l1")},
+       |${ccIterSql("l1", "l2")},
+       |${ccIterSql("l2", "l3")},
+       |${ccIterSql("l3", "l4")},
+       |s AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label)
+       |SELECT l4.node, l4.label AS component, CAST(s.csize AS BIGINT) AS csize
+       |FROM l4 JOIN s USING (label)""".stripMargin
+
   /** Newman degree assortativity of the empiric network: the Pearson
     * correlation of endpoint degrees over the DIRECTED edge multiset —
     * do high-contact devices co-locate with each other (r > 0) or with
@@ -1330,5 +1436,6 @@ object GraphMetrics {
     Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
     Op("graph_modularity", graphModularity, Some(graphModularitySql)),
     Op("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
+    Op("graph_components", (s, d) => graphComponents(s, d), Some(graphComponentsSql)),
   )
 }

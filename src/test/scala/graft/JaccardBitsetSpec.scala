@@ -182,6 +182,30 @@ class JaccardBitsetSpec extends AnyFunSuite {
       val lr = pairs(operators.GraphMetrics.labelPropagationEdges(e))
       assert(lk.nonEmpty && lk == lr, s"$sf lpa: only-kernel=${(lk -- lr).take(3)} " +
         s"only-relational=${(lr -- lk).take(3)}")
+      def triples(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ck = triples(operators.GraphMetrics.componentsKernel(spark, e, n))
+      val cr = triples(operators.GraphMetrics.componentsRelational(e))
+      assert(ck.nonEmpty && ck == cr, s"$sf components: only-kernel=${(ck -- cr).take(3)} " +
+        s"only-relational=${(cr -- ck).take(3)}")
+    }
+  }
+
+  test("components hand graph: 4-round min-label horizon semantics in both paths") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (radius 5 from node 1: node 6 NOT reached by
+    // round 4 — its 4-round label is 2, the recurrence's contract, not
+    // the true component) plus isolated pair 10-11
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("src", "dst")
+    val expect = Map(
+      1L -> (1L, 5L), 2L -> (1L, 5L), 3L -> (1L, 5L), 4L -> (1L, 5L),
+      5L -> (1L, 5L), 6L -> (2L, 1L), 10L -> (10L, 2L), 11L -> (10L, 2L))
+    for (df <- Seq(operators.GraphMetrics.componentsKernel(spark, g, 8),
+                   operators.GraphMetrics.componentsRelational(g))) {
+      val got = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expect, s"got $got")
     }
   }
 
