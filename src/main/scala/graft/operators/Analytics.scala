@@ -236,6 +236,80 @@ object Analytics {
        |FROM rates CROSS JOIN ctl
        |WHERE event_type <> 'view'""".stripMargin
 
+  /** Welch's unequal-variance t-test on the continuous metric —
+    * [[abTest]]'s companion for means instead of conversion rates
+    * (the proportions z-test cannot see a shift that leaves the >50
+    * threshold crossing rate unchanged). Per non-control variant vs
+    * the 'view' control: n, means, the t statistic and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Float-parity discipline: the metric is quantized ONCE at 9 dp
+    * (|value|·10⁹ ≪ 2⁵³, so both engines' round() is exact) and every
+    * moment is accumulated in DECIMAL — v as DECIMAL(19,9), v² as the
+    * exact DECIMAL(38,18) product — so sums are order-free exact and
+    * the t/df doubles are computed from identical anchors by the
+    * identical expression TEXT in both engines (correctly-rounded
+    * IEEE ops ⇒ bit-equal). df is rounded at 6 dp, not 9: df grows
+    * with n, and df·10⁹ would re-enter the scale-multiply hazard zone
+    * at ~10⁷ rows per arm. No significance flag: the t threshold is
+    * df-dependent (unlike [[abTest]]'s fixed 1.96), and a boundary
+    * boolean would add a portability hazard for zero information.
+    *
+    * Scale shape: one map-side-combined aggregation over events, then
+    * a |variants|-row cross join against the 1-row control — nothing
+    * corpus-sized past the first exchange.
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(19, 9)
+    val v = round(col("value"), 9).cast(d9)
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("ssq"))
+    val ctl = m.where(col("event_type") === "view")
+      .select(col("n").as("n_c"), col("sx").as("sx_c"), col("ssq").as("ssq_c"))
+    m.where(col("event_type") =!= "view")
+      .crossJoin(broadcast(ctl))
+      .select(col("event_type").as("variant"), col("n"), col("n_c"),
+        expr("round(CAST(sx AS DOUBLE) / n, 9)").as("mean"),
+        expr("round(CAST(sx_c AS DOUBLE) / n_c, 9)").as("mean_c"),
+        expr(s"round($WelchT, 9)").as("t_stat"),
+        expr(s"round($WelchDf, 6)").as("welch_df"))
+  }
+
+  // identical expression text on both engines (the AbZSql precedent):
+  // sample variance from the decimal anchors, then Welch t and
+  // Welch–Satterthwaite df from the per-arm variance/n terms
+  private val WVar1 =
+    "((CAST(ssq AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))"
+  private val WVar2 =
+    "((CAST(ssq_c AS DOUBLE) - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE) / n_c) / (n_c - 1))"
+  private val WSe2 = s"($WVar1 / n + $WVar2 / n_c)"
+  private val WelchT =
+    s"((CAST(sx AS DOUBLE) / n - CAST(sx_c AS DOUBLE) / n_c) / sqrt($WSe2))"
+  private val WelchDf =
+    s"($WSe2 * $WSe2 / (($WVar1 / n) * ($WVar1 / n) / (n - 1) + " +
+      s"($WVar2 / n_c) * ($WVar2 / n_c) / (n_c - 1)))"
+
+  private val welchTTestSql =
+    s"""WITH m AS (
+       |  SELECT event_type, count(*) AS n,
+       |    SUM(CAST(round(value, 9) AS DECIMAL(19,9))) AS sx,
+       |    SUM(CAST(round(value, 9) AS DECIMAL(19,9))
+       |      * CAST(round(value, 9) AS DECIMAL(19,9))) AS ssq
+       |  FROM events GROUP BY 1),
+       |ctl AS (SELECT n AS n_c, sx AS sx_c, ssq AS ssq_c FROM m
+       |        WHERE event_type = 'view')
+       |SELECT event_type AS variant, n, n_c,
+       |  round(CAST(sx AS DOUBLE) / n, 9) AS mean,
+       |  round(CAST(sx_c AS DOUBLE) / n_c, 9) AS mean_c,
+       |  round($WelchT, 9) AS t_stat,
+       |  round($WelchDf, 6) AS welch_df
+       |FROM m CROSS JOIN ctl
+       |WHERE event_type <> 'view'""".stripMargin
+
   /** Gaps-and-islands: per-user consecutive-active-day streaks via the
     * row_number-difference idiom (day − rank is constant within a
     * run) — the engagement-streak / coverage-gap primitive, and the
@@ -1178,6 +1252,7 @@ object Analytics {
     Op("winsorize", winsorize, Some(winsorizeSql)),
     Op("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     Op("ab_test", abTest, Some(abTestSql)),
+    Op("welch_t_test", welchTTest, Some(welchTTestSql)),
     Op("unpivot_long", unpivotLong, Some(unpivotLongSql)),
     Op("percentile_agg", percentileAgg, Some(percentileAggSql)),
     Op("percentile_approx_sketch", percentileApproxSketch, Some(percentileApproxSketchSql)),
