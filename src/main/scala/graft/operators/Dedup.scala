@@ -622,8 +622,89 @@ object Dedup {
        |JOIN sizes sb ON inter.doc_b = sb.doc_id
        |WHERE 5 * n_inter >= 3 * (sa.sz + sb.sz - n_inter)""".stripMargin
 
+  /** Candidate-quality evaluation of the MinHash/LSH pipeline against
+    * the exact n-gram Jaccard ground truth — the dedup twin of
+    * `ann_rank_metrics` (which audits the ANN retrieval the same way):
+    * before trusting banding parameters to sweep 100 TB, measure what
+    * fraction of true near-dup pairs the bands actually catch
+    * (recall) and how much junk they admit (precision). Truth = the
+    * registered exact-Jaccard pairs (same-source, τ = 0.5); LSH
+    * candidates are restricted to same-source pairs so the two sets
+    * range over the same pair universe. One row: counts + P/R/F1.
+    *
+    * Float parity: all counts are exact integers; precision/recall
+    * are single divisions; F1 uses the single-division identity
+    * 2·tp/(n_truth + n_cand) (the rouge_bleu discipline — never
+    * 2PR/(P+R), two divisions compound rounding).
+    *
+    * Scale shape: both pair relations are match-bounded (≪ corpus);
+    * the source lookup joins a bounded pair list against the
+    * documents projection, and the final full-outer join + count runs
+    * on bounded inputs. Nothing new is corpus-sized beyond the two
+    * existing subtrees being evaluated.
+    */
+  def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val truth = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val cand = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .where(col("src_a") === col("src_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val j = truth.withColumn("in_truth", lit(1L))
+      .join(cand.withColumn("in_cand", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+    j.agg(
+        sum(coalesce(col("in_truth"), lit(0L))).cast("long").as("n_truth"),
+        sum(coalesce(col("in_cand"), lit(0L))).cast("long").as("n_cand"),
+        sum(when(col("in_truth").isNotNull && col("in_cand").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("tp"))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        expr("round(CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END, 9)")
+          .as("precision"),
+        expr("round(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END, 9)")
+          .as("recall"),
+        // CAST(2*tp AS DOUBLE), never 2.0*tp: a decimal literal would
+        // put Spark on a DECIMAL division path where DuckDB goes
+        // DOUBLE (the r18 zorder lesson); 2*tp is exact in BIGINT
+        expr("round(CASE WHEN n_truth + n_cand > 0 THEN " +
+          "CAST(2 * tp AS DOUBLE) / (n_truth + n_cand) END, 9)").as("f1"))
+  }
+
+  private val dedupLshEvalSql =
+    s"""WITH truth0 AS ($dedupNgramJaccardSql),
+       |truth AS (SELECT doc_a, doc_b FROM truth0),
+       |lsh AS ($dedupMinhashLshSql),
+       |docsrc AS (SELECT doc_id, source FROM documents),
+       |cand AS (
+       |  SELECT l.doc_a, l.doc_b FROM lsh l
+       |  JOIN docsrc a ON l.doc_a = a.doc_id
+       |  JOIN docsrc b ON l.doc_b = b.doc_id
+       |  WHERE a.source = b.source),
+       |j AS (
+       |  SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+       |    coalesce(t.doc_b, c.doc_b) AS doc_b,
+       |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+       |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |agg AS (
+       |  SELECT CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+       |    CAST(SUM(in_cand) AS BIGINT) AS n_cand,
+       |    CAST(SUM(in_truth * in_cand) AS BIGINT) AS tp
+       |  FROM j)
+       |SELECT n_truth, n_cand, tp,
+       |  round(CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END, 9)
+       |    AS precision,
+       |  round(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END, 9)
+       |    AS recall,
+       |  round(CASE WHEN n_truth + n_cand > 0 THEN
+       |    CAST(2 * tp AS DOUBLE) / (n_truth + n_cand) END, 9) AS f1
+       |FROM agg""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
+    Op("dedup_lsh_eval", dedupLshEval, Some(dedupLshEvalSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql), bench = true),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),
