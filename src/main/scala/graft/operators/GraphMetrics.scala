@@ -522,13 +522,20 @@ object GraphMetrics {
       .toDF("node", "component", "csize")
   }
 
+  /** One min-label round referencing the previous level exactly ONCE:
+    * DuckDB (and Spark's frontend) INLINE non-recursive CTEs per
+    * reference, so a round spelled as self-UNION-join (two prev
+    * references) doubles the whole expression tree per level — 2⁴ = 16
+    * copies of the pair join by l4, measured 6× runtime growth per
+    * level at 10× (the hilbert-chain lesson in a new costume). With
+    * self-loops folded into e2, min over neighbors alone IS min over
+    * self ∪ neighbors, and the chain inlines linearly.
+    */
   private def ccIterSql(prev: String, cur: String): String =
     s"""$cur AS (
-       |  SELECT node, min(label) AS label FROM (
-       |    SELECT node, label FROM $prev
-       |    UNION ALL
-       |    SELECT e.dst AS node, p.label FROM e JOIN $prev p ON e.src = p.node) u
-       |  GROUP BY node)""".stripMargin
+       |  SELECT e2.dst AS node, min(p.label) AS label
+       |  FROM e2 JOIN $prev p ON e2.src = p.node
+       |  GROUP BY e2.dst)""".stripMargin
 
   private val graphComponentsSql =
     s"""WITH p AS ($presenceSql),
@@ -537,9 +544,11 @@ object GraphMetrics {
        |  SELECT DISTINCT least(a_caid, b_caid) AS src,
        |    greatest(a_caid, b_caid) AS dst
        |  FROM pairs),
-       |e AS (SELECT src, dst FROM edges0
-       |      UNION ALL SELECT dst AS src, src AS dst FROM edges0),
-       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |e2 AS (SELECT src, dst FROM edges0
+       |       UNION ALL SELECT dst AS src, src AS dst FROM edges0
+       |       UNION ALL SELECT src, src AS dst FROM edges0
+       |       UNION ALL SELECT dst AS src, dst FROM edges0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e2),
        |${ccIterSql("l0", "l1")},
        |${ccIterSql("l1", "l2")},
        |${ccIterSql("l2", "l3")},
