@@ -260,7 +260,12 @@ object Analytics {
     * corpus-sized past the first exchange.
     */
   def welchTTest(spark: SparkSession, dir: String): DataFrame = {
-    val d9 = org.apache.spark.sql.types.DecimalType(19, 9)
+    // DECIMAL(18,9), NOT (19,9): a (19,9) square is (39,18), which
+    // Spark's precision-loss rule trims to (38,17) — per-row HALF_UP
+    // at the 17th dp — while DuckDB keeps the exact (38,18). (18,9)²
+    // = (37,18) is exactly representable in BOTH engines (the
+    // anomalyZscore decimal-square discipline).
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val v = round(col("value"), 9).cast(d9)
     val m = Tables.events(spark, dir)
       .select(col("event_type"), v.as("v"))
@@ -275,8 +280,8 @@ object Analytics {
       .select(col("event_type").as("variant"), col("n"), col("n_c"),
         expr("round(CAST(sx AS DOUBLE) / n, 9)").as("mean"),
         expr("round(CAST(sx_c AS DOUBLE) / n_c, 9)").as("mean_c"),
-        expr(s"round($WelchT, 9)").as("t_stat"),
-        expr(s"round($WelchDf, 6)").as("welch_df"))
+        expr(s"round($WelchGuard $WelchT END END, 9)").as("t_stat"),
+        expr(s"round($WelchGuard $WelchDf END END, 6)").as("welch_df"))
   }
 
   // identical expression text on both engines (the AbZSql precedent):
@@ -287,6 +292,18 @@ object Analytics {
   private val WVar2 =
     "((CAST(ssq_c AS DOUBLE) - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE) / n_c) / (n_c - 1))"
   private val WSe2 = s"($WVar1 / n + $WVar2 / n_c)"
+  // zero guards INSIDE the shared text: an n=1 arm divides by (n-1)=0
+  // and two zero-variance arms divide by sqrt(0) — Spark's non-ANSI
+  // double division returns NULL there while DuckDB returns ±inf/nan,
+  // so the identical-text ⇒ bit-equal premise would fail exactly at
+  // the degenerate inputs. NULL (both engines) is the honest output.
+  // NESTED case, not one conjunction: the se2 > 0 test itself divides
+  // by (n-1), and at n=1 Spark's NULL > 0 is NULL (branch not taken)
+  // while DuckDB's inf > 0 is TRUE (branch taken) — the outer n-guard
+  // must decide before the variance expression's value can matter.
+  // Every WelchGuard use closes with "END END".
+  private val WelchGuard =
+    s"CASE WHEN n > 1 AND n_c > 1 THEN CASE WHEN $WSe2 > 0 THEN"
   private val WelchT =
     s"((CAST(sx AS DOUBLE) / n - CAST(sx_c AS DOUBLE) / n_c) / sqrt($WSe2))"
   private val WelchDf =
@@ -296,17 +313,17 @@ object Analytics {
   private val welchTTestSql =
     s"""WITH m AS (
        |  SELECT event_type, count(*) AS n,
-       |    SUM(CAST(round(value, 9) AS DECIMAL(19,9))) AS sx,
-       |    SUM(CAST(round(value, 9) AS DECIMAL(19,9))
-       |      * CAST(round(value, 9) AS DECIMAL(19,9))) AS ssq
+       |    SUM(CAST(round(value, 9) AS DECIMAL(18,9))) AS sx,
+       |    SUM(CAST(round(value, 9) AS DECIMAL(18,9))
+       |      * CAST(round(value, 9) AS DECIMAL(18,9))) AS ssq
        |  FROM events GROUP BY 1),
        |ctl AS (SELECT n AS n_c, sx AS sx_c, ssq AS ssq_c FROM m
        |        WHERE event_type = 'view')
        |SELECT event_type AS variant, n, n_c,
        |  round(CAST(sx AS DOUBLE) / n, 9) AS mean,
        |  round(CAST(sx_c AS DOUBLE) / n_c, 9) AS mean_c,
-       |  round($WelchT, 9) AS t_stat,
-       |  round($WelchDf, 6) AS welch_df
+       |  round($WelchGuard $WelchT END END, 9) AS t_stat,
+       |  round($WelchGuard $WelchDf END END, 6) AS welch_df
        |FROM m CROSS JOIN ctl
        |WHERE event_type <> 'view'""".stripMargin
 

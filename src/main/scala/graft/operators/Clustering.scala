@@ -22,13 +22,17 @@ import graft.Op
 object Clustering {
 
   /** Past this many distinct edges the bounded driver kernel is skipped
-    * and the star contraction runs. 4M edges ≈ two 16 MB int arrays +
-    * an id remap (≲150 MB transient during the Row collect) — the same
+    * and the star contraction runs. Honest heap budget at the 4M cap:
+    * the tuple collect materializes ~4M boxed pairs (~130-250 MB),
+    * the id remap holds ≤8M boxed HashMap entries (~500 MB worst), and
+    * the union-find arrays are two 16 MB int buffers — ≲1 GB transient
+    * on a driver, all released before the plan returns. Same
     * bounded-collect budget class as GraphMetrics' 128 MB bitset cap,
     * and like that cap it must not be raised without re-auditing the
-    * driver heap story. The gate is EXACT (the limit(cap+1) collect
-    * either fits or overflows by one row), so no approx margin is
-    * needed.
+    * driver heap story. A graph PAST the cap also pays one cap+1-row
+    * collect before falling back — the price of the one-job chooser.
+    * The gate is EXACT (the limit(cap+1) collect either fits or
+    * overflows by one row), so no approx margin is needed.
     */
   private[graft] val MaxLocalEdges = 4000000L
 
@@ -74,8 +78,15 @@ object Clustering {
     // re-derives the distinct once for its own checkpoint — the rare
     // >cap case pays one extra pass, not the common case three jobs.
     val capRows = math.min(maxLocalEdges, (Int.MaxValue - 1).toLong).toInt
-    val sample = dedup.limit(capRows + 1).collect()
-    if (sample.length <= maxLocalEdges) return localUnionFind(edges0.sparkSession, sample)
+    val spark0 = edges0.sparkSession
+    val sample = { // primitive-pair collect, never Array[Row] (boxing ~3×)
+      import spark0.implicits._
+      dedup.limit(capRows + 1).as[(Long, Long)].collect()
+    }
+    // maxLocalEdges = 0 must force the DISTRIBUTED path even on an
+    // empty edge set (the knob's contract for specs), hence the > 0
+    if (maxLocalEdges > 0 && sample.length <= maxLocalEdges)
+      return localUnionFind(spark0, sample)
     var edges = dedup.localCheckpoint(true)
     var prevSig: (Long, Long) = (-1L, -1L)
     var round = 0
@@ -130,7 +141,7 @@ object Clustering {
     * Caller guarantees rows.length ≤ [[MaxLocalEdges]] and that rows
     * are already src≠dst-filtered, long-cast and distinct.
     */
-  private def localUnionFind(spark: SparkSession, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+  private def localUnionFind(spark: SparkSession, rows: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     // dense re-index: node id -> [0, n)
     val idx = new java.util.HashMap[java.lang.Long, Integer](rows.length * 4)
@@ -144,7 +155,7 @@ object Clustering {
     val eb = new Array[Int](rows.length)
     var i = 0
     while (i < rows.length) {
-      ea(i) = ix(rows(i).getLong(0)); eb(i) = ix(rows(i).getLong(1)); i += 1
+      ea(i) = ix(rows(i)._1); eb(i) = ix(rows(i)._2); i += 1
     }
     val n = ids.length
     val parent = Array.tabulate(n)(identity)

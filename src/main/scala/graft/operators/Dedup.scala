@@ -704,7 +704,9 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
-    Op("dedup_lsh_eval", dedupLshEval, Some(dedupLshEvalSql)),
+    // bench: composes the two heaviest dedup subtrees + a full-outer
+    // pair join — a natural end-to-end regression guard for the family
+    Op("dedup_lsh_eval", dedupLshEval, Some(dedupLshEvalSql), bench = true),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql), bench = true),
     Op("fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsSql)),

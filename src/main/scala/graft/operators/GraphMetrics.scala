@@ -470,14 +470,22 @@ object GraphMetrics {
       e0 => componentsRelational(e0, rounds))
 
   private[graft] def componentsRelational(e0: DataFrame, rounds: Int = 4): DataFrame = {
+    // Self-loops folded into the edge relation, ONE reference to the
+    // previous round per round — the same linear-inlining discipline
+    // as ccIterSql below: a self-UNION-join spelling references l
+    // twice per level and grows the LOGICAL plan 2^rounds copies of
+    // the corpus-derived edge subtree (the connectedComponentsStar
+    // analysis-blowup lesson); with self-loops, min-over-neighbors IS
+    // min-over-self∪neighbors and the chain stays linear.
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    var l = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    val e2 = e.unionByName(
+      nodes.select(col("node").as("src"), col("node").as("dst")))
+    var l = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds)
-      l = l.unionByName(
-          e.join(l, col("src") === col("node"))
-            .select(col("dst").as("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      l = e2.join(l, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
     // sizes: node-bounded but corpus-derived — plain join, never a
     // baked broadcast (AQE may still pick one at fixture scale)
     val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("csize"))
@@ -1445,6 +1453,8 @@ object GraphMetrics {
     Op("label_propagation", (s, d) => labelPropagation(s, d), Some(labelPropagationSql)),
     Op("graph_modularity", graphModularity, Some(graphModularitySql)),
     Op("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
-    Op("graph_components", (s, d) => graphComponents(s, d), Some(graphComponentsSql)),
+    // bench: the adaptive-kernel graph family's newest member rides the
+    // same chooser + bitset build — regress-guard it beside triangles
+    Op("graph_components", (s, d) => graphComponents(s, d), Some(graphComponentsSql), bench = true),
   )
 }
