@@ -71,7 +71,7 @@ class TpchSqlCrossCheckSpec extends AnyFunSuite {
     // Spark-side run REGRESSES into an exception lands in `skipped` and
     // drops this below the floor — raise the floor when adding new
     // dialect-common ops, never lower it without a named reason.
-    assert(checked >= 121, // floor ratcheted 120 → 121 (r19: adamic_adar_links)
+    assert(checked >= 123, // ratcheted 121 → 123 (r21: graph_components, welch_t_test)
       s"dialect-common sweep degraded: only $checked oracles cross-checked")
   }
 }
