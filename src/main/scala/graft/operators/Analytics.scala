@@ -197,10 +197,14 @@ object Analytics {
     * z rounds at 1e-9 (sqrt is IEEE-exact — no libm drift).
     */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint: both crossJoin sides consume this tiny
+    // aggregate — without it each re-derives a full events scan
+    // (see welchTTest; same shape, same fix)
     val rates = Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("conv"))
+      .localCheckpoint(true)
     val ctl = rates.where(col("event_type") === "view")
       .select(col("n").as("n_c"), col("conv").as("conv_c"))
     rates.where(col("event_type") =!= "view")
@@ -267,12 +271,18 @@ object Analytics {
     // anomalyZscore decimal-square discipline).
     val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val v = round(col("value"), 9).cast(d9)
+    // localCheckpoint (eager): the variant side and the 1-row control
+    // side both consume this |variants|-row aggregate — without the
+    // checkpoint each side re-derives it from its OWN full events scan
+    // (the filters push below the agg, so the exchanges don't unify
+    // into a ReusedExchange). Two corpus passes → one.
     val m = Tables.events(spark, dir)
       .select(col("event_type"), v.as("v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("v")).as("sx"),
         sum(col("v") * col("v")).as("ssq"))
+      .localCheckpoint(true)
     val ctl = m.where(col("event_type") === "view")
       .select(col("n").as("n_c"), col("sx").as("sx_c"), col("ssq").as("ssq_c"))
     m.where(col("event_type") =!= "view")

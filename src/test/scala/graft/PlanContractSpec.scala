@@ -765,4 +765,36 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("array_intersect"),
       "exact verify must be the row-local intersect:\n" + p.take(3000))
   }
+
+  test("welch_t_test: moments materialize once; final plan is corpus-free") {
+    val p = finalPlan("welch_t_test")
+    // the decimal-moment aggregate is eagerly checkpointed (ONE events
+    // pass, ONE exchange, at construction); the returned plan consumes
+    // the |variants|-row checkpoint — if a corpus exchange or parquet
+    // scan reappears here, both crossJoin sides have gone back to
+    // re-deriving the aggregation from their own full events scans
+    assert(count(p, "Exchange hashpartitioning") == 0
+      && !p.contains("FileScan parquet"),
+      "the final plan must ride the checkpointed moments, not events:\n" +
+        p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "checkpointed moments relation expected:\n" + p.take(3000))
+    assert(count(p, "BroadcastExchange") == 1
+      && p.contains("BroadcastNestedLoopJoin"),
+      "the only broadcast is the 1-row control side of the cross join:\n" +
+        p.take(3000))
+  }
+
+  test("dedup_lsh_eval: pair relations join by shuffle-hash/sort-merge, no cartesian") {
+    val p = finalPlan("dedup_lsh_eval")
+    // the truth and candidate subtrees keep their own pinned shapes
+    // (shuffle-hash self-joins); the eval's own joins — source lookups
+    // and the full-outer truth⋈cand — are equi-joins over match-bounded
+    // relations. Nothing may degrade to a cartesian/nested-loop path.
+    assert(count(p, "CartesianProduct") == 0
+      && count(p, "BroadcastNestedLoopJoin") == 0,
+      "eval joins must stay equi-joins:\n" + p.take(3000))
+    assert(p.contains("FullOuter"),
+      "the truth-vs-candidate comparison is the full-outer join:\n" + p.take(3000))
+  }
 }
