@@ -646,10 +646,14 @@ object Dedup {
   def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val truth = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val cand = dedupMinhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+    // broadcast the MATCH-BOUNDED pair side explicitly (the
+    // dedupCanonical convention): fixture-scale AQE happily broadcasts
+    // the (doc_id, source) projection instead — corpus-sized at 100 TB
+    val cand0 = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val withA = src.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+      .join(broadcast(cand0), Seq("doc_a"))
+    val cand = src.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+      .join(broadcast(withA), Seq("doc_b"))
       .where(col("src_a") === col("src_b"))
       .select(col("doc_a"), col("doc_b"))
     val j = truth.withColumn("in_truth", lit(1L))

@@ -796,5 +796,11 @@ class PlanContractSpec extends AnyFunSuite {
       "eval joins must stay equi-joins:\n" + p.take(3000))
     assert(p.contains("FullOuter"),
       "the truth-vs-candidate comparison is the full-outer join:\n" + p.take(3000))
+    // the source lookups build their hash on the match-bounded PAIR
+    // side — if a BuildRight hashes the (doc_id, source) projection,
+    // fixture-scale AQE has re-baked a corpus broadcast (100 TB OOM)
+    assert(count(p, "BroadcastHashJoin") == 2
+      && count(p, "BuildRight") == 2,
+      "exactly the two pair-side broadcasts:\n" + p.take(3000))
   }
 }
