@@ -1054,6 +1054,42 @@ object GraphMetrics {
     val deviceUb = Tables.events(spark, dir)
       .agg(approx_count_distinct(col("user_id"))).collect()(0).getLong(0)
     if (deviceUb > MaxBitsetNodes * 1.25) return sparse(e0)
+    // Small-universe fast path (r10 opt): when the node upper bound
+    // already proves the WHOLE edge list fits the driver cap —
+    // (1.25·ub)²/2 ≤ MaxDriverEdges — collect e in ONE job and derive
+    // every chooser stat (n, d̄, sorted ids) plus the dense build's
+    // edge array locally. This removes, per dense query at bench SF,
+    // the persist, the degree pre-aggregate (a self-union + exchange
+    // + agg over e) and the separate edge-collect job — 2 of the 3
+    // chained chooser jobs (DevGraphDecomp r10: nd 1.5 s +
+    // collectBuild 0.16 s warm). The co-location distinct is still
+    // computed exactly once on either outcome; graphs past the bound
+    // keep the persisted two-pass chooser below.
+    val nUb = deviceUb * 1.25
+    if (nUb * nUb / 2 <= MaxDriverEdges) {
+        import spark.implicits._
+        val arr = e0.as[(Long, Long)].collect()
+        val endpoints = new Array[Long](arr.length * 2)
+        var i = 0
+        while (i < arr.length) {
+          endpoints(2 * i) = arr(i)._1; endpoints(2 * i + 1) = arr(i)._2
+          i += 1
+        }
+        java.util.Arrays.sort(endpoints)
+        var n = 0
+        i = 0
+        while (i < endpoints.length) {
+          if (i == 0 || endpoints(i) != endpoints(i - 1)) {
+            endpoints(n) = endpoints(i); n += 1
+          }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(endpoints, n)
+        val avgD = if (n == 0) 0.0 else 2.0 * arr.length / n
+        return if (n >= 2 && n <= MaxBitsetNodes && acceptDense(n, avgD))
+          dense(e0, DenseBuild(ids, arr.length, arr))
+        else sparse(e0)
+    }
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Past the gate, distinct nodes ≤ 1.25×cap, so the node-degree
@@ -1078,9 +1114,12 @@ object GraphMetrics {
   }
 
   /** What the chooser pass already knows and the dense build can
-    * reuse: the sorted node-id universe and the exact edge count.
+    * reuse: the sorted node-id universe, the exact edge count, and —
+    * on the small-universe fast path — the collected edge list itself
+    * (null when the chooser only ran the degree pass).
     */
-  private[graft] case class DenseBuild(ids: Array[Long], edgeCount: Long)
+  private[graft] case class DenseBuild(ids: Array[Long], edgeCount: Long,
+      edges: Array[(Long, Long)] = null)
 
   /** Per-node degree + triangle count off the bitset matrix: tri(v) =
     * ½ Σ_{u∈N(v)} |N(v)∩N(u)| (each triangle pair at v is seen from
@@ -1156,20 +1195,26 @@ object GraphMetrics {
         .distinct().as[Long].collect().sorted) // n-bounded by the caller
     val words = (n + 63) >>> 6
     val bits = Array.fill(n)(new Array[Long](words))
-    if (pre.exists(_.edgeCount <= MaxDriverEdges)) {
+    if (pre.exists(p => p.edges != null || p.edgeCount <= MaxDriverEdges)) {
       // Small-|E| regime (known EXACTLY and for free from the chooser
       // pass: Σd = 2|E|): collect the cached edge list and build the
       // matrix driver-side — one cache-scan job, no join, no
       // bitset-agg exchange. At bench SF this removes the single most
       // expensive build stage (the agg shuffle was ~25% of
       // graph_triangles); the mergeable-agg path below stays the
-      // scale route for dense graphs past the bound.
+      // scale route for dense graphs past the bound. When the
+      // small-universe chooser already collected the edges, even that
+      // one cache-scan job disappears (zero further jobs here).
       def idx(v: Long): Int = {
         val i = java.util.Arrays.binarySearch(ids, v)
         require(i >= 0, s"edge endpoint $v missing from chooser id universe")
         i
       }
-      e.as[(Long, Long)].collect().foreach { case (s, d) =>
+      val edgeArr = pre.get.edges match {
+        case null => e.as[(Long, Long)].collect()
+        case a => a
+      }
+      edgeArr.foreach { case (s, d) =>
         val a = idx(s); val b = idx(d)
         bits(a)(b >>> 6) |= 1L << (b & 63)
         bits(b)(a >>> 6) |= 1L << (a & 63)

@@ -186,14 +186,30 @@ object Joins {
     */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
     val o = Tables.orders(spark, dir)
       .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
     val l = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      // the BUILDING segment is ~1/5 of customer — still dimension-
-      // scale at 100 TB: reach the fact via the custkey shuffle
-      .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // Join order: reduce ORDERS by the segment first, then attach the
+    // fact. The r10-measured alternative (l⋈o, then the joined fact
+    // rows re-exchanged by o_custkey to meet customer) shipped every
+    // surviving lineitem row across TWO key layouts; here the fact
+    // crosses exactly once (orderkey), and the post-join aggregation
+    // keys start with l_orderkey so the join's partitioning is reused
+    // — no aggregation exchange at all.
+    // The BUILDING segment is ~1/5 of customer — still corpus-scale at
+    // 100 TB, so BOTH joins stay pinned shuffle-hash (never a
+    // broadcast that only fits at bench SF; unpinned, the static
+    // estimator broadcast the FILTERED FACT side here — measured 10×
+    // slower at sf0.1 and an executor OOM at scale).
+    val oc = o.join(c.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast(dec)
         * (lit(BigDecimal("1.00")) - col("l_discount").cast(dec))))

@@ -44,7 +44,18 @@ object Multimodal {
       }))
   private def trackedTempDir(prefix: String): String = {
     purgeHookInstalled
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    // Stage ephemeral shard/media dirs in tmpfs, NOT java.io.tmpdir
+    // (r10 opt, guide §6): the VM's root disk shows multi-second
+    // D-state stalls under writes — the spark.local.dir rationale in
+    // Sessions — so a timed pipeline that tars shards through /tmp
+    // measures the disk, not the engine. Same env-override discipline
+    // as GRAFT_LOCAL_DIR; correctness never depends on the location
+    // (the round-trip reads whatever was written back through the
+    // same path).
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STAGE_DIR", "/dev/shm/graft-stage"))
+    java.nio.file.Files.createDirectories(base)
+    val p = java.nio.file.Files.createTempDirectory(base, prefix)
     stagedDirs.add(p)
     p.toString
   }

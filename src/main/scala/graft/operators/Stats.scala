@@ -683,13 +683,25 @@ object Stats {
       .selectExpr("rid",
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
           "'disc', l_discount) AS (feature, value)")
+    // The reference distribution as a WINDOW over rn, not a groupBy +
+    // join-back (r10 opt, guide §2.4): spelled as rollup + self-join,
+    // each consumer planned its own Exchange(rn) over its own copy of
+    // the ranked subtree — column pruning narrows the aggregate side,
+    // the subtrees stop canonicalizing equal, ReusedExchange cannot
+    // fire, and the 1.8M-row sort + row_number window ran TWICE (plan
+    // dump: 2× Window(…rid ASC…); an explicit shared repartition(rn)
+    // was measured and did NOT restore reuse — 4.4 s vs 2.9 baseline).
+    // sum OVER (PARTITION BY rn) computes the identical DECIMAL-exact
+    // per-rank sum in ONE pass: one ranked subtree, one rn exchange,
+    // no join build. Per-rank groups have ≤ |features| = 3 rows at any
+    // scale, so the window partitioning is high-cardinality,
+    // skew-free, and never corpus-sized per group.
     val ranked = RangeRank.withRankAscGrouped(long, Seq("feature"), "value",
       Seq(col("rid").asc), "rn")
-    val ref = ranked.groupBy(col("rn"))
-      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") / 3)
-        .as("normalized"))
-      .hint("shuffle_hash")
-    ranked.join(ref, Seq("rn"))
+    ranked
+      .withColumn("normalized",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("rn"))).cast("double") / 3)
       .select(col("feature"), col("rid"), col("value"),
         col("rn").cast("long").as("rn"), col("normalized"))
   }

@@ -201,6 +201,16 @@ class PlanContractSpec extends AnyFunSuite {
     val p = finalPlan("q3_shipping")
     assert("ShuffledHashJoin \\[o_custkey".r.findFirstIn(p).isDefined,
       "customer must join via shuffle on custkey, not broadcast:\n" + p.take(2000))
+    // r10 shape: orders reduce by the segment FIRST, then the fact
+    // attaches on orderkey exactly once — pinned shuffle-hash (the
+    // unpinned plan broadcast the FILTERED FACT side, measured 10×
+    // slower and an OOM at scale), and the aggregation reuses the
+    // join's orderkey partitioning (no exchange between them)
+    assert("ShuffledHashJoin \\[l_orderkey".r.findFirstIn(p).isDefined,
+      "the fact must attach via the orderkey shuffle, never broadcast:\n"
+        + p.take(2000))
+    assert(count(p, "BroadcastHashJoin") == 0,
+      "no SF-proportional relation may broadcast in q3:\n" + p.take(2000))
   }
 
   test("q7_nation_volume: supplier side broadcasts; customer stays on the custkey shuffle") {
@@ -711,13 +721,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(featureOnlyWindow.findFirstIn(p).isEmpty,
       "ranking must ride the bucketed RangeRank window, not a 3-partition one:\n"
         + p.take(2000))
-    // RangeRank's internal offsets join broadcasts an O(buckets)
-    // relation — fine; the rank-keyed REFERENCE join is corpus-sized
-    // on both sides and must shuffle
-    assert("BroadcastHashJoin \\[rn#".r.findFirstIn(p).isEmpty
-      && "ShuffledHashJoin \\[rn#".r.findFirstIn(p).isDefined,
-      "the rank-keyed reference join is corpus-sized on both sides:\n"
+    // r10 shape: the reference distribution is a window sum OVER rn
+    // (≤ |features| rows per rank group at any scale), not a rollup +
+    // corpus-sized join-back — the join spelling evaluated the whole
+    // ranked subtree twice (pruning broke exchange reuse). Contract:
+    // no rank-keyed join of any kind, exactly ONE row_number pass, and
+    // the rn window present.
+    assert("HashJoin \\[rn#".r.findFirstIn(p).isEmpty,
+      "the reference must be a window over rn, not a join-back:\n"
         + p.take(2000))
+    assert(count(p, "windowspecdefinition(rn#") >= 1,
+      "per-rank reference window missing:\n" + p.take(2000))
+    assert(count(p, "row_number()") == 1,
+      "the ranked subtree must be computed exactly once:\n" + p.take(2000))
   }
 
   test("pca_power: per-round state broadcasts; corpus never single-partitions") {
