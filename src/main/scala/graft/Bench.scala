@@ -10,14 +10,31 @@ object Bench {
     val spark = Sessions.build("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(s"[bench] master=${spark.sparkContext.master} cpus=$cpus sfDir=$sfDir")
-    // Warm pass: JVM classloading + whole-stage-codegen compilation are
-    // one-time costs (amortized to zero over a real workload); the timed
-    // pass then measures steady-state engine throughput.
+    // Timed action: the NOOP SINK (guide §1.4), which computes EVERY
+    // column of every row and discards the result. r10 measurement
+    // fix: the previous `.count()` action let the optimizer PRUNE
+    // result-only expressions — a count over a grouped aggregate keeps
+    // only the grouping keys (the value arithmetic vanished from the
+    // timing: q1_agg 0.18 → 0.90 s honest), a count over a projection
+    // query pruned the entire computed column (hilbert_key timed its
+    // SCAN: 0.29 vs 4.09 s for the real walk, which the fix then got
+    // optimized to 0.45 s — the exact failure mode §1.4 warns about).
+    // The paired DuckDB harness always materialized full results
+    // (fetchall), so count-based ratios silently flattered the Spark
+    // side on value-heavy queries. GRAFT_BENCH_ACTION=count keeps the
+    // old action runnable for cross-methodology bridges (the r10
+    // OPTIMIZATION doc carries the per-query bridge table).
+    val legacyCount = sys.env.get("GRAFT_BENCH_ACTION").contains("count")
+    System.err.println(s"[bench] timed action=${if (legacyCount) "count" else "noop"}")
     // A crashing bench op must fail the run LOUDLY: swallowing it
     // would record a ~0 s "time" for the op and the headline total
     // would IMPROVE on a regression that broke the query.
     def runOnce(op: Op): Unit =
-      try { op.run(spark, sfDir).count(); () } catch {
+      try {
+        val df = op.run(spark, sfDir)
+        if (legacyCount) { df.count(); () }
+        else df.write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FATAL: ${op.name} failed: $e")
           spark.stop()

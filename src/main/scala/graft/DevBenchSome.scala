@@ -21,11 +21,19 @@ object DevBenchSome {
     spark.sparkContext.setLogLevel("WARN")
     val ops = names.map(n => SparkEntry.allOps.find(_.name == n)
       .getOrElse(sys.error(s"unknown op: $n")))
-    ops.foreach(op => op.run(spark, sfDir).count()) // warm
+    // Same timed action as Bench: noop sink by default (computes EVERY
+    // column — guide §1.4); GRAFT_BENCH_ACTION=count opts into the
+    // legacy prune-prone action for cross-methodology bridges.
+    val useNoop = !sys.env.get("GRAFT_BENCH_ACTION").contains("count")
+    def action(op: Op): Unit =
+      if (useNoop)
+        op.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      else { op.run(spark, sfDir).count(); () }
+    ops.foreach(action) // warm
     val out = ops.map { op =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        op.run(spark, sfDir).count()
+        action(op)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[bench-some] ${op.name}%-28s min=${ts.min}%.3f " +

@@ -63,6 +63,8 @@ object GraftFunctions {
       es => StContainsExpr(es(0), es(1), es(2))),
     ("vec_dot", "vec_dot(a, b) - sequential-order dot product of numeric arrays",
       es => DotExpr(es(0), es(1))),
+    ("hilbert_d", "hilbert_d(x, y) - Hilbert-curve distance of a 16-bit grid cell",
+      es => HilbertDExpr(es(0), es(1))),
     ("shingle_hash_set", "shingle_hash_set(text) - distinct word-3-gram hashes",
       es => ShingleHashSetExpr(es.head)),
     ("minhash_sig", "minhash_sig(text, k) - k-value md5 minhash signature",

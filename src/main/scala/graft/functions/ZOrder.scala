@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton (Z-order) curve encoding for multi-dimensional data layout.
   *
@@ -46,4 +50,52 @@ object ZOrder {
     */
   def zValueSql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
+  /** xy→d Hilbert walk on the 16-bit grid (the public-domain per-level
+    * quadrant + reflect/transpose algorithm), as one JVM loop for the
+    * codegen'd [[HilbertDExpr]]. Bit-identical to the 16 unrolled
+    * relational projections it replaces (r10 opt, guide §1.2/§4): the
+    * unrolled stack planned ~100 chained conditional expressions per
+    * row and benched 4.1 s at sf0.1 under the compute-everything noop
+    * sink; the loop is the identical integer arithmetic in one fused
+    * call. The ORACLE keeps the 16-CTE SQL spelling — this is an
+    * engine-side expression of the same public algorithm, not a new
+    * semantic.
+    */
+  def hilbertD(x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** `hilbert_d(x, y)`: Hilbert-curve distance of a 16-bit grid cell —
+  * codegen'd single call replacing the 16 unrolled per-level
+  * projections (see [[ZOrder.hilbertD]]).
+  */
+case class HilbertDExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_d expects (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.hilbertD(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder.hilbertD($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
 }

@@ -87,33 +87,19 @@ object Layout {
     def norm(x: String, lo: String, hi: String) =
       floor((col(x) - col(lo)) * lit(65535.0)
         / greatest(col(hi) - col(lo), lit(1L)))
-    val keys = Seq(col("l_orderkey"), col("l_linenumber"),
-      col("l_partkey"), col("l_suppkey"), col("gx"), col("gy"))
-    var df = li.crossJoin(broadcast(mm))
+    // r10 opt (guide §1.2/§4): the walk is ONE codegen'd expression
+    // (`hilbert_d`, functions/ZOrder.scala) instead of 16 stacked
+    // conditional projections — the unrolled stack planned ~100
+    // chained expressions per row and benched 4.1 s at sf0.1 under the
+    // compute-everything noop sink; the fused loop is the identical
+    // integer arithmetic (R7OpsSpec pins it against an independent
+    // reference walk, and the 16-CTE oracle SQL is unchanged).
+    li.crossJoin(broadcast(mm))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         norm("l_partkey", "amin", "amax").as("gx"),
         norm("l_suppkey", "bmin", "bmax").as("gy"))
-      .withColumn("hx", col("gx")).withColumn("hy", col("gy"))
-      .withColumn("hd", lit(0L))
-    var s = 32768L
-    while (s > 0) {
-      df = df
-        .withColumn("rx",
-          when(col("hx").bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
-        .withColumn("ry",
-          when(col("hy").bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L)))
-        .select((keys :+
-          (col("hd") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry"))).as("hd") :+
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
-            .otherwise(col("hx")).as("hx") :+
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
-            .otherwise(col("hy")).as("hy")): _*)
-      s /= 2
-    }
-    df.select((keys :+ col("hd").as("hkey")): _*)
+      .withColumn("hkey", call_function("hilbert_d", col("gx"), col("gy")))
   }
 
   private val hilbertKeySql = {

@@ -88,21 +88,25 @@ object TextAnalysis {
 
   /** Inverted index: token → sorted postings list of the documents
     * containing it, plus document frequency — the search-engine /
-    * retrieval build step. One exchange on the token after a per-doc
-    * distinct; postings arrays are sorted so the layout is
-    * deterministic and mergeable shard-by-shard. At 100 TB the
-    * postings for stop-word-grade tokens dominate — the standard
-    * mitigations (df cutoffs, posting-list sharding by doc range)
-    * compose on top of this exact shape.
+    * retrieval build step. ONE exchange on the token (r10 opt, guide
+    * §2.4): the (doc, token) dedup happens INSIDE the aggregation —
+    * `collect_set` dedups during partial aggregation, so the separate
+    * pre-distinct exchange the r-spelling paid is gone and df falls
+    * out as the set size (identical values: sorted distinct doc ids
+    * and their count). The per-token buffer is df-sized either way —
+    * the exact op's postings ARE df-sized — so this changes exchange
+    * count, not the memory class. At 100 TB the postings for
+    * stop-word-grade tokens dominate — the standard mitigations (df
+    * cutoffs, posting-list sharding by doc range; see
+    * [[invertedIndexCapped]]) compose on top of this exact shape.
     */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
       .groupBy(col("token"))
-      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
-          .as("postings"),
-        count(lit(1)).as("df"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ps"))
+      .select(col("token"), array_join(col("ps"), ",").as("postings"),
+        size(col("ps")).cast("long").as("df"))
 
   private val invertedIndexSql =
     """SELECT token,

@@ -273,11 +273,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("inverted_index: per-doc distinct combines map-side before the token exchange") {
+  test("inverted_index: dedup fused into the token aggregation — one corpus exchange") {
     val p = finalPlan("inverted_index")
-    assert(count(p, "Exchange hashpartitioning") == 2,
-      "exactly the (doc, token) distinct and the token aggregation shuffle")
-    assert(p.contains("HashAggregate"), p.take(1500))
+    // r10 shape: collect_set dedups (doc, token) during partial
+    // aggregation, so the separate pre-distinct exchange is gone
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "exactly the token aggregation shuffle, nothing else")
+    assert(p.contains("collect_set"), p.take(1500))
   }
 
   test("extract_project_filter: predicate and projection reach the scan") {
