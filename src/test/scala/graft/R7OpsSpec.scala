@@ -242,4 +242,26 @@ class R7OpsSpec extends AnyFunSuite {
     assert(hilbertRef(0, 0) == 0L)
     assert(hilbertRef(65535, 0) == (1L << 32) - 1, "curve must end at (65535,0)")
   }
+
+  test("hilbert_d expression (r10): full-grid sweep vs reference, null-safe, exhaustive small grid") {
+    import spark.implicits._
+    // the r10 fused expression must walk every quadrant transition the
+    // 16 unrolled projections walked: dense 256x256 corner sweep +
+    // the extreme corners of the full 16-bit grid
+    val corners = Seq(0L, 1L, 255L, 256L, 32767L, 32768L, 65534L, 65535L)
+    val pts = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)) ++
+      (for (x <- corners; y <- corners) yield (x, y))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        call_function("hilbert_d", col("x"), col("y")).as("d"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == hilbertRef(r.getLong(0), r.getLong(1)),
+        s"hilbert_d mismatch at (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // BinaryExpression default null-intolerance: null in => null out
+    val n = spark.sql(
+      "SELECT hilbert_d(CAST(NULL AS BIGINT), CAST(3 AS BIGINT))").collect()(0)
+    assert(n.isNullAt(0), "null input must yield null, not a garbage key")
+  }
 }
