@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe (r10, VERDICT r9 #1): stage-level decomposition of the
   * dense-path graph queries, to attribute the sf0.1 bench time that
-  * remains after the bitset kernel landed. Replays the EXACT stage
-  * sequence of GraphMetrics.withDensityChoice + buildBitsets + the
-  * triangle kernel, timing each Spark job separately:
+  * remains after the bitset kernel landed. Replays the PRE-r10-fusion
+  * stage sequence of GraphMetrics.withDensityChoice + buildBitsets +
+  * the triangle kernel, timing each Spark job separately (its nd +
+  * collect numbers are what motivated the r10 one-collect chooser
+  * fusion, which deleted stages 2-3 below on the small-universe
+  * path — see OPTIMIZATION_r10.md):
   *
   *   1. gate      — approx_count_distinct over events.user_id
   *   2. nd        — edges subtree materialize (persist) + node-degree
