@@ -79,6 +79,10 @@ object GraftFunctions {
       es => GramBucketHistExpr(es(0), es(1))),
     ("pair_structs", "pair_structs(items) - all unordered (ia < ib) pairs of a long array",
       es => PairStructsExpr(es.head)),
+    ("pair_longs", "pair_longs(items) - unordered pairs packed (min << 32) | max; elements must fit u32",
+      es => PairLongsExpr(es.head)),
+    ("posting_pairs", "posting_pairs(ps) - canonical co-posting pairs with tf product and both norms",
+      es => PostingPairsExpr(es.head)),
     ("pair_structs_tagged", "pair_structs_tagged(members) - canonical pairs of an id-sorted struct array, tags carried",
       es => PairStructsTaggedExpr(es.head)),
     ("min_k_distinct_tagged", "min_k_distinct_tagged(key, tag, k) - k smallest distinct keys with their tags; O(k) buffer",

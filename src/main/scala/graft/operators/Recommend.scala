@@ -63,9 +63,83 @@ object Recommend {
     * moderate-volume regime where that table exists — which a test
     * fixture is and a 1000-executor shuffle is not.
     */
+  /** Packability chooser for [[pairCounts]]' 8-byte packed pair keys:
+    * true iff every l_partkey fits an unsigned 32-bit value, proven by
+    * MIN/MAX over the one key column (r11, guide §2.3 — narrower types
+    * only when provably safe). The bound comes from parquet FOOTER
+    * statistics read driver-side — metadata cost, no Spark job — for
+    * tables of up to 64 files; a wider table (the 100 TB layout) pays
+    * one distributed narrow-column MIN/MAX job instead (~2% of a query
+    * whose pair volume is ~17× the row count; a driver-side loop over
+    * thousands of footers would be the §5 single-threaded-driver
+    * trap). Any anomaly — missing stats, a null page, an unreadable
+    * footer — falls back to the distributed proof, and the packed
+    * kernel itself still validates every element, so a wrong chooser
+    * answer can fail loudly but never corrupt a pair. Item ids outgrow
+    * u32 only past SF ≈ 21 000 (TPC-H partkey = 200 000·SF); past that
+    * the chooser routes to the unpacked struct spelling.
+    */
+  private[graft] def itemIdsPackU32(spark: SparkSession, dir: String): Boolean =
+    footerLongBounds(spark, s"$dir/lineitem.parquet", "l_partkey") match {
+      case Some((mn, mx)) => mn >= 0L && mx <= 0xFFFFFFFFL
+      case None =>
+        val r = Tables.lineitem(spark, dir)
+          .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+        !r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) <= 0xFFFFFFFFL
+    }
+
+  /** (min, max) of a BIGINT column from parquet footer statistics,
+    * driver-side; None when the table is too wide for a driver loop
+    * (> 64 files) or any row group lacks trustworthy stats — callers
+    * then prove the bound with a distributed aggregation instead.
+    */
+  private def footerLongBounds(spark: SparkSession, path: String,
+      column: String): Option[(Long, Long)] = try {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet"))
+      else Array(st)
+    if (files.isEmpty || files.length > 64) return None
+    import scala.jdk.CollectionConverters._
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var seen = false
+    var trusted = true
+    files.foreach { f =>
+      if (trusted) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          for (b <- reader.getFooter.getBlocks.asScala if trusted;
+               c <- b.getColumns.asScala
+               if trusted && c.getPath.toDotString == column) {
+            val s = c.getStatistics
+            if (s == null || s.isEmpty) trusted = false
+            else if (s.hasNonNullValue) {
+              (s.genericGetMin, s.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  mn = math.min(mn, lo.longValue)
+                  mx = math.max(mx, hi.longValue)
+                  seen = true
+                case _ => trusted = false
+              }
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    if (trusted && seen) Some((mn, mx)) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private[graft] def pairCounts(
       sets0: DataFrame, minCount: Int, bits: Int = 23,
-      usePcy: Boolean = false)
+      usePcy: Boolean = false, packU32: Boolean = false)
       : DataFrame = {
     require(minCount >= 1 && minCount <= Byte.MaxValue,
       s"pairCounts: minCount must fit the sketch's byte counters, got $minCount")
@@ -73,6 +147,22 @@ object Recommend {
     // survives a t=2 prune whenever its bucket takes ONE more hit
     // (1-e^-λ — no real selectivity at any sizing); t≥3 is where the
     // tail P(Poisson(λ) ≥ t-1) collapses, so t<3 is always direct.
+    if (packU32 && !usePcy) {
+      // r11 (guide §2.3, VERDICT r10 #1): when the caller's chooser
+      // proves every item id < 2^32, the pair rides ONE packed long —
+      // (min << 32) | max — through Generate, the exchange and the
+      // count aggregate: 24 → 16 UnsafeRow bytes per pair row and a
+      // single-long aggregation key instead of a two-field row. The
+      // match-bounded survivors unpack after the threshold.
+      return sets0
+        .select(explode(call_function("pair_longs", col("items"))).as("pk"))
+        .repartition(col("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("co"))
+        .where(col("co") >= minCount)
+        .select(shiftrightunsigned(col("pk"), 32).as("ia"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ib"), col("co"))
+    }
     if (minCount < 3 || !usePcy) {
       // NOT a groupBy-planned exchange: the explicit raw repartition
       // beats map-side partial agg here (r8 A/B "direct-v2") — pairs
@@ -167,7 +257,8 @@ object Recommend {
     // rows and the pair shuffle, and the mirror runs over the tiny
     // thresholded result. minCount=2 always takes pairCounts' direct
     // path — a t=2 prune has no selectivity (see pairCounts).
-    val half = Recommend.pairCounts(sets, minCount = 2)
+    val half = Recommend.pairCounts(sets, minCount = 2,
+        packU32 = itemIdsPackU32(spark, dir))
       .withColumnRenamed("co", "pair_cnt")
     val co = half.select(col("ia").as("ante"), col("ib").as("cons"),
         col("pair_cnt"))
@@ -243,7 +334,8 @@ object Recommend {
       .where(size(col("items")) <= 60)
     val itemCnt = sets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val co = Recommend.pairCounts(sets, minCount = 4, usePcy = usePcy)
+    val co = Recommend.pairCounts(sets, minCount = 4, usePcy = usePcy,
+        packU32 = !usePcy && itemIdsPackU32(spark, dir))
       .select(col("ia").as("item_a"), col("ib").as("item_b"), col("co"))
     val scored = co
       .join(itemCnt.withColumnRenamed("i", "item_a")

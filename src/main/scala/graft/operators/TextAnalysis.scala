@@ -211,13 +211,15 @@ object TextAnalysis {
         struct(col("doc_id"), col("e.tf").as("tf"), col("n2")), lit(50))
         .as("ps"))
       .where(size(col("ps")) <= 50)
+    // r11 (VERDICT r10 #2, guide §4/§2.3): the canonical-pair kernel
+    // emits each a<b co-posting pair ONCE with the tf product and both
+    // norms — the a×b double explode it replaces generated df² rows
+    // (2× the canonical pairs) and re-scanned the postings array per
+    // outer row before the a<b filter dropped half.
     val pairs = postings
-      .select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.tf") * col("b.tf")).as("p"),
-        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .select(explode(call_function("posting_pairs", col("ps"))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.p").as("p"), col("pr.na2").as("na2"), col("pr.nb2").as("nb2"))
     pairs
       // na2/nb2 are functions of doc_a/doc_b, so grouping by all four
       // keys is the same grouping — and saves two doc-keyed joins
